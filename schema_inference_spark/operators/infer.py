@@ -1,0 +1,422 @@
+"""Snapshot schema inference over partitioned data (SURVEY.md §2.D5/D6/D14).
+
+Two cooperating passes, both associative monoids merged with the IR's
+strict unifier (the engine analog of the reference's per-expression
+inference + substitution composition):
+
+1. **Physical-type census** — metadata-only. Each parquet footer's physical
+   schema maps to IR (convert.arrow_type_to_ir); footers are read in a
+   distributed map over the manifest's file list and merged
+   file→partition→snapshot with ``mgu``. This is what catches the
+   "one partition wrote turn_idx as double" conflict *before* Spark's scan
+   coercion can widen it away (SURVEY.md §7.3-1). Cost at 100 TB: one
+   footer read per file, no data scan.
+
+2. **Column-state pass** — data-level. ``mapInPandas`` over the (pruned)
+   snapshot scan computes per-split, per-bucket column states
+   (observed value type, null/row counts, min/max); states are merged
+   per-partition, then snapshot-wide via ``RDD.treeAggregate(depth=2)``
+   (the reference's compose-substitutions as combOp; SURVEY.md §2.A).
+   States are a few KB per partition — the shuffle is negligible at any
+   scale; the scan is the cost, and it is shared with the constraint
+   checks.
+
+Failure semantics: merges never raise. A type conflict becomes an absorbed
+failure state that finalizes into a ``schema_merge`` violation row
+(reference failure objects, util.clj:153-155), and the affected column's
+snapshot type is the failure — partitions that agreed still validate.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, Iterable, Iterator, List, Optional, Tuple
+
+import pandas as pd
+import pyarrow.parquet as pq
+
+from ..ir.convert import arrow_type_to_ir
+from ..ir.schema_ir import (
+    is_failure,
+    merge_column_schema,
+    normalize_svars,
+    schema_to_json,
+)
+
+ColState = Dict[str, Any]
+PartState = Dict[str, ColState]  # column -> state
+
+
+def _empty_col_state() -> ColState:
+    return {"schema": None, "phys": [], "count": 0, "nulls": 0,
+            "min": None, "max": None, "pids": [], "fail_pids": None}
+
+
+def _json_safe(v: Any) -> Any:
+    if isinstance(v, (pd.Timestamp, datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    if hasattr(v, "item"):  # numpy scalar
+        return v.item()
+    return v
+
+
+def _pandas_col_ir(series: pd.Series) -> Optional[Dict[str, Any]]:
+    """Observed value type of one pandas column (nulls excluded); None if
+    the column has no non-null values in this batch."""
+    non_null = series.dropna()
+    if len(non_null) == 0:
+        return None
+    kind = series.dtype.kind
+    if kind == "b":
+        return {"type": "boolean"}
+    if kind in ("i", "u"):
+        return {"type": "int"}
+    if kind == "f":
+        # float32 vs float64 width preserved (ground.clj:22-23)
+        return {"type": "float" if series.dtype.itemsize == 4 else "double"}
+    if kind == "M":
+        return {"type": "timestamp"}
+    # object dtype: sample-based, like the reference's mp/provide on the
+    # literal value (algo_w.clj:26-31) — vectorized columns get their type
+    # from dtype above; only genuinely dynamic cells hit this path
+    from ..ir.algo_w import provide_value
+    sample = non_null.iloc[0]
+    ir = provide_value(sample)
+    if ir.get("type") == "nil":
+        return None
+    return ir
+
+
+def _col_state_from_series(series: pd.Series, pid: int) -> ColState:
+    st = _empty_col_state()
+    st["count"] = int(len(series))
+    st["nulls"] = int(series.isna().sum())
+    st["schema"] = _pandas_col_ir(series)
+    st["pids"] = [pid]
+    non_null = series.dropna()
+    if len(non_null) > 0 and series.dtype.kind in ("i", "u", "f", "M", "O", "b"):
+        try:
+            st["min"] = _json_safe(non_null.min())
+            st["max"] = _json_safe(non_null.max())
+        except TypeError:
+            pass  # unorderable mixed objects: no min/max for this slice
+    return st
+
+
+def merge_col_states(a: ColState, b: ColState) -> ColState:
+    """Associative, commutative-up-to-failure-attribution combine."""
+    out = _empty_col_state()
+    merged = merge_column_schema(a["schema"], b["schema"])
+    out["schema"] = merged
+    if is_failure(merged) and not (is_failure(a["schema"]) or is_failure(b["schema"])):
+        out["fail_pids"] = [sorted(a["pids"]), sorted(b["pids"])]
+    else:
+        out["fail_pids"] = a.get("fail_pids") or b.get("fail_pids")
+    out["phys"] = sorted(set(a["phys"]) | set(b["phys"]))
+    out["count"] = a["count"] + b["count"]
+    out["nulls"] = a["nulls"] + b["nulls"]
+    for key, pick in (("min", min), ("max", max)):
+        va, vb = a[key], b[key]
+        if va is None:
+            out[key] = vb
+        elif vb is None:
+            out[key] = va
+        else:
+            try:
+                out[key] = pick(va, vb)
+            except TypeError:
+                out[key] = va
+    out["pids"] = sorted(set(a["pids"]) | set(b["pids"]))
+    return out
+
+
+def merge_part_states(a: PartState, b: PartState) -> PartState:
+    out: PartState = {}
+    for col in sorted(set(a) | set(b)):
+        if col not in a:
+            out[col] = b[col]
+        elif col not in b:
+            out[col] = a[col]
+        else:
+            out[col] = merge_col_states(a[col], b[col])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Pass 1: physical-type census (metadata only)
+# ---------------------------------------------------------------------------
+
+def physical_census(spark, files_by_partition: List[Tuple[int, str]],
+                    ) -> Dict[int, Dict[str, Dict[str, Any]]]:
+    """Distributed parquet-footer read: [(partition_id, path)] ->
+    {partition_id: {column: {"ir": <IR>, "phys": "<arrow type>"}}}.
+
+    Runs as a Spark job so 10^5+ footers parallelize; results are tiny.
+    """
+    def read_footer(item: Tuple[int, str]):
+        pid, path = item
+        sch = pq.read_schema(path)
+        cols = {}
+        for fld in sch:
+            cols[fld.name] = {"ir": arrow_type_to_ir(fld.type),
+                              "phys": str(fld.type)}
+        return pid, cols
+
+    n = max(len(files_by_partition), 1)
+    rdd = spark.sparkContext.parallelize(files_by_partition,
+                                         min(n, 64)).map(read_footer)
+
+    def merge_file_cols(a, b):
+        out = {}
+        for col in sorted(set(a) | set(b)):
+            if col not in a:
+                out[col] = b[col]
+            elif col not in b:
+                out[col] = a[col]
+            else:
+                merged = merge_column_schema(a[col]["ir"], b[col]["ir"])
+                phys = ",".join(sorted(set(a[col]["phys"].split(","))
+                                       | set(b[col]["phys"].split(","))))
+                out[col] = {"ir": merged, "phys": phys}
+        return out
+
+    return dict(rdd.reduceByKey(merge_file_cols).collect())
+
+
+# ---------------------------------------------------------------------------
+# Tolerant snapshot read: survive physical type conflicts
+# ---------------------------------------------------------------------------
+
+_NUM_RANK = {"int": 0, "float": 1, "double": 2}
+
+
+def _widened(types: List[str]) -> str:
+    """Scan-only type promotion (the engine's *semantics* stay strict — the
+    census still emits the non_equal violation; this is just how we keep
+    scanning the conflicting partitions for stats + row checks)."""
+    if all(t in _NUM_RANK for t in types):
+        return max(types, key=lambda t: _NUM_RANK[t])
+    return "string"
+
+
+def read_snapshot_tolerant(spark, catalog, snapshot_id: str,
+                           partitions: List[int],
+                           census: Dict[int, Dict[str, Dict[str, Any]]]):
+    """Read a snapshot whose partitions may disagree on physical types.
+
+    Partitions are grouped by their census type signature; each group scans
+    with its own consistent schema (partition-pruned, pushdown intact), is
+    cast to the widened common schema, and the groups union. Group count is
+    bounded by the number of distinct schema versions (1-2 in practice), so
+    this adds no extra shuffle — union is a narrow transformation.
+    """
+    sig_of = {}
+    for pid in partitions:
+        cols = census.get(pid, {})
+        sig_of[pid] = tuple(sorted((c, json.dumps(v["ir"], sort_keys=True))
+                                   for c, v in cols.items()))
+    groups: Dict[tuple, List[int]] = {}
+    for pid, sig in sig_of.items():
+        groups.setdefault(sig, []).append(pid)
+
+    if len(groups) <= 1:
+        return catalog.read_snapshot(spark, snapshot_id, partitions)
+
+    # widened target per column (scan-side only)
+    from collections import defaultdict
+    col_types = defaultdict(set)
+    for pid in partitions:
+        for c, v in census.get(pid, {}).items():
+            t = v["ir"].get("type")
+            col_types[c].add(t if isinstance(t, str) else "string")
+    from pyspark.sql import functions as F
+    target = {c: _widened(sorted(ts)) for c, ts in col_types.items()}
+    spark_t = {"int": "bigint", "float": "float", "double": "double",
+               "string": "string"}
+
+    parts = []
+    for sig in sorted(groups):
+        pids = sorted(groups[sig])
+        df = catalog.read_snapshot(spark, snapshot_id, pids)
+        exprs = []
+        for c in df.columns:
+            if c in target and target[c] in spark_t:
+                exprs.append(F.col(c).cast(spark_t[target[c]]).alias(c))
+            else:
+                exprs.append(F.col(c))
+        parts.append(df.select(*exprs))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Pass 2: data-level column states
+# ---------------------------------------------------------------------------
+
+def partition_states(df, partition_col: str = "bucket") -> List[Tuple[int, PartState]]:
+    """Per-partition column states via mapInPandas (one state blob per Arrow
+    batch per bucket), merged per partition then returned as a small list.
+
+    The heavy lifting — the scan and per-batch accumulation — is fully
+    distributed and Arrow-vectorized; what comes back to the driver is one
+    small JSON blob per (input split × bucket).
+    """
+    data_cols = [c for c in df.columns if c != partition_col]
+
+    def state_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: Dict[int, PartState] = {}
+        for pdf in batches:
+            for pid, grp in pdf.groupby(partition_col, sort=False):
+                pid = int(pid)
+                st: PartState = {c: _col_state_from_series(grp[c], pid)
+                                 for c in data_cols}
+                acc[pid] = merge_part_states(acc[pid], st) if pid in acc else st
+        if acc:
+            yield pd.DataFrame({
+                "pid": list(acc),
+                "state_json": [json.dumps(s, default=_json_safe)
+                               for s in acc.values()],
+            })
+
+    states_df = df.mapInPandas(state_fn, "pid int, state_json string")
+    rows = states_df.collect()  # one tiny row per (split, bucket)
+    by_pid: Dict[int, PartState] = {}
+    for r in rows:
+        st = json.loads(r.state_json)
+        by_pid[r.pid] = (merge_part_states(by_pid[r.pid], st)
+                         if r.pid in by_pid else st)
+    return sorted(by_pid.items())
+
+
+def tree_merge_states(spark, part_states: List[Tuple[int, PartState]]) -> PartState:
+    """Snapshot-level merge: treeAggregate(depth=2) over per-partition
+    states — associative combine, no driver-side fold over 10^5 partitions
+    (SURVEY.md §2.D6; reference compose-substitutions util.clj:106-113)."""
+    if not part_states:
+        return {}
+    states = [s for _, s in part_states]
+    if len(states) == 1:
+        return states[0]
+    rdd = spark.sparkContext.parallelize(states, min(len(states), 64))
+    return rdd.treeAggregate({}, merge_part_states, merge_part_states, depth=2)
+
+
+# ---------------------------------------------------------------------------
+# Finalization: states -> snapshot schema + violations
+# ---------------------------------------------------------------------------
+
+@dataclass
+class InferResult:
+    snapshot_id: str
+    table_schema: Dict[str, Any]            # column -> IR (normalized)
+    column_stats: Dict[str, Dict[str, Any]] # column -> {count,nulls,min,max,null_rate}
+    partition_states: Dict[int, PartState]
+    census: Dict[int, Dict[str, Any]]
+    violations: List[Dict[str, Any]] = field(default_factory=list)
+
+
+def finalize_schema(col: str, st: ColState) -> Dict[str, Any]:
+    """Column state -> final IR: failures stay failures; no observations ->
+    s-var generalized per snapshot (ref: generalize, util.clj:129-137);
+    nullability wraps as :maybe (tracked outside the strict value-type
+    merge so a nullable partition doesn't false-conflict with a dense one).
+    """
+    sch = st["schema"]
+    if sch is None:
+        # all-NULL column: unknown, universally quantified
+        return {"type": "scheme", "s_vars": ["t0"],
+                "body": {"type": "maybe", "child": {"type": "s-var", "sym": "t0"}}}
+    if is_failure(sch):
+        return sch
+    sch = normalize_svars(sch)
+    if st["nulls"] > 0:
+        return {"type": "maybe", "child": sch}
+    return sch
+
+
+def infer_snapshot(spark, catalog, snapshot_id: str,
+                   partitions: Optional[List[int]] = None) -> InferResult:
+    """Full inference for one snapshot (optionally a partition subset)."""
+    if partitions is None:
+        partitions = catalog.partition_ids(snapshot_id)
+    files = []
+    man = catalog.manifest(snapshot_id)
+    keep = set(partitions)
+    for p in man["partitions"]:
+        if p["partition_id"] in keep:
+            for fname in p["files"]:
+                files.append((p["partition_id"],
+                              f"{catalog.root}/{snapshot_id}/{p['path']}/{fname}"))
+
+    census = physical_census(spark, files)
+
+    df = read_snapshot_tolerant(spark, catalog, snapshot_id, partitions, census)
+    pstates = partition_states(df)
+    snap_state = tree_merge_states(spark, pstates)
+
+    # overlay census conflicts: if physical types across partitions disagree,
+    # the data-level state may have been masked by scan coercion — re-merge
+    # census IRs into the column state schema
+    census_merged: Dict[str, Any] = {}
+    for pid in sorted(census):
+        for col, info in census[pid].items():
+            prev = census_merged.get(col)
+            if prev is None:
+                census_merged[col] = {"ir": info["ir"], "pids": [pid]}
+            else:
+                merged = merge_column_schema(prev["ir"], info["ir"])
+                if is_failure(merged) and not is_failure(prev["ir"]):
+                    census_merged[col] = {"ir": merged,
+                                          "pids_1": prev["pids"],
+                                          "pids_2": [pid]}
+                else:
+                    prev["ir"] = merged
+                    prev.setdefault("pids", []).append(pid)
+
+    violations: List[Dict[str, Any]] = []
+    table_schema: Dict[str, Any] = {}
+    column_stats: Dict[str, Dict[str, Any]] = {}
+    for col in sorted(snap_state):
+        st = snap_state[col]
+        cm = census_merged.get(col)
+        if cm is not None and is_failure(cm["ir"]) and not is_failure(st["schema"]):
+            st = dict(st)
+            st["schema"] = cm["ir"]
+            st["fail_pids"] = [sorted(cm.get("pids_1", [])),
+                               sorted(cm.get("pids_2", []))]
+        final = finalize_schema(col, st)
+        table_schema[col] = final
+        column_stats[col] = {
+            "count": st["count"], "nulls": st["nulls"],
+            "null_rate": (st["nulls"] / st["count"]) if st["count"] else None,
+            "min": st["min"], "max": st["max"],
+        }
+        if is_failure(final):
+            fp = st.get("fail_pids") or [[], []]
+            violations.append({
+                "snapshot_id": snapshot_id,
+                "partition_id": (fp[1][0] if fp[1] else -1),
+                "check_id": "schema_merge",
+                "mgu_failure": final["mgu_failure"],
+                "schema_1": schema_to_json(final["schema_1"]),
+                "schema_2": schema_to_json(final["schema_2"]),
+                "conv_id": None, "turn_idx": None,
+                "payload": json.dumps({"column": col,
+                                       "pids_1": fp[0], "pids_2": fp[1]},
+                                      sort_keys=True),
+            })
+
+    return InferResult(
+        snapshot_id=snapshot_id,
+        table_schema=table_schema,
+        column_stats=column_stats,
+        partition_states=dict(pstates),
+        census=census,
+        violations=violations,
+    )

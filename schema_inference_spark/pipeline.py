@@ -1,0 +1,169 @@
+"""Validation pipeline: the engine's `validate(snapshot)` lifecycle
+(SURVEY.md §3.4).
+
+    plan:    manifest -> pending partitions = all - completed(audit)
+    infer:   footer census + Arrow column states -> treeAggregate mgu merge
+    check:   uniqueness (salted), referential (broadcast anti),
+             ordering (window), drift (PSI/KS over KLL), schema compat
+    verdict: per-partition pass/fail + stable-ordered violation rows
+    audit:   per-partition lineage + metrics, resume-safe
+
+No executor code raises on data errors — violations are rows (the
+reference's by-value failure propagation, algo_w.clj:9-11); the job only
+throws on infrastructure failures.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass
+from typing import Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import checks as C
+from .operators import stats as S
+from .operators.drift import drift_violations, schema_drift_violation
+from .operators.infer import InferResult, infer_snapshot, read_snapshot_tolerant
+from .sources.catalog import SnapshotCatalog
+
+ROLE_VOCAB = ["system", "user", "assistant", "tool"]
+TOOL_VOCAB = ["search", "code", "browser", "none"]
+
+
+@dataclass
+class ValidationResult:
+    snapshot_id: str
+    partitions: List[int]
+    table_schema: Dict
+    violations: DataFrame          # stable-ordered, F5 shape
+    verdicts: DataFrame            # per-partition pass/fail + metrics
+    snapshot_stats: DataFrame      # per-column merged stats + sketches
+    infer: InferResult
+
+
+def validate(
+    spark: SparkSession,
+    catalog: SnapshotCatalog,
+    snapshot_id: str,
+    role_vocab: Optional[List[str]] = None,
+    tool_vocab: Optional[List[str]] = None,
+    baseline_sketches: Optional[Dict[str, bytes]] = None,
+    baseline_schema: Optional[Dict[str, Dict]] = None,
+    resume: bool = True,
+    write_audit: bool = True,
+    partition_col: str = "bucket",
+) -> ValidationResult:
+    t0 = time.monotonic()
+    role_vocab = role_vocab or ROLE_VOCAB
+    tool_vocab = tool_vocab or TOOL_VOCAB
+
+    # -- plan: resume from lineage (D19) ------------------------------------
+    all_parts = catalog.partition_ids(snapshot_id)
+    pending = (catalog.pending_partitions(spark, snapshot_id)
+               if resume else list(all_parts))
+    if not pending:
+        empty_v = C.empty_violations(spark)
+        return ValidationResult(
+            snapshot_id, [], {}, empty_v,
+            catalog.read_audit(spark, snapshot_id),
+            spark.createDataFrame([], "snapshot_id string, column string"),
+            InferResult(snapshot_id, {}, {}, {}, {}, []))
+
+    # -- infer: census + column states + strict merge (D5/D6/D14) -----------
+    inf = infer_snapshot(spark, catalog, snapshot_id, pending)
+    df = read_snapshot_tolerant(spark, catalog, snapshot_id, pending, inf.census)
+
+    # -- stats + sketches (D7-D9), one scan, two agg levels ------------------
+    # text_len: derived numeric for the drift check (FIXTURES.md F3 —
+    # "length(text) distribution" is the planted drift signal)
+    stats_df = df
+    if "text" in df.columns:
+        stats_df = df.withColumn("text_len",
+                                 F.length("text").cast("double"))
+    prof = S.profile_snapshot(stats_df, snapshot_id, partition_col=partition_col)
+    snapshot_stats = prof["snapshot"]
+
+    # -- constraint checks (D10-D12), declarative plans ----------------------
+    v_parts = [
+        C.check_unique_key(df, snapshot_id, partition_col=partition_col),
+        C.check_referential(df, snapshot_id, "role", role_vocab,
+                            "ref_role", partition_col),
+        C.check_referential(df, snapshot_id, "tool", tool_vocab,
+                            "ref_tool", partition_col, nullable=True),
+        C.check_ordering(df, snapshot_id, partition_col),
+    ]
+    violations = v_parts[0]
+    for v in v_parts[1:]:
+        violations = violations.unionByName(v)
+
+    # -- driver-side violations: schema merge, drift, compat -----------------
+    driver_rows: List[Dict] = list(inf.violations)
+    if baseline_sketches:
+        cur = {r["column"]: bytes(r["kll"]) if r["kll"] is not None else None
+               for r in snapshot_stats.select("column", "kll").collect()}
+        driver_rows += drift_violations(spark, snapshot_id,
+                                        baseline_sketches, cur)
+    if baseline_schema:
+        for col, base in sorted(baseline_schema.items()):
+            snap = inf.table_schema.get(col)
+            if snap is None:
+                continue
+            row = schema_drift_violation(snapshot_id, col, snap, base)
+            if row:
+                driver_rows.append(row)
+    if driver_rows:
+        drv = spark.createDataFrame(
+            [tuple(r[c] for c in C.VIOLATION_COLS) for r in driver_rows],
+            C.VIOLATION_DDL)
+        violations = violations.unionByName(drv)
+
+    violations = C.stable_order(violations).cache()
+
+    # -- verdicts: per-partition pass/fail + metrics (F4) ---------------------
+    man = {p["partition_id"]: p for p in
+           catalog.manifest(snapshot_id)["partitions"]}
+    counts = {r.partition_id: r.n for r in
+              (violations.groupBy("partition_id")
+               .agg(F.count(F.lit(1)).alias("n")).collect())}
+    snapshot_level = counts.get(-1, 0)
+    wall_ms = int((time.monotonic() - t0) * 1000)
+    verdict_rows = []
+    for pid in sorted(pending):
+        n_v = counts.get(pid, 0) + snapshot_level
+        verdict_rows.append((
+            snapshot_id, pid,
+            "fail" if n_v > 0 else "pass",
+            int(man[pid]["n_rows"]), int(n_v), wall_ms,
+            json.dumps(inf.partition_states.get(pid, {}), sort_keys=True,
+                       default=str),
+        ))
+    verdicts = spark.createDataFrame(
+        verdict_rows,
+        "snapshot_id string, partition_id int, verdict string, "
+        "n_rows bigint, n_violations bigint, wall_ms bigint, state_json string")
+
+    # -- audit append (D19): idempotent per-partition lineage -----------------
+    if write_audit:
+        catalog.append_audit(verdicts, snapshot_id)
+
+    return ValidationResult(
+        snapshot_id=snapshot_id,
+        partitions=sorted(pending),
+        table_schema=inf.table_schema,
+        violations=violations,
+        verdicts=verdicts,
+        snapshot_stats=snapshot_stats,
+        infer=inf,
+    )
+
+
+def baseline_from_result(result: ValidationResult) -> Dict:
+    """Turn a validated snapshot into the drift baseline for the next one:
+    {column -> kll bytes} + {column -> IR schema}."""
+    sketches = {}
+    for r in result.snapshot_stats.select("column", "kll").collect():
+        sketches[r.column] = bytes(r.kll) if r.kll is not None else None
+    return {"sketches": sketches, "schema": result.table_schema}

@@ -1,0 +1,126 @@
+"""Snapshot catalog — the Iceberg seam (SURVEY.md §2.D1/D2, §7.0).
+
+In production this is ``spark.read.format("iceberg")`` + an Iceberg audit
+table; the sandbox has no Iceberg runtime jar, so the same partition-level
+semantics (enumerate snapshot partitions, read a pruned subset, append
+audit rows, resume from lineage) run over bucket-partitioned parquet plus a
+JSON manifest written by ``transcripts.write_snapshot``. Everything above
+this module is storage-agnostic.
+
+Scale notes (100 TB / 10^5+ partitions):
+- partition enumeration is manifest metadata, never a file listing;
+- reads are partition-pruned: only pending buckets hit the scan
+  (basePath-rooted parquet read with an explicit subdir list, so Spark
+  prunes at planning time);
+- the audit table is itself partitioned by snapshot; resume is an
+  anti-join of manifest partitions against completed audit rows — no
+  rescan of validated data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+AUDIT_SCHEMA = T.StructType([
+    T.StructField("snapshot_id", T.StringType(), False),
+    T.StructField("partition_id", T.IntegerType(), False),
+    T.StructField("verdict", T.StringType(), False),        # pass/fail/error
+    T.StructField("n_rows", T.LongType(), False),
+    T.StructField("n_violations", T.LongType(), False),
+    T.StructField("wall_ms", T.LongType(), False),
+    T.StructField("state_json", T.StringType(), True),      # merged column state
+])
+
+
+class SnapshotCatalog:
+    def __init__(self, root: str, audit_root: Optional[str] = None):
+        self.root = root
+        self.audit_root = audit_root or os.path.join(root, "_audit")
+
+    # -- snapshot metadata ---------------------------------------------------
+
+    def snapshots(self) -> List[str]:
+        return sorted(
+            d for d in os.listdir(self.root)
+            if os.path.isfile(os.path.join(self.root, d, "manifest.json")))
+
+    def manifest(self, snapshot_id: str) -> Dict:
+        with open(os.path.join(self.root, snapshot_id, "manifest.json")) as f:
+            return json.load(f)
+
+    def partition_ids(self, snapshot_id: str) -> List[int]:
+        return [p["partition_id"] for p in self.manifest(snapshot_id)["partitions"]]
+
+    def partition_files(self, snapshot_id: str,
+                        partitions: Optional[Sequence[int]] = None) -> List[str]:
+        """Absolute parquet file paths, manifest-driven (no globbing)."""
+        man = self.manifest(snapshot_id)
+        keep = set(partitions) if partitions is not None else None
+        out = []
+        for p in man["partitions"]:
+            if keep is not None and p["partition_id"] not in keep:
+                continue
+            for fname in p["files"]:
+                out.append(os.path.join(self.root, snapshot_id, p["path"], fname))
+        return out
+
+    # -- reads ----------------------------------------------------------------
+
+    def read_snapshot(self, spark: SparkSession, snapshot_id: str,
+                      partitions: Optional[Sequence[int]] = None) -> DataFrame:
+        """Read a snapshot (optionally pruned to a partition subset) with the
+        partition column ``bucket`` materialized. Prod: an Iceberg read with
+        a partition filter — same pruning contract."""
+        snap_dir = os.path.join(self.root, snapshot_id)
+        if partitions is None:
+            paths = [snap_dir]
+        else:
+            paths = [os.path.join(snap_dir, f"bucket={b}") for b in partitions]
+        # mergeSchema=true: partitions with conflicting physical types must
+        # still SCAN (for stats + row-level checks); strict type semantics
+        # are enforced by the footer census, not the scan (SURVEY.md §7.3-1)
+        return (spark.read
+                .option("basePath", snap_dir)
+                .option("mergeSchema", "true")
+                .parquet(*paths))
+
+    # -- audit / lineage (D19) -------------------------------------------------
+
+    def _audit_dir(self, snapshot_id: str) -> str:
+        return os.path.join(self.audit_root, f"snapshot_id={snapshot_id}")
+
+    def read_audit(self, spark: SparkSession, snapshot_id: str) -> DataFrame:
+        d = self._audit_dir(snapshot_id)
+        if not os.path.isdir(d) or not any(
+                f.endswith(".parquet") for f in os.listdir(d)):
+            return spark.createDataFrame([], AUDIT_SCHEMA)
+        df = spark.read.parquet(d)
+        return df.withColumn("snapshot_id", F.lit(snapshot_id)).select(
+            *[f.name for f in AUDIT_SCHEMA.fields])
+
+    def completed_partitions(self, spark: SparkSession, snapshot_id: str) -> List[int]:
+        audit = self.read_audit(spark, snapshot_id)
+        if audit.isEmpty():
+            return []
+        rows = (audit.filter(F.col("verdict").isin("pass", "fail"))
+                .select("partition_id").distinct().collect())
+        return sorted(r.partition_id for r in rows)
+
+    def pending_partitions(self, spark: SparkSession, snapshot_id: str) -> List[int]:
+        """Resume point: manifest partitions minus completed audit rows."""
+        done = set(self.completed_partitions(spark, snapshot_id))
+        return [p for p in self.partition_ids(snapshot_id) if p not in done]
+
+    def append_audit(self, audit_df: DataFrame, snapshot_id: str) -> None:
+        """Idempotent per-run append. Partition-grained overwrite semantics
+        come from the read side (latest verdict per partition wins via the
+        distinct in completed_partitions); prod uses Iceberg MERGE."""
+        (audit_df.drop("snapshot_id")
+         .repartition(1)
+         .write.mode("append").parquet(self._audit_dir(snapshot_id)))

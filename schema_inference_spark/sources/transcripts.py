@@ -1,0 +1,192 @@
+"""Deterministic synthetic transcripts generator (FIXTURES.md F1).
+
+Input shape per BASELINE.json input_hint:
+    conv_id:string, turn_idx:int32, role:string, text:string,
+    tool:string, ts:timestamp
+
+Written as hash-bucketed partitioned parquet + a JSON snapshot manifest —
+the sandbox stand-in for an Iceberg snapshot (SURVEY.md §7.0: no Iceberg
+jar present; the catalog seam swaps in ``format("iceberg")`` in prod).
+
+Everything is seeded — same arguments, byte-identical output. Planted
+anomalies (exact, per FIXTURES.md F1) make golden violation rows possible:
+
+- c000017 duplicates turn_idx=3           (uniqueness, D10)
+- c000023 skips turn_idx=2                (ordering gap, D12)
+- c000031 has one ts regression           (ordering ts, D12)
+- role='moderator' every 1000th turn      (referential, D11)
+- tool='telepathy' every 1500th tool turn (referential, D11)
+- snapshot s2: one partition writes turn_idx as float64 (double) — the
+  schema merge must fail non_equal, never widen (SURVEY.md §7.3-1)
+- snapshot s3: tool entirely NULL — inferred as s-var, generalized
+- snapshot s4: text lengths shifted +50% (drift, D13)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+ROLES = ["system", "user", "assistant", "tool"]
+TOOLS = ["search", "code", "browser", "none"]
+BASE_TS_US = 1767225600_000_000  # 2026-01-01T00:00:00Z in microseconds
+
+_WORDS = np.array([
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+    "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+    "oscar", "papa", "quebec", "romeo", "sierra", "tango", "uniform",
+    "victor", "whiskey", "xray", "yankee", "zulu",
+])
+
+
+def _hash_bucket(conv_ids: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Deterministic string hash -> bucket, stable across runs/processes
+    (FNV-1a over the conv index digits; NOT Python's salted hash)."""
+    out = np.empty(len(conv_ids), dtype=np.int32)
+    for i, cid in enumerate(conv_ids):
+        h = np.uint64(14695981039346656037)
+        for ch in cid.encode():
+            h = np.uint64((int(h) ^ ch) * 1099511628211 % (1 << 64))
+        out[i] = int(h) % n_buckets
+    return out
+
+
+def generate_turns(
+    n_conv: int = 200,
+    seed: int = 42,
+    hot_conv_share: float = 0.10,
+    text_len_scale: float = 1.0,
+    tool_all_null: bool = False,
+) -> pa.Table:
+    """Build one snapshot's turns as an Arrow table (int32 turn_idx)."""
+    rng = np.random.default_rng(seed)
+    # turn counts: zipf-ish, with conv 0 the designated hot key (~10%)
+    lens = rng.integers(4, 40, size=n_conv)
+    total_other = int(lens[1:].sum())
+    lens[0] = max(int(total_other * hot_conv_share / (1 - hot_conv_share)), 4)
+
+    conv_ids: List[str] = []
+    turn_idx: List[np.ndarray] = []
+    for i in range(n_conv):
+        n = int(lens[i])
+        cid = f"c{i:06d}"
+        idx = np.arange(n, dtype=np.int32)
+        if i == 17 and n > 4:   # duplicate turn_idx=3
+            idx = np.concatenate([idx[:4], np.array([3], dtype=np.int32), idx[4:]])
+        elif i == 23 and n > 3:  # gap: skip turn_idx=2
+            idx = np.concatenate([idx[:2], idx[3:]])
+        conv_ids.extend([cid] * len(idx))
+        turn_idx.append(idx)
+
+    conv_arr = np.array(conv_ids)
+    idx_arr = np.concatenate(turn_idx)
+    n_rows = len(idx_arr)
+
+    role = np.array(ROLES)[np.arange(n_rows) % 4]
+    role[np.arange(n_rows) % 1000 == 999] = "moderator"  # out-of-vocab
+
+    is_tool = role == "tool"
+    tool = np.where(is_tool,
+                    np.array(TOOLS)[np.arange(n_rows) % 4], None)
+    tool_positions = np.flatnonzero(is_tool)
+    if len(tool_positions) > 0:
+        bad = tool_positions[::1500 // 4 or 1][:max(len(tool_positions) // 375, 1)]
+        tool[bad] = "telepathy"  # out-of-vocab
+    if tool_all_null:
+        tool = np.full(n_rows, None, dtype=object)
+
+    n_words = np.maximum((rng.integers(1, 60, size=n_rows)
+                          * text_len_scale).astype(np.int64), 1)
+    word_pick = rng.integers(0, len(_WORDS), size=int(n_words.sum()))
+    texts: List[str] = []
+    pos = 0
+    for k in n_words:
+        texts.append(" ".join(_WORDS[word_pick[pos:pos + k]]))
+        pos += k
+
+    # ts: base + conv offset hours + turn_idx minutes (monotone per conv)
+    conv_num = np.array([int(c[1:]) for c in conv_ids], dtype=np.int64)
+    ts_us = (BASE_TS_US + conv_num * 3_600_000_000
+             + idx_arr.astype(np.int64) * 60_000_000)
+    # planted ts regression in conv 31: second turn jumps back 1h
+    c31 = np.flatnonzero(conv_arr == "c000031")
+    if len(c31) > 2:
+        ts_us[c31[2]] -= 7_200_000_000
+
+    return pa.table({
+        "conv_id": pa.array(conv_arr.tolist(), type=pa.string()),
+        "turn_idx": pa.array(idx_arr, type=pa.int32()),
+        "role": pa.array(role.tolist(), type=pa.string()),
+        "text": pa.array(texts, type=pa.string()),
+        "tool": pa.array(tool.tolist(), type=pa.string()),
+        "ts": pa.array(ts_us, type=pa.timestamp("us", tz="UTC")),
+    })
+
+
+def write_snapshot(
+    root: str,
+    snapshot_id: str,
+    table: pa.Table,
+    n_buckets: int = 8,
+    type_conflict_partition: Optional[int] = None,
+) -> Dict:
+    """Write one snapshot as bucket-partitioned parquet + manifest.json.
+
+    ``type_conflict_partition``: write that bucket's ``turn_idx`` as float64
+    — the planted physical-type conflict for snapshot s2.
+    """
+    snap_dir = os.path.join(root, snapshot_id)
+    os.makedirs(snap_dir, exist_ok=True)
+    conv = table.column("conv_id").to_numpy(zero_copy_only=False)
+    buckets = _hash_bucket(conv, n_buckets)
+    partitions = []
+    for b in range(n_buckets):
+        mask = buckets == b
+        part = table.filter(pa.array(mask))
+        if type_conflict_partition is not None and b == type_conflict_partition:
+            idx = part.column("turn_idx").cast(pa.float64())
+            part = part.set_column(part.schema.get_field_index("turn_idx"),
+                                   "turn_idx", idx)
+        part_dir = os.path.join(snap_dir, f"bucket={b}")
+        os.makedirs(part_dir, exist_ok=True)
+        fpath = os.path.join(part_dir, "part-0.parquet")
+        pq.write_table(part, fpath)
+        partitions.append({
+            "partition_id": b,
+            "path": f"bucket={b}",
+            "files": ["part-0.parquet"],
+            "n_rows": part.num_rows,
+        })
+    manifest = {
+        "snapshot_id": snapshot_id,
+        "table": "transcripts",
+        "format": "parquet",
+        "n_buckets": n_buckets,
+        "partition_by": "bucket",
+        "partitions": partitions,
+        "n_rows": table.num_rows,
+    }
+    with open(os.path.join(snap_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
+def generate_fixture_snapshots(root: str, n_conv: int = 200,
+                               n_buckets: int = 8, seed: int = 42) -> Dict[str, Dict]:
+    """The four FIXTURES.md snapshots: s1 clean-ish, s2 type-conflict,
+    s3 all-NULL tool, s4 drifted text length."""
+    out = {}
+    t1 = generate_turns(n_conv=n_conv, seed=seed)
+    out["s1"] = write_snapshot(root, "s1", t1, n_buckets)
+    out["s2"] = write_snapshot(root, "s2", t1, n_buckets,
+                               type_conflict_partition=2)
+    t3 = generate_turns(n_conv=n_conv, seed=seed, tool_all_null=True)
+    out["s3"] = write_snapshot(root, "s3", t3, n_buckets)
+    t4 = generate_turns(n_conv=n_conv, seed=seed, text_len_scale=1.5)
+    out["s4"] = write_snapshot(root, "s4", t4, n_buckets)
+    return out

@@ -1,0 +1,178 @@
+"""Integration goldens: inference-from-data + constraint checks + resume
+(SURVEY.md §5.2-2/3; FIXTURES.md F1 planted anomalies -> exact violations).
+"""
+
+import json
+
+import pytest
+
+from schema_inference_spark.operators.infer import infer_snapshot
+from schema_inference_spark.pipeline import baseline_from_result, validate
+from schema_inference_spark.sources.catalog import SnapshotCatalog
+
+
+@pytest.fixture(scope="module")
+def r1(spark, catalog):
+    return validate(spark, catalog, "s1", write_audit=False)
+
+
+def _by_check(result):
+    rows = result.violations.collect()
+    out = {}
+    for r in rows:
+        out.setdefault(r.check_id, []).append(r)
+    return out
+
+
+# --- inference ---------------------------------------------------------------
+
+def test_s1_inferred_schema(r1):
+    s = r1.table_schema
+    assert s["conv_id"] == {"type": "string"}
+    assert s["turn_idx"] == {"type": "int"}          # int32 canonicalized
+    assert s["role"] == {"type": "string"}
+    assert s["text"] == {"type": "string"}
+    assert s["tool"] == {"type": "maybe", "child": {"type": "string"}}
+    assert s["ts"] == {"type": "timestamp"}
+
+
+def test_s2_type_conflict_is_strict_failure(spark, catalog):
+    """The data analog of the reference's branch-mismatch golden
+    (algo_w_test.clj:117-125 / util_test.clj:160-163): one partition wrote
+    turn_idx as double; merge must fail non_equal, never widen."""
+    inf = infer_snapshot(spark, catalog, "s2")
+    v = [x for x in inf.violations if x["check_id"] == "schema_merge"]
+    assert len(v) == 1
+    v = v[0]
+    assert v["mgu_failure"] == "non_equal"
+    assert json.loads(v["schema_1"]) == {"type": "int"}
+    assert json.loads(v["schema_2"]) == {"type": "double"}
+    payload = json.loads(v["payload"])
+    assert payload["column"] == "turn_idx"
+    assert payload["pids_2"] == [2]  # the planted conflicting partition
+
+
+def test_s3_all_null_column_generalizes(spark, catalog):
+    """All-NULL column -> s-var, generalized to a scheme
+    (ref: util.clj:129-137; FIXTURES.md F1)."""
+    inf = infer_snapshot(spark, catalog, "s3")
+    assert inf.table_schema["tool"] == {
+        "type": "scheme", "s_vars": ["t0"],
+        "body": {"type": "maybe", "child": {"type": "s-var", "sym": "t0"}}}
+    assert inf.violations == []
+
+
+# --- constraint checks (planted anomalies -> golden violations) --------------
+
+def test_unique_key_violation(r1):
+    v = _by_check(r1)["unique_key"]
+    assert [(x.conv_id, x.turn_idx) for x in v] == [("c000017", 3)]
+    assert json.loads(v[0].payload) == {"n_copies": 2}
+
+
+def test_turn_dup_violation(r1):
+    v = _by_check(r1)["turn_dup"]
+    assert [(x.conv_id, x.turn_idx) for x in v] == [("c000017", 3)]
+
+
+def test_turn_gap_violation(r1):
+    v = _by_check(r1)["turn_gap"]
+    assert [(x.conv_id, x.turn_idx) for x in v] == [("c000023", 3)]
+    assert json.loads(v[0].payload) == {"prev_idx": 1, "missing": 1}
+
+
+def test_ts_order_violation(r1):
+    v = _by_check(r1)["ts_order"]
+    assert [x.conv_id for x in v] == ["c000031"]
+
+
+def test_referential_violations(r1):
+    by = _by_check(r1)
+    roles = by["ref_role"]
+    assert all(json.loads(x.payload)["value"] == "moderator" for x in roles)
+    assert all(x.mgu_failure == "non_equal" for x in roles)
+    # failure object shape mirrors the reference (util.clj:153-155):
+    # schema_1 = offending enum singleton, schema_2 = vocab enum
+    assert json.loads(roles[0].schema_1) == {"type": "enum",
+                                             "values": ["moderator"]}
+    assert json.loads(roles[0].schema_2)["values"] == [
+        "assistant", "system", "tool", "user"]
+    tools = by["ref_tool"]
+    assert all(json.loads(x.payload)["value"] == "telepathy" for x in tools)
+
+
+def test_verdicts_match_violations(r1):
+    verd = {v.partition_id: v for v in r1.verdicts.collect()}
+    counts = {}
+    for r in r1.violations.collect():
+        counts[r.partition_id] = counts.get(r.partition_id, 0) + 1
+    for pid, v in verd.items():
+        expected = counts.get(pid, 0)
+        assert v.n_violations == expected
+        assert v.verdict == ("fail" if expected else "pass")
+    assert sum(v.n_rows for v in verd.values()) == r1.infer.column_stats["conv_id"]["count"]
+
+
+def test_stable_violation_order(r1):
+    rows = r1.violations.collect()
+    key = [(r.snapshot_id, r.partition_id, r.check_id, r.conv_id or "",
+            r.turn_idx if r.turn_idx is not None else -1, r.payload) for r in rows]
+    assert key == sorted(key)
+
+
+# --- drift --------------------------------------------------------------------
+
+def test_drift_detected_on_shifted_text_length(spark, catalog, r1):
+    base = baseline_from_result(r1)
+    r4 = validate(spark, catalog, "s4", baseline_sketches=base["sketches"],
+                  baseline_schema=base["schema"], write_audit=False)
+    drift = [json.loads(r.payload) for r in
+             r4.violations.filter("check_id='drift_psi'").collect()]
+    assert [d["column"] for d in drift] == ["text_len"]
+    assert drift[0]["psi"] > 0.25
+    # and the unshifted snapshot does NOT drift against itself
+    r1b = validate(spark, catalog, "s1", baseline_sketches=base["sketches"],
+                   baseline_schema=base["schema"], write_audit=False)
+    assert r1b.violations.filter("check_id='drift_psi'").count() == 0
+
+
+# --- resume (D19) ---------------------------------------------------------------
+
+def test_resume_skips_completed_partitions(spark, fixture_root):
+    """Pre-populate audit with partitions 0-3 complete; the run must
+    validate only 4-7 and produce output identical to the cold run's
+    for those partitions (FIXTURES.md F4)."""
+    cat = SnapshotCatalog(fixture_root,
+                          audit_root=fixture_root + "/_audit_resume")
+    cold = validate(spark, cat, "s1", resume=False, write_audit=False)
+
+    pre = cold.verdicts.filter("partition_id < 4")
+    cat.append_audit(pre, "s1")
+    warm = validate(spark, cat, "s1", resume=True, write_audit=True)
+    assert warm.partitions == [4, 5, 6, 7]
+
+    cold_v = [r.asDict() for r in
+              cold.violations.filter("partition_id >= 4").collect()]
+    warm_v = [r.asDict() for r in warm.violations.collect()]
+    assert warm_v == cold_v
+
+    # after the warm run, everything is complete -> validate is a no-op
+    done = validate(spark, cat, "s1", resume=True, write_audit=False)
+    assert done.partitions == []
+
+
+# --- parallelism invariance (north_rule: identical outputs at N vs 4N) ---------
+
+def test_output_invariant_under_repartition(spark, catalog, r1):
+    """Same input at different physical parallelism must yield identical
+    violation rows — here approximated by re-running with a different
+    shuffle-partition setting (the bench does the local[8]/local[32] run)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        r = validate(spark, catalog, "s1", write_audit=False)
+        a = [x.asDict() for x in r.violations.collect()]
+        b = [x.asDict() for x in r1.violations.collect()]
+        assert a == b
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
