@@ -1,38 +1,47 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   -> flagship validation run over sf0.001 events
+queries()      -> operator queries from SURVEY.md §2 (+ training-data ops)
+oracle_sql()   -> DuckDB oracles for every SQL-expressible query
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from schema_inference_spark.driver_queries import (  # noqa: E402
+    CORE_ORACLES,
+    CORE_QUERIES,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the validation suite over the sf0.001 `events` table
+    (the transcripts stand-in, FIXTURES.md F7) — one row per check with its
+    violation count, in the spirit of the per-partition verdicts."""
+    checks = {
+        "unique_key": CORE_QUERIES["unique_key"],
+        "ref_vocab": CORE_QUERIES["ref_vocab"],
+        "ordering": CORE_QUERIES["ordering"],
+        "vocab_diff": CORE_QUERIES["vocab_diff"],
+    }
+    rows = [(name, fn(spark, SF0001).count()) for name, fn in sorted(checks.items())]
+    return spark.createDataFrame(rows, "check_id string, n_violations bigint")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(CORE_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(CORE_ORACLES)

@@ -1,0 +1,88 @@
+"""Per-round bench: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized through the noop sink (full execution, no
+driver-side result transfer). A second section benches the engine's own
+transcripts validation pipeline (turns/sec), which is the BASELINE.json
+metric; the two-parallelism scaling proxy lives in bench_scaling.py and
+writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from schema_inference_spark.driver_queries import CORE_QUERIES  # noqa: E402
+from schema_inference_spark.functions import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def bench_queries(spark) -> dict:
+    out = {}
+    for name, fn in sorted(CORE_QUERIES.items()):
+        t0 = time.monotonic()
+        materialize(fn(spark, SF_DIR))
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def bench_validation(spark) -> dict:
+    """Engine metric: validated turns/sec over a deterministic synthetic
+    transcripts snapshot (stats + all constraint checks)."""
+    import tempfile
+
+    from schema_inference_spark.pipeline import validate
+    from schema_inference_spark.sources.catalog import SnapshotCatalog
+    from schema_inference_spark.sources.transcripts import (
+        generate_turns,
+        write_snapshot,
+    )
+
+    root = tempfile.mkdtemp(prefix="bench_transcripts_")
+    table = generate_turns(n_conv=3000, seed=42)
+    write_snapshot(root, "bench", table, n_buckets=32)
+    cat = SnapshotCatalog(root)
+    t0 = time.monotonic()
+    res = validate(spark, cat, "bench", resume=False, write_audit=False)
+    res.violations.count()  # force
+    wall = time.monotonic() - t0
+    n_turns = int(table.num_rows)
+    return {"turns": n_turns, "sec": round(wall, 3),
+            "turns_per_sec": round(n_turns / wall, 1)}
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM/Python-worker path once so timings measure the plans
+    materialize(CORE_QUERIES["stats_value"](spark, SF_DIR))
+
+    t0 = time.monotonic()
+    queries = bench_queries(spark)
+    total = round(time.monotonic() - t0, 3)
+    val = bench_validation(spark)
+    spark.stop()
+
+    print(json.dumps({
+        "metric": "suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "validation": val,
+    }))
+
+
+if __name__ == "__main__":
+    main()

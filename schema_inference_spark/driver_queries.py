@@ -1,0 +1,379 @@
+"""Driver-contract queries over /root/testdata tables.
+
+Each entry maps one engine operator (SURVEY.md §2.D / extras) onto the
+driver's parquet tables with a DuckDB-SQL oracle. `events` stands in for
+the transcripts table (FIXTURES.md F7): uniqueness on (user_id,
+event_type), vocab on event_type, ordering on (user_id, ts), drift on
+value.
+
+Conventions (driver compare is column-name + value-hash based):
+- every computed column is aliased identically in Spark and SQL;
+- float aggregates are rounded on BOTH sides (driver hashes values);
+- outputs carry a deterministic total order via their key columns.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+EVENT_VOCAB = ["click", "purchase", "signup", "view"]  # 'error' is planted out-of-vocab
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Column stats (D7) — the :LIT-analog value->stats path, SQL form
+# ---------------------------------------------------------------------------
+
+def q_stats_value(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("value").alias("n_value"),
+        (F.count(F.lit(1)) - F.count("value")).alias("n_nulls"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+        F.round(F.avg("value"), 4).alias("avg_value")))
+
+
+SQL_STATS_VALUE = """
+SELECT count(*) AS n_rows,
+       count(value) AS n_value,
+       count(*) - count(value) AS n_nulls,
+       round(min(value), 4) AS min_value,
+       round(max(value), 4) AS max_value,
+       round(avg(value), 4) AS avg_value
+FROM events
+"""
+
+
+def q_null_rates(spark, sf_dir):
+    """Per-column null counts over events — one pass, partial+final agg."""
+    ev = _t(spark, sf_dir, "events")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in ["event_id", "ts", "user_id", "event_type", "value", "props"]:
+        aggs.append((F.count(F.lit(1)) - F.count(c)).alias(f"nulls_{c}"))
+    return ev.agg(*aggs)
+
+
+SQL_NULL_RATES = """
+SELECT count(*) AS n_rows,
+       count(*) - count(event_id) AS nulls_event_id,
+       count(*) - count(ts) AS nulls_ts,
+       count(*) - count(user_id) AS nulls_user_id,
+       count(*) - count(event_type) AS nulls_event_type,
+       count(*) - count(value) AS nulls_value,
+       count(*) - count(props) AS nulls_props
+FROM events
+"""
+
+
+def q_distinct_exact(spark, sf_dir):
+    """Exact distinct counts (the oracle side of the HLL sketch, D8)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.countDistinct("user_id").alias("d_users"),
+        F.countDistinct("event_type").alias("d_types"),
+        F.countDistinct("event_id").alias("d_events"))
+
+
+SQL_DISTINCT_EXACT = """
+SELECT count(DISTINCT user_id) AS d_users,
+       count(DISTINCT event_type) AS d_types,
+       count(DISTINCT event_id) AS d_events
+FROM events
+"""
+
+
+def q_distinct_hll(spark, sf_dir):
+    """HLL sketch estimates (D8) — no SQL oracle (sketches are estimates;
+    SURVEY.md §5.2-6): driver records a rows-only check; tests assert
+    bounded relative error against q_distinct_exact."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("d_users_est"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("event_type")).alias("d_types_est"))
+
+
+def q_quantiles_value(spark, sf_dir):
+    """Exact interpolated percentiles (oracle for the KLL path, D9)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.round(F.expr("percentile(value, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.75)"), 4).alias("p75"))
+
+
+SQL_QUANTILES_VALUE = """
+SELECT round(quantile_cont(value, 0.25), 4) AS p25,
+       round(quantile_cont(value, 0.50), 4) AS p50,
+       round(quantile_cont(value, 0.75), 4) AS p75
+FROM events
+"""
+
+
+def q_quantiles_kll(spark, sf_dir):
+    """KLL sketch quantiles (D9) — rows-only (randomized sketch)."""
+    ev = _t(spark, sf_dir, "events")
+    sk = ev.agg(F.kll_sketch_agg_double(F.col("value").cast("double")).alias("kll"))
+    return sk.select(
+        F.kll_sketch_get_quantile_double("kll", F.lit(0.5)).alias("p50_est"),
+        F.kll_sketch_get_quantile_double("kll", F.lit(0.9)).alias("p90_est"))
+
+
+# ---------------------------------------------------------------------------
+# Uniqueness (D10) — salted two-phase duplicate detection
+# ---------------------------------------------------------------------------
+
+def q_unique_key(spark, sf_dir, n_salts: int = 16):
+    ev = _t(spark, sf_dir, "events")
+    keys = ["user_id", "event_type"]
+    salted = (ev.select(*keys,
+                        F.pmod(F.crc32(F.concat_ws("\u001f",
+                                                   *[F.col(k).cast("string")
+                                                     for k in keys])),
+                               F.lit(n_salts)).alias("_salt"))
+              .groupBy(*keys, "_salt")
+              .agg(F.count(F.lit(1)).alias("_cnt")))
+    return (salted.groupBy(*keys)
+            .agg(F.sum("_cnt").alias("n_copies"))
+            .filter(F.col("n_copies") > 1)
+            .orderBy(*keys))
+
+
+SQL_UNIQUE_KEY = """
+SELECT user_id, event_type, count(*) AS n_copies
+FROM events
+GROUP BY user_id, event_type
+HAVING count(*) > 1
+ORDER BY user_id, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Referential integrity (D11) — broadcast anti-join against vocab
+# ---------------------------------------------------------------------------
+
+def q_ref_vocab(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    vocab = spark.createDataFrame([(v,) for v in EVENT_VOCAB],
+                                  "event_type string")
+    return (ev.select("event_id", "event_type")
+            .join(F.broadcast(vocab), on="event_type", how="left_anti")
+            .select("event_id", "event_type")
+            .orderBy("event_id"))
+
+
+SQL_REF_VOCAB = """
+SELECT event_id, event_type
+FROM events
+WHERE event_type NOT IN ('click', 'purchase', 'signup', 'view')
+ORDER BY event_id
+"""
+
+
+def q_vocab_diff(spark, sf_dir):
+    """Set-op variant (D16): distinct observed values minus vocab."""
+    ev = _t(spark, sf_dir, "events")
+    vocab = spark.createDataFrame([(v,) for v in EVENT_VOCAB],
+                                  "event_type string")
+    return (ev.select("event_type").distinct()
+            .exceptAll(vocab).orderBy("event_type"))
+
+
+SQL_VOCAB_DIFF = """
+SELECT DISTINCT event_type FROM events
+WHERE event_type NOT IN ('click', 'purchase', 'signup', 'view')
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Ordering (D12) — one window pass per user
+# ---------------------------------------------------------------------------
+
+def q_ordering(spark, sf_dir):
+    """Events whose ts regresses in event_id order within a user — the
+    ts_order check on the driver's stand-in table."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (ev.select("user_id", "event_id", "ts")
+            .withColumn("prev_ts", F.lag("ts").over(w))
+            .filter(F.col("prev_ts").isNotNull()
+                    & (F.col("ts") < F.col("prev_ts")))
+            .select("user_id", "event_id")
+            .orderBy("user_id", "event_id"))
+
+
+SQL_ORDERING = """
+SELECT user_id, event_id FROM (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
+  FROM events
+) WHERE prev_ts IS NOT NULL AND ts < prev_ts
+ORDER BY user_id, event_id
+"""
+
+
+def q_session_stats(spark, sf_dir):
+    """Per-user running stats (window agg): max gap between consecutive
+    events in seconds — per-key ordered processing at scale."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # fractional epoch seconds, like DuckDB epoch(); NTZ needs a hop via
+    # TIMESTAMP (session tz is pinned UTC in get_spark)
+    epoch = F.col("ts").cast("timestamp").cast("double")
+    gaps = (ev.select("user_id", "ts", "event_id")
+            .withColumn("gap_s", epoch - F.lag(epoch).over(w)))
+    return (gaps.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.max("gap_s"), 3).alias("max_gap_s"))
+            .orderBy("user_id"))
+
+
+SQL_SESSION_STATS = """
+SELECT user_id, count(*) AS n_events, round(max(gap_s), 3) AS max_gap_s FROM (
+  SELECT user_id,
+         epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s
+  FROM events
+) GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational core (D3/D15/D22): pruning, joins, top-k
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary: scan-heavy groupBy with partial
+    aggregation — the throughput workhorse of the bench."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+                 F.count(F.lit(1)).alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_segment_revenue(spark, sf_dir):
+    """Broadcast-join rollup: orders x customer (dim side broadcast)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (orders.join(F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+                        orders.o_custkey == customer.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_orders"))
+            .orderBy("c_mktsegment"))
+
+
+SQL_SEGMENT_REVENUE = """
+SELECT c_mktsegment,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def q_top_orders(spark, sf_dir, k: int = 10):
+    """Top-k (D15): global order + limit with deterministic tiebreak."""
+    orders = _t(spark, sf_dir, "orders")
+    return (orders
+            .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+            .orderBy(F.desc("total"), F.asc("o_orderkey"))
+            .limit(k))
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, round(o_totalprice, 2) AS total
+FROM orders
+ORDER BY total DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_region_rollup(spark, sf_dir):
+    """Three-way broadcast join chain: supplier -> nation -> region."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name")
+            .agg(F.count(F.lit(1)).alias("n_suppliers"),
+                 F.round(F.sum("s_acctbal"), 2).alias("sum_acctbal"))
+            .orderBy("r_name"))
+
+
+SQL_REGION_ROLLUP = """
+SELECT r_name, count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS sum_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+CORE_QUERIES: Dict[str, Callable] = {
+    "stats_value": q_stats_value,
+    "null_rates": q_null_rates,
+    "distinct_exact": q_distinct_exact,
+    "distinct_hll": q_distinct_hll,
+    "quantiles_value": q_quantiles_value,
+    "quantiles_kll": q_quantiles_kll,
+    "unique_key": q_unique_key,
+    "ref_vocab": q_ref_vocab,
+    "vocab_diff": q_vocab_diff,
+    "ordering": q_ordering,
+    "session_stats": q_session_stats,
+    "pricing_summary": q_pricing_summary,
+    "segment_revenue": q_segment_revenue,
+    "top_orders": q_top_orders,
+    "region_rollup": q_region_rollup,
+}
+
+CORE_ORACLES: Dict[str, str] = {
+    "stats_value": SQL_STATS_VALUE,
+    "null_rates": SQL_NULL_RATES,
+    "distinct_exact": SQL_DISTINCT_EXACT,
+    # distinct_hll / quantiles_kll: sketch estimates, rows-only by design
+    "quantiles_value": SQL_QUANTILES_VALUE,
+    "unique_key": SQL_UNIQUE_KEY,
+    "ref_vocab": SQL_REF_VOCAB,
+    "vocab_diff": SQL_VOCAB_DIFF,
+    "ordering": SQL_ORDERING,
+    "session_stats": SQL_SESSION_STATS,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "segment_revenue": SQL_SEGMENT_REVENUE,
+    "top_orders": SQL_TOP_ORDERS,
+    "region_rollup": SQL_REGION_ROLLUP,
+}
