@@ -21,6 +21,10 @@ from schema_inference_spark.driver_queries import (  # noqa: E402
     CORE_ORACLES,
     CORE_QUERIES,
 )
+from schema_inference_spark.driver_queries_extras import (  # noqa: E402
+    EXTRA_ORACLES,
+    EXTRA_QUERIES,
+)
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -40,8 +44,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(CORE_QUERIES)
+    return {**CORE_QUERIES, **EXTRA_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(CORE_ORACLES)
+    return {**CORE_ORACLES, **EXTRA_ORACLES}

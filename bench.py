@@ -19,7 +19,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from schema_inference_spark.driver_queries import CORE_QUERIES  # noqa: E402
+from schema_inference_spark.driver_queries_extras import EXTRA_QUERIES  # noqa: E402
 from schema_inference_spark.functions import get_spark  # noqa: E402
+
+ALL_QUERIES = {**CORE_QUERIES, **EXTRA_QUERIES}
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -30,7 +33,7 @@ def materialize(df) -> None:
 
 def bench_queries(spark) -> dict:
     out = {}
-    for name, fn in sorted(CORE_QUERIES.items()):
+    for name, fn in sorted(ALL_QUERIES.items()):
         t0 = time.monotonic()
         materialize(fn(spark, SF_DIR))
         out[name] = round(time.monotonic() - t0, 3)

@@ -1,0 +1,295 @@
+"""Driver-contract queries: training-data pipeline operators
+(deduplication, similarity search, text analysis, multimodal plumbing)
+over the documents/embeddings tables, with DuckDB oracles where the
+computation is SQL-expressible (hash-seeded MinHash/SimHash/LSH are
+rows-only by design — DuckDB has no xxhash64).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .operators import dedup as D
+from .operators import multimodal as M
+from .operators import similarity as SIM
+from .operators import textstats as TS
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# normalized-text expression shared by the oracles
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_dup_groups(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = f"""
+SELECT md5({_NORM}) AS content_hash,
+       count(*) AS n_docs,
+       min(doc_id) AS canonical_id
+FROM documents
+GROUP BY 1 HAVING count(*) > 1
+ORDER BY content_hash
+"""
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    return D.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+SQL_DEDUP_JACCARD = f"""
+WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
+sh AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(
+                  range(1, len(ws) - 1),
+                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+       FROM t WHERE len(ws) >= 3),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT d1, d2,
+       round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard
+FROM inter
+JOIN cnt ca ON d1 = ca.doc_id
+JOIN cnt cb ON d2 = cb.doc_id
+WHERE round(i * 1.0 / (ca.n + cb.n - i), 4) >= 0.5
+ORDER BY d1, d2
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified. Rows-only
+    (xxhash64 seeds are engine-side); recall vs the exact jaccard query is
+    asserted in tests."""
+    return D.minhash_lsh_dedup(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash fingerprints per doc. Rows-only (engine hash)."""
+    return D.simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_simhash_near_pairs(spark, sf_dir):
+    """SimHash banded near-pairs within Hamming distance 3. Rows-only."""
+    return D.simhash_near_pairs(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+PROBE_IDS = list(range(10))
+
+
+def q_cosine_topk(spark, sf_dir):
+    return SIM.cosine_topk(_t(spark, sf_dir, "embeddings"), PROBE_IDS, k=5)
+
+
+SQL_COSINE_TOPK = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sims AS (
+  SELECT p.vec_id AS pid, n.vec_id AS nid,
+         round(list_cosine_similarity(p.v, n.v), 4) AS sim
+  FROM e p JOIN e n ON p.vec_id < 10 AND n.vec_id <> p.vec_id),
+ranked AS (
+  SELECT pid, nid, sim,
+         row_number() OVER (PARTITION BY pid ORDER BY sim DESC, nid ASC) AS rank
+  FROM sims)
+SELECT pid, rank, nid, sim FROM ranked WHERE rank <= 5
+ORDER BY pid, rank
+"""
+
+
+def q_cosine_near_dup_label(spark, sf_dir):
+    """Embedding near-dup pairs above cosine 0.4, blocked by label (the
+    deterministic blocking key both engines share — the LSH-bucketed
+    variant is rows-only via q_ann_lsh_topk)."""
+    e = _t(spark, sf_dir, "embeddings")
+    l = e.select(F.col("vec_id").alias("d1"), F.col("label").alias("lb1"),
+                 SIM.as_double(F.col("embedding")).alias("v1"))
+    r = e.select(F.col("vec_id").alias("d2"), F.col("label").alias("lb2"),
+                 SIM.as_double(F.col("embedding")).alias("v2"))
+    return (l.join(r, (F.col("lb1") == F.col("lb2"))
+                   & (F.col("d1") < F.col("d2")))
+            .select("d1", "d2",
+                    F.round(SIM.cosine(F.col("v1"), F.col("v2")), 4).alias("sim"))
+            .filter(F.col("sim") >= 0.4)
+            .orderBy("d1", "d2"))
+
+
+SQL_COSINE_NEAR_DUP = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS d1, b.vec_id AS d2,
+       round(list_cosine_similarity(a.v, b.v), 4) AS sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4
+ORDER BY d1, d2
+"""
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN top-k (the scale path). Rows-only; recall vs the
+    brute-force baseline is asserted in tests."""
+    return SIM.lsh_topk(_t(spark, sf_dir, "embeddings"), PROBE_IDS, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def q_token_counts(spark, sf_dir):
+    return TS.token_counts(_t(spark, sf_dir, "documents"))
+
+
+SQL_TOKEN_COUNTS = f"""
+SELECT doc_id,
+       len(string_split({_NORM}, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS re_tokens,
+       length(text) AS n_chars
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    return TS.quality_score(_t(spark, sf_dir, "documents"))
+
+
+SQL_QUALITY_SCORE = f"""
+WITH base AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split({_NORM}, ' ')) AS n_tokens,
+         length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+         length(replace({_NORM}, ' ', '')) AS word_chars,
+         len(list_intersect(list_distinct(string_split({_NORM}, ' ')),
+             ['the','a','and','of','to','in','is','it'])) AS n_stop
+  FROM documents)
+SELECT doc_id, n_chars, n_tokens,
+       CASE WHEN n_chars > 0 THEN (10000 * n_punct) // n_chars ELSE 0 END AS punct_bp,
+       CASE WHEN n_tokens > 0 THEN (100 * word_chars) // n_tokens ELSE 0 END AS mean_word_len_x100,
+       1250 * n_stop AS stop_bp,
+       least(20 * n_chars, 4000)
+         + (3000 - CASE WHEN n_chars > 0
+                        THEN least((15000 * n_punct) // n_chars, 3000)
+                        ELSE 0 END)
+         + CASE WHEN n_tokens > 0
+                THEN least((375 * word_chars) // n_tokens, 3000)
+                ELSE 0 END AS quality_bp
+FROM base
+ORDER BY doc_id
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    return TS.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def _votes_sql() -> str:
+    parts = []
+    for lang in sorted(TS.STOPWORDS):
+        words = ",".join(f"'{w}'" for w in TS.STOPWORDS[lang])
+        parts.append(
+            f"len(list_intersect(list_distinct(string_split({_NORM}, ' ')), "
+            f"[{words}])) AS v_{lang}")
+    return ",\n       ".join(parts)
+
+
+SQL_LANG_ID = f"""
+WITH v AS (SELECT doc_id, {_votes_sql()} FROM documents),
+best AS (SELECT *, greatest(v_de, v_en, v_es, v_fr) AS b FROM v)
+SELECT doc_id,
+       CASE WHEN b = 0 THEN 'und'
+            WHEN v_de = b THEN 'de'
+            WHEN v_en = b THEN 'en'
+            WHEN v_es = b THEN 'es'
+            ELSE 'fr' END AS lang_pred,
+       v_de, v_en, v_es, v_fr
+FROM best
+ORDER BY doc_id
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    return TS.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+SQL_FINGERPRINT = f"""
+SELECT doc_id,
+       md5({_NORM}) AS fp,
+       (length({_NORM}) // 32) * 32 AS len_band
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def q_multimodal_meta(spark, sf_dir):
+    return M.payload_meta(_t(spark, sf_dir, "documents"))
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS checksum
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Stubbed decode through the real Arrow-UDF plumbing (fake=True
+    deterministic features). Rows-only."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = M.decode_features(M.attach_payload(docs), fake=True)
+    return (feats.select("doc_id", "kind", "n_bytes",
+                         F.round(F.element_at("feature", 1), 4).alias("f0"),
+                         F.round(F.element_at("feature", 2), 4).alias("f1"))
+            .orderBy("doc_id"))
+
+
+EXTRA_QUERIES: Dict[str, Callable] = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "simhash_near_pairs": q_simhash_near_pairs,
+    "cosine_topk": q_cosine_topk,
+    "cosine_near_dup": q_cosine_near_dup_label,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "token_counts": q_token_counts,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_features": q_multimodal_features,
+}
+
+EXTRA_ORACLES: Dict[str, str] = {
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_jaccard": SQL_DEDUP_JACCARD,
+    "cosine_topk": SQL_COSINE_TOPK,
+    "cosine_near_dup": SQL_COSINE_NEAR_DUP,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "quality_score": SQL_QUALITY_SCORE,
+    "lang_id": SQL_LANG_ID,
+    "fingerprint": SQL_FINGERPRINT,
+    "multimodal_meta": SQL_MULTIMODAL_META,
+    # minhash/simhash/ann-lsh/features: engine-hash-seeded, rows-only
+}

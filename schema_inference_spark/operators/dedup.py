@@ -1,0 +1,214 @@
+"""Deduplication operators for training-data pipelines.
+
+All Spark-first, no Python in the hot path:
+
+- exact:        md5 hash-groupBy duplicate groups
+- set-sim:      inverted-index shingle join with exact Jaccard verify —
+                the standard distributed set-similarity join (explode
+                distinct shingles, equi-join on shingle, count
+                intersections). Skew note: hot shingles (stop-shingles)
+                are the skew risk at scale; prod drops top-frequency
+                shingles (prefix filtering) before the join.
+- MinHash+LSH:  per-doc signature via array_min over hashed shingles
+                (NO explode, narrow transform), banded bucket join for
+                candidates, exact-Jaccard verification of candidates.
+- SimHash:      per-bit sign sums over token hashes (explode + one
+                partial+final agg), Hamming-adjacent buckets.
+- embedding:    cosine near-dup pairs (see similarity.py for ANN top-k).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BIG = 2_147_483_647
+
+
+def normalized(text: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by content hash: (hash, n_docs, canonical_id).
+    One shuffle on the hash; partial aggregation absorbs repeats map-side."""
+    return (df.select(F.md5(normalized(F.col(text_col))).alias("content_hash"),
+                      F.col(id_col))
+            .groupBy("content_hash")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min(id_col).alias("canonical_id"))
+            .filter(F.col("n_docs") > 1)
+            .orderBy("content_hash"))
+
+
+def with_shingles(df: DataFrame, text_col: str = "text",
+                  k: int = 3) -> DataFrame:
+    """Distinct word k-shingles per doc — narrow, JVM-side (higher-order
+    fns, no UDF)."""
+    tokens = F.split(normalized(F.col(text_col)), " ")
+    idx = F.sequence(F.lit(1), F.size(tokens) - (k - 1))
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(tokens, i + j) for j in range(k)])
+    # guard: sequence(1, n) DESCENDS when n < 1 — short docs get no shingles
+    return df.withColumn(
+        "shingles",
+        F.when(F.size(tokens) >= k,
+               F.array_distinct(F.transform(idx, shingle)))
+        .otherwise(F.array().cast("array<string>")))
+
+
+def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", k: int = 3,
+                  threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join.
+
+    Plan: shingles -> explode -> self-equi-join on shingle (id1 < id2) ->
+    count = |intersection| -> join per-doc shingle counts -> filter
+    Jaccard >= threshold. The shingle join is shuffle-on-shingle; shingle
+    frequency is the skew axis (drop stop-shingles at scale).
+    """
+    sh = (with_shingles(df.select(id_col, text_col), text_col, k)
+          .select(F.col(id_col).alias("doc"),
+                  F.explode("shingles").alias("sh"))
+          .filter(F.col("sh") != ""))
+    counts = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
+                    & (F.col("a.doc") < F.col("b.doc")))
+             .groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    return (inter
+            .join(ca, F.col("d1") == F.col("ca.doc"))
+            .join(cb, F.col("d2") == F.col("cb.doc"))
+            .select("d1", "d2",
+                    F.round(F.col("n_inter")
+                            / (F.col("ca.n_sh") + F.col("cb.n_sh")
+                               - F.col("n_inter")), 4).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+            .orderBy("d1", "d2"))
+
+
+def minhash_signature(df: DataFrame, n_hashes: int = 64,
+                      text_col: str = "text", k: int = 3) -> DataFrame:
+    """MinHash signature per doc: sig_i = min over shingles of
+    hash(shingle, seed_i). Pure column expressions (array_min over
+    transform) — one narrow pass, no explode, no shuffle."""
+    out = with_shingles(df, text_col, k)
+    sig = F.array(*[
+        F.array_min(F.transform(
+            F.col("shingles"),
+            lambda s, i=i: F.pmod(F.xxhash64(s, F.lit(i)), F.lit(BIG))))
+        for i in range(n_hashes)])
+    return out.withColumn("minhash", sig).drop("shingles")
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n_hashes: int = 64,
+                        bands: int = 16, k: int = 3) -> DataFrame:
+    """MinHash-LSH candidate pairs: band the signature, bucket-join.
+
+    rows_per_band = n_hashes // bands; docs sharing any band bucket become
+    candidates. Per-bucket pair expansion is quadratic in bucket size —
+    at scale, cap bucket size (hot buckets are near-identical boilerplate;
+    prod samples or routes them to a dedicated pass).
+    """
+    rows = n_hashes // bands
+    sig = minhash_signature(df.select(id_col, text_col), n_hashes, text_col, k)
+    band_structs = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.xxhash64(F.concat_ws(
+                     ",", *[F.element_at("minhash", b * rows + r + 1).cast("string")
+                            for r in range(rows)])).alias("bucket"))
+        for b in range(bands)])
+    buckets = (sig.select(F.col(id_col).alias("doc"),
+                          F.explode(band_structs).alias("bb"))
+               .select("doc", "bb.band", "bb.bucket"))
+    l, r = buckets.alias("l"), buckets.alias("r")
+    return (l.join(r, (F.col("l.band") == F.col("r.band"))
+                   & (F.col("l.bucket") == F.col("r.bucket"))
+                   & (F.col("l.doc") < F.col("r.doc")))
+            .select(F.col("l.doc").alias("d1"), F.col("r.doc").alias("d2"))
+            .distinct()
+            .orderBy("d1", "d2"))
+
+
+def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", threshold: float = 0.5,
+                      n_hashes: int = 64, bands: int = 16,
+                      k: int = 3) -> DataFrame:
+    """LSH candidates verified with exact Jaccard: join candidates back to
+    shingle sets and keep pairs >= threshold. Verification touches only
+    candidate docs — the LSH prefilter is what makes all-pairs tractable."""
+    cand = lsh_candidate_pairs(df, id_col, text_col, n_hashes, bands, k)
+    sh = (with_shingles(df.select(id_col, text_col), text_col, k)
+          .select(F.col(id_col).alias("doc"), "shingles"))
+    s1, s2 = sh.alias("s1"), sh.alias("s2")
+    return (cand
+            .join(s1, F.col("d1") == F.col("s1.doc"))
+            .join(s2, F.col("d2") == F.col("s2.doc"))
+            .select("d1", "d2",
+                    F.round(
+                        F.size(F.array_intersect("s1.shingles", "s2.shingles"))
+                        / F.size(F.array_union("s1.shingles", "s2.shingles")),
+                        4).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+            .orderBy("d1", "d2"))
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 32) -> DataFrame:
+    """SimHash fingerprint: per token-hash bit, sum +1/-1 across the doc's
+    tokens; the sign vector packs into an int. explode + one partial+final
+    aggregation — scales as a plain groupBy on the doc id."""
+    tokens = (df.select(F.col(id_col).alias("doc"),
+                        F.explode(F.array_distinct(
+                            F.split(normalized(F.col(text_col)), " "))).alias("tok"))
+              .filter(F.col("tok") != "")
+              .withColumn("h", F.xxhash64("tok")))
+    bit_sums = [
+        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"b{i}")
+        for i in range(bits)]
+    agg = tokens.groupBy("doc").agg(*bit_sums)
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0))
+        term = bit * F.lit(2 ** i)
+        fp = term if fp is None else fp + term
+    return (agg.select("doc", fp.cast("bigint").alias("simhash"))
+            .orderBy("doc"))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", bits: int = 32,
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, banded like LSH:
+    split the fingerprint into (max_hamming+1) bands — pairs within
+    distance d must agree on at least one band (pigeonhole)."""
+    n_bands = max_hamming + 1
+    band_bits = bits // n_bands
+    fp = simhash(df, id_col, text_col, bits)
+    bandcols = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftright(F.col("simhash"), b * band_bits)
+                 .bitwiseAND(F.lit((1 << band_bits) - 1)).alias("key"))
+        for b in range(n_bands)])
+    buckets = (fp.select("doc", "simhash", F.explode(bandcols).alias("bb"))
+               .select("doc", "simhash", "bb.band", "bb.key"))
+    l, r = buckets.alias("l"), buckets.alias("r")
+    cand = (l.join(r, (F.col("l.band") == F.col("r.band"))
+                   & (F.col("l.key") == F.col("r.key"))
+                   & (F.col("l.doc") < F.col("r.doc")))
+            .select(F.col("l.doc").alias("d1"), F.col("l.simhash").alias("f1"),
+                    F.col("r.doc").alias("d2"), F.col("r.simhash").alias("f2"))
+            .distinct())
+    hamming = F.bit_count(F.col("f1").bitwiseXOR(F.col("f2")))
+    return (cand.select("d1", "d2", hamming.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .orderBy("d1", "d2"))

@@ -1,0 +1,89 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride as `binary` columns with a metadata struct; the
+Spark-side plumbing — schema, partition-friendly batch shapes, Arrow UDF
+signatures — is real and tested. The actual codec calls are STUBBED
+(image/audio libraries are not in this container): `decode_features`
+raises NotImplementedError unless `fake=True`, in which case a
+deterministic hash-derived feature vector stands in so the pipeline
+shape is exercised end to end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_DIM = 16
+
+PAYLOAD_SCHEMA = ("doc_id bigint, payload binary, kind string, "
+                  "n_bytes bigint, checksum string")
+
+FEATURE_SCHEMA = ("doc_id bigint, kind string, n_bytes bigint, "
+                  "feature array<float>")
+
+
+def attach_payload(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Synthesize an opaque binary payload column from text (deterministic
+    stand-in for real image/audio bytes) with typed metadata — all JVM
+    expressions."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        payload.alias("payload"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                     (F.pmod(F.col(id_col), F.lit(3)) + 1).cast("int")).alias("kind"),
+        F.octet_length(payload).cast("bigint").alias("n_bytes"),
+        F.sha2(payload, 256).alias("checksum"))
+
+
+def _fake_decode(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in decoder: sha256 -> FEATURE_DIM floats in
+    [0, 1). Replace with a real codec (PIL/librosa/ffmpeg) in prod."""
+    h = hashlib.sha256(payload).digest()
+    raw = np.frombuffer((h * ((FEATURE_DIM * 4) // len(h) + 1))[:FEATURE_DIM * 4],
+                        dtype=np.uint32)
+    return (raw % 10_000).astype(np.float32) / 10_000.0
+
+
+def decode_features(df: DataFrame, fake: bool = False,
+                    batch_size_hint: int = 1024) -> DataFrame:
+    """Decode payloads into feature vectors via mapInPandas (Arrow batches;
+    one Python worker per input split — the right shape for codec work:
+    CPU-bound, per-record independent, no shuffle).
+
+    ``fake=False`` raises NotImplementedError from the workers by design —
+    the container has no codec libraries (stub boundary, clearly marked).
+    """
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real decode requires codec libs (PIL/librosa); "
+                    "pass fake=True for the deterministic stand-in")
+            feats = [
+                _fake_decode(bytes(p)).tolist() for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "kind": pdf["kind"],
+                "n_bytes": pdf["n_bytes"],
+                "feature": feats,
+            })
+
+    return df.mapInPandas(fn, FEATURE_SCHEMA)
+
+
+def payload_meta(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Metadata-only view (no decode): the oracle-checkable face of the
+    multimodal path — byte length + checksum computed JVM-side."""
+    return (attach_payload(df, id_col, text_col)
+            .select("doc_id", "kind", "n_bytes", "checksum")
+            .orderBy("doc_id"))

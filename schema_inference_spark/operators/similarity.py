@@ -1,0 +1,130 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the exactness baseline. Probes broadcast
+  against the corpus (corpus never shuffles); dot products run JVM-side
+  via zip_with + aggregate (no Python). O(probes x corpus) — fine for
+  bounded probe sets, the calibration path at scale.
+- LSH-bucketed ANN: deterministic random-hyperplane signatures shrink the
+  candidate set to one bucket (plus its Hamming-1 neighbors if recall
+  demands); the scale path — bucket join instead of cross join.
+- embedding cosine near-dup: all-pairs above a cosine threshold within
+  LSH buckets.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def as_double(col: Column) -> Column:
+    return F.transform(col, lambda v: v.cast("double"))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(df: DataFrame, probe_ids: List[int], k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                ) -> DataFrame:
+    """Exact top-k cosine neighbors for each probe id.
+
+    The probe set (small) broadcasts; the corpus scan stays put. Ranking
+    is per-probe row_number over (rounded sim desc, neighbor asc) — the
+    rounding pins cross-engine float determinism, the id tiebreak pins
+    ordering.
+    """
+    base = df.select(F.col(id_col).alias("nid"),
+                     as_double(F.col(vec_col)).alias("nvec"))
+    probes = (df.filter(F.col(id_col).isin(probe_ids))
+              .select(F.col(id_col).alias("pid"),
+                      as_double(F.col(vec_col)).alias("pvec")))
+    sims = (base.join(F.broadcast(probes), F.col("pid") != F.col("nid"))
+            .select("pid", "nid",
+                    F.round(cosine(F.col("pvec"), F.col("nvec")), 4).alias("sim")))
+    w = Window.partitionBy("pid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (sims.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("pid", "rank", "nid", "sim")
+            .orderBy("pid", "rank"))
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """Deterministic random hyperplanes (seeded; no ambient randomness)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def with_lsh_bucket(df: DataFrame, dim: int, n_planes: int = 8,
+                    seed: int = 42, vec_col: str = "embedding") -> DataFrame:
+    """Random-hyperplane signature -> bucket id (0..2^n_planes-1).
+    Plane weights are literal arrays (broadcast with the plan); the sign
+    products are JVM expressions — a narrow map, no shuffle."""
+    planes = hyperplanes(dim, n_planes, seed)
+    vec = as_double(F.col(vec_col))
+    bucket = None
+    for p in range(n_planes):
+        w = F.array(*[F.lit(float(x)) for x in planes[p]])
+        bit = F.when(_dot(vec, w) >= 0, F.lit(1)).otherwise(F.lit(0))
+        term = bit * F.lit(2 ** p)
+        bucket = term if bucket is None else bucket + term
+    return df.withColumn("lsh_bucket", bucket.cast("int"))
+
+
+def lsh_topk(df: DataFrame, probe_ids: List[int], k: int = 5,
+             dim: int = 64, n_planes: int = 8, seed: int = 42,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             ) -> DataFrame:
+    """ANN top-k within the probe's LSH bucket — the scale path: the
+    probe-corpus join is an equi-join on bucket, not a cross join.
+    Recall < 1 by construction; calibrate bucket bits against the
+    brute-force baseline."""
+    bucketed = with_lsh_bucket(df, dim, n_planes, seed, vec_col).select(
+        F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("nvec"),
+        "lsh_bucket")
+    probes = (bucketed.filter(F.col("nid").isin(probe_ids))
+              .select(F.col("nid").alias("pid"),
+                      F.col("nvec").alias("pvec"),
+                      F.col("lsh_bucket").alias("pbucket")))
+    sims = (bucketed.join(F.broadcast(probes),
+                          (F.col("pbucket") == F.col("lsh_bucket"))
+                          & (F.col("pid") != F.col("nid")))
+            .select("pid", "nid",
+                    F.round(cosine(F.col("pvec"), F.col("nvec")), 4).alias("sim")))
+    w = Window.partitionBy("pid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (sims.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("pid", "rank", "nid", "sim")
+            .orderBy("pid", "rank"))
+
+
+def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
+                          dim: int = 64, n_planes: int = 8, seed: int = 42,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          ) -> DataFrame:
+    """Embedding near-dup pairs above a cosine threshold, bucket-blocked:
+    all-pairs only *within* LSH buckets (plus exact cosine verify)."""
+    bucketed = with_lsh_bucket(df, dim, n_planes, seed, vec_col).select(
+        F.col(id_col).alias("doc"), as_double(F.col(vec_col)).alias("vec"),
+        "lsh_bucket")
+    l, r = bucketed.alias("l"), bucketed.alias("r")
+    return (l.join(r, (F.col("l.lsh_bucket") == F.col("r.lsh_bucket"))
+                   & (F.col("l.doc") < F.col("r.doc")))
+            .select(F.col("l.doc").alias("d1"), F.col("r.doc").alias("d2"),
+                    F.round(cosine(F.col("l.vec"), F.col("r.vec")), 4).alias("sim"))
+            .filter(F.col("sim") >= threshold)
+            .orderBy("d1", "d2"))

@@ -1,0 +1,124 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+fingerprinting. All pure column expressions (JVM, codegen) — text analysis
+at 100 TB must not leave the executor JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalized
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "de": ["der", "die", "das", "und", "ist", "von", "ein", "zu"],
+    "fr": ["le", "la", "de", "et", "est", "un", "une", "dans"],
+}
+
+# BPE-ish tokenizer regex: letter runs, digit runs, single non-space symbol
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(normalized(text), " ")
+
+
+def token_counts(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count per doc."""
+    t = F.col(text_col)
+    return (df.select(
+        F.col(id_col),
+        F.size(_tokens(t)).alias("ws_tokens"),
+        F.regexp_count(t, F.lit(TOKEN_RE)).alias("re_tokens"),
+        F.length(t).alias("n_chars"))
+        .orderBy(id_col))
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Deterministic quality heuristics: length, punctuation ratio, mean
+    word length, stopword ratio — combined into a basis-point score
+    (0..10000).
+
+    All arithmetic is INTEGER (bigint division), never float: a score that
+    lands on a rounding boundary must not flip between engines, so ratios
+    are emitted as floor-divided basis points and the composite is a sum
+    of exactly-computed integer terms:
+
+        quality_bp = least(20*n_chars, 4000)                      # length
+                   + 3000 - least(15000*n_punct div n_chars, 3000)  # punct
+                   + least(375*word_chars div n_tokens, 3000)       # word len
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("bigint")
+    toks = _tokens(t)
+    n_tokens = F.size(toks).cast("bigint")
+    n_punct = (n_chars
+               - F.length(F.regexp_replace(t, r"[^A-Za-z0-9\s]", ""))).cast("bigint")
+    word_chars = F.length(F.regexp_replace(normalized(t), " ", "")).cast("bigint")
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.array_intersect(F.array_distinct(_tokens(t)), en_stop))
+
+    div = lambda a, b: F.expr(f"CAST(({a}) AS BIGINT) div CAST(({b}) AS BIGINT)")  # noqa: E731
+    out = df.select(
+        F.col(id_col), n_chars.alias("n_chars"), n_tokens.alias("n_tokens"),
+        n_punct.alias("n_punct"), word_chars.alias("word_chars"),
+        n_stop.cast("bigint").alias("n_stop"))
+    punct_bp = F.when(F.col("n_chars") > 0,
+                      div("10000 * n_punct", "n_chars")).otherwise(F.lit(0))
+    punct_term = F.when(F.col("n_chars") > 0,
+                        F.least(div("15000 * n_punct", "n_chars"),
+                                F.lit(3000))).otherwise(F.lit(0))
+    wlen_x100 = F.when(F.col("n_tokens") > 0,
+                       div("100 * word_chars", "n_tokens")).otherwise(F.lit(0))
+    wlen_term = F.when(F.col("n_tokens") > 0,
+                       F.least(div("375 * word_chars", "n_tokens"),
+                               F.lit(3000))).otherwise(F.lit(0))
+    quality_bp = (F.least(20 * F.col("n_chars"), F.lit(4000))
+                  + (F.lit(3000) - punct_term) + wlen_term)
+    return (out.select(
+        F.col(id_col), "n_chars", "n_tokens",
+        punct_bp.cast("bigint").alias("punct_bp"),
+        wlen_x100.cast("bigint").alias("mean_word_len_x100"),
+        (F.lit(1250) * F.col("n_stop")).cast("bigint").alias("stop_bp"),
+        quality_bp.cast("bigint").alias("quality_bp"))
+        .orderBy(id_col))
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID: count per-language stopword hits over the
+    distinct token set, argmax with deterministic tiebreak; 'und' when no
+    hits. A real deployment swaps in char-n-gram profiles — the *shape*
+    (vectorized votes + argmax) is what scales."""
+    toks = F.array_distinct(_tokens(F.col(text_col)))
+    votes = []
+    for lang in sorted(STOPWORDS):
+        arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        votes.append(F.size(F.array_intersect(toks, arr)).alias(f"v_{lang}"))
+    out = df.select(F.col(id_col), *votes)
+    best = F.greatest(*[F.col(f"v_{lang}") for lang in sorted(STOPWORDS)])
+    pred = F.lit("und")
+    # reversed order so earlier languages win ties via later overwrite
+    for lang in sorted(STOPWORDS, reverse=True):
+        pred = F.when((F.col(f"v_{lang}") == best) & (best > 0),
+                      F.lit(lang)).otherwise(pred)
+    return (out.withColumn("lang_pred", pred)
+            .select(id_col, "lang_pred", *[f"v_{lang}" for lang in sorted(STOPWORDS)])
+            .orderBy(id_col))
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 over the normalized text plus a coarse
+    length band — the dedup-join key for exact + near-layout duplicates."""
+    t = normalized(F.col(text_col))
+    return (df.select(
+        F.col(id_col),
+        F.md5(t).alias("fp"),
+        (F.floor(F.length(t) / 32) * 32).cast("bigint").alias("len_band"))
+        .orderBy(id_col))

@@ -1,0 +1,91 @@
+"""Oracle gate for the training-data operators, plus recall/property tests
+for the hash-seeded (rows-only) ones."""
+
+import pandas as pd
+import pytest
+
+from schema_inference_spark.driver_queries_extras import EXTRA_ORACLES, EXTRA_QUERIES
+from tests.test_driver_queries import duck_conn, normalize
+
+
+@pytest.mark.parametrize("name", sorted(EXTRA_ORACLES))
+def test_extra_matches_oracle(spark, sf_dir, name):
+    sdf = EXTRA_QUERIES[name](spark, sf_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duck_conn(sf_dir)
+    res = con.execute(EXTRA_ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    con.close()
+
+    assert sorted(spark_cols) == sorted(duck_cols), \
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    assert len(spark_rows) == len(duck_rows), \
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    assert normalize(spark_rows, spark_cols) == normalize(duck_rows, duck_cols), \
+        f"{name}: value mismatch"
+
+
+def test_minhash_lsh_recall(spark, sf_dir):
+    """LSH-verified pairs must be a subset of exact-jaccard pairs, with
+    high recall at this band setting (16 bands x 4 rows, t=0.5)."""
+    exact = {(r.d1, r.d2) for r in
+             EXTRA_QUERIES["dedup_jaccard"](spark, sf_dir).collect()}
+    lsh = {(r.d1, r.d2) for r in
+           EXTRA_QUERIES["dedup_minhash_lsh"](spark, sf_dir).collect()}
+    assert lsh <= exact                     # verify step guarantees precision
+    if exact:
+        assert len(lsh) / len(exact) >= 0.8  # recall at threshold 0.5
+
+
+def test_simhash_identical_docs_same_fp(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha bravo charlie delta"),
+         (2, "alpha bravo charlie delta"),
+         (3, "totally different words here now")],
+        "doc_id bigint, text string")
+    from schema_inference_spark.operators.dedup import simhash, simhash_near_pairs
+    fp = {r.doc: r.simhash for r in simhash(df).collect()}
+    assert fp[1] == fp[2]
+    pairs = {(r.d1, r.d2): r.hamming for r in simhash_near_pairs(df).collect()}
+    assert pairs.get((1, 2)) == 0
+
+
+def test_ann_lsh_subset_of_bruteforce_space(spark, sf_dir):
+    """ANN results are valid neighbors with correct per-bucket ranking and
+    nonzero coverage of the true top-k."""
+    ann = EXTRA_QUERIES["ann_lsh_topk"](spark, sf_dir).collect()
+    assert len(ann) > 0
+    exact = EXTRA_QUERIES["cosine_topk"](spark, sf_dir).collect()
+    exact_pairs = {(r.pid, r.nid) for r in exact}
+    ann_pairs = {(r.pid, r.nid) for r in ann}
+    # recall over the exact top-5: lower bound only (8-bit buckets are coarse)
+    assert len(ann_pairs & exact_pairs) > 0
+
+
+def test_multimodal_decode_stub_raises_without_fake(spark):
+    from schema_inference_spark.operators.multimodal import (
+        attach_payload,
+        decode_features,
+    )
+    df = spark.createDataFrame([(1, "hello")], "doc_id bigint, text string")
+    with pytest.raises(Exception) as e:
+        decode_features(attach_payload(df), fake=False).collect()
+    assert "NotImplementedError" in str(e.value) or "real decode" in str(e.value)
+
+
+def test_multimodal_fake_features_deterministic(spark):
+    from schema_inference_spark.operators.multimodal import (
+        FEATURE_DIM,
+        attach_payload,
+        decode_features,
+    )
+    df = spark.createDataFrame([(i, f"text {i}") for i in range(10)],
+                               "doc_id bigint, text string")
+    a = decode_features(attach_payload(df), fake=True).collect()
+    b = decode_features(attach_payload(df), fake=True).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+    assert all(len(r.feature) == FEATURE_DIM for r in a)
+    assert all(0.0 <= v < 1.0 for r in a for v in r.feature)
