@@ -9,22 +9,32 @@ from pyspark.sql import SparkSession
 
 def get_spark(app_name: str = "schema-inference-spark",
               master: str | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              max_partition_bytes: str | None = None) -> SparkSession:
     """local[$SPARK_GRAFT_CPUS] by default; AQE on (coalesce + skew-join,
-    SURVEY.md §2.D18); Arrow on for every pandas/Arrow UDF boundary."""
+    SURVEY.md §2.D18); Arrow on for every pandas/Arrow UDF boundary.
+
+    max_partition_bytes: local-mode inputs are small relative to the 128MB
+    default, which starves the scan of splits (a 650MB snapshot = 6 tasks
+    regardless of cores). 16MB keeps local scans parallel; prod clusters
+    keep the default.
+    """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     shuffle = shuffle_partitions if shuffle_partitions is not None else int(cpus)
+    mpb = max_partition_bytes or os.environ.get(
+        "SPARK_GRAFT_MAX_PARTITION_BYTES", "16m")
     builder = (
         SparkSession.builder.master(master).appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.files.maxPartitionBytes", mpb)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory",
-                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )

@@ -12,7 +12,7 @@ inference + substitution composition):
    coercion can widen it away (SURVEY.md §7.3-1). Cost at 100 TB: one
    footer read per file, no data scan.
 
-2. **Column-state pass** — data-level. ``mapInPandas`` over the (pruned)
+2. **Column-state pass** — data-level. ``mapInArrow`` over the (pruned)
    snapshot scan computes per-split, per-bucket column states
    (observed value type, null/row counts, min/max); states are merged
    per-partition, then snapshot-wide via ``RDD.treeAggregate(depth=2)``
@@ -34,7 +34,6 @@ import json
 from dataclasses import dataclass, field
 from typing import Any, Dict, Iterable, Iterator, List, Optional, Tuple
 
-import pandas as pd
 import pyarrow.parquet as pq
 
 from ..ir.convert import arrow_type_to_ir
@@ -55,56 +54,13 @@ def _empty_col_state() -> ColState:
 
 
 def _json_safe(v: Any) -> Any:
-    if isinstance(v, (pd.Timestamp, datetime.datetime, datetime.date)):
-        return v.isoformat()
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()  # covers pandas Timestamp (datetime subclass)
     if isinstance(v, bytes):
         return v.hex()
     if hasattr(v, "item"):  # numpy scalar
         return v.item()
     return v
-
-
-def _pandas_col_ir(series: pd.Series) -> Optional[Dict[str, Any]]:
-    """Observed value type of one pandas column (nulls excluded); None if
-    the column has no non-null values in this batch."""
-    non_null = series.dropna()
-    if len(non_null) == 0:
-        return None
-    kind = series.dtype.kind
-    if kind == "b":
-        return {"type": "boolean"}
-    if kind in ("i", "u"):
-        return {"type": "int"}
-    if kind == "f":
-        # float32 vs float64 width preserved (ground.clj:22-23)
-        return {"type": "float" if series.dtype.itemsize == 4 else "double"}
-    if kind == "M":
-        return {"type": "timestamp"}
-    # object dtype: sample-based, like the reference's mp/provide on the
-    # literal value (algo_w.clj:26-31) — vectorized columns get their type
-    # from dtype above; only genuinely dynamic cells hit this path
-    from ..ir.algo_w import provide_value
-    sample = non_null.iloc[0]
-    ir = provide_value(sample)
-    if ir.get("type") == "nil":
-        return None
-    return ir
-
-
-def _col_state_from_series(series: pd.Series, pid: int) -> ColState:
-    st = _empty_col_state()
-    st["count"] = int(len(series))
-    st["nulls"] = int(series.isna().sum())
-    st["schema"] = _pandas_col_ir(series)
-    st["pids"] = [pid]
-    non_null = series.dropna()
-    if len(non_null) > 0 and series.dtype.kind in ("i", "u", "f", "M", "O", "b"):
-        try:
-            st["min"] = _json_safe(non_null.min())
-            st["max"] = _json_safe(non_null.max())
-        except TypeError:
-            pass  # unorderable mixed objects: no min/max for this slice
-    return st
 
 
 def merge_col_states(a: ColState, b: ColState) -> ColState:
@@ -259,32 +215,65 @@ def read_snapshot_tolerant(spark, catalog, snapshot_id: str,
 # Pass 2: data-level column states
 # ---------------------------------------------------------------------------
 
+def _arrow_col_state(col: "pa.ChunkedArray | pa.Array", pid: int) -> ColState:
+    """Column state from an Arrow array — pyarrow.compute only, no Python
+    objects materialized (the :LIT data path, vectorized)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    st = _empty_col_state()
+    st["count"] = len(col)
+    st["nulls"] = col.null_count
+    st["pids"] = [pid]
+    if st["nulls"] < st["count"]:
+        st["schema"] = arrow_type_to_ir(col.type)
+        st["phys"] = [str(col.type)]
+        try:
+            mm = pc.min_max(col)
+            st["min"] = _json_safe(mm["min"].as_py())
+            st["max"] = _json_safe(mm["max"].as_py())
+        except pa.ArrowNotImplementedError:
+            pass  # unorderable type: no min/max
+    return st
+
+
 def partition_states(df, partition_col: str = "bucket") -> List[Tuple[int, PartState]]:
-    """Per-partition column states via mapInPandas (one state blob per Arrow
+    """Per-partition column states via mapInArrow (one state blob per Arrow
     batch per bucket), merged per partition then returned as a small list.
 
-    The heavy lifting — the scan and per-batch accumulation — is fully
-    distributed and Arrow-vectorized; what comes back to the driver is one
-    small JSON blob per (input split × bucket).
+    mapInArrow, not mapInPandas: the state math is min/max/null-count over
+    whole batches, so converting Arrow buffers into millions of Python
+    string objects (what to_pandas does to string columns) would cost more
+    than every other phase combined. pyarrow.compute stays in C++.
     """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     data_cols = [c for c in df.columns if c != partition_col]
 
-    def state_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def state_fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         acc: Dict[int, PartState] = {}
-        for pdf in batches:
-            for pid, grp in pdf.groupby(partition_col, sort=False):
-                pid = int(pid)
-                st: PartState = {c: _col_state_from_series(grp[c], pid)
-                                 for c in data_cols}
+        for batch in batches:
+            pids = batch.column(batch.schema.get_field_index(partition_col))
+            uniq = pc.unique(pids)
+            for pid_scalar in uniq:
+                pid = pid_scalar.as_py()
+                sub = (batch if len(uniq) == 1
+                       else batch.filter(pc.equal(pids, pid_scalar)))
+                st: PartState = {
+                    c: _arrow_col_state(
+                        sub.column(sub.schema.get_field_index(c)), pid)
+                    for c in data_cols}
                 acc[pid] = merge_part_states(acc[pid], st) if pid in acc else st
         if acc:
-            yield pd.DataFrame({
-                "pid": list(acc),
-                "state_json": [json.dumps(s, default=_json_safe)
-                               for s in acc.values()],
+            yield pa.RecordBatch.from_pydict({
+                "pid": pa.array(list(acc), type=pa.int32()),
+                "state_json": pa.array(
+                    [json.dumps(s, default=_json_safe) for s in acc.values()],
+                    type=pa.string()),
             })
 
-    states_df = df.mapInPandas(state_fn, "pid int, state_json string")
+    states_df = df.mapInArrow(state_fn, "pid int, state_json string")
     rows = states_df.collect()  # one tiny row per (split, bucket)
     by_pid: Dict[int, PartState] = {}
     for r in rows:

@@ -56,7 +56,17 @@ def validate(
     write_audit: bool = True,
     partition_col: str = "bucket",
 ) -> ValidationResult:
+    import os
     t0 = time.monotonic()
+    _prof = os.environ.get("SPARK_GRAFT_PROFILE") == "1"
+    _last = [t0]
+
+    def _mark(label: str) -> None:
+        if _prof:
+            now = time.monotonic()
+            print(f"[validate] {label}: {now - _last[0]:.1f}s", flush=True)
+            _last[0] = now
+
     role_vocab = role_vocab or ROLE_VOCAB
     tool_vocab = tool_vocab or TOOL_VOCAB
 
@@ -74,7 +84,9 @@ def validate(
 
     # -- infer: census + column states + strict merge (D5/D6/D14) -----------
     inf = infer_snapshot(spark, catalog, snapshot_id, pending)
+    _mark("infer")
     df = read_snapshot_tolerant(spark, catalog, snapshot_id, pending, inf.census)
+    _mark("read-plan")
 
     # -- stats + sketches (D7-D9), one scan, two agg levels ------------------
     # text_len: derived numeric for the drift check (FIXTURES.md F3 —
@@ -84,6 +96,7 @@ def validate(
         stats_df = df.withColumn("text_len",
                                  F.length("text").cast("double"))
     prof = S.profile_snapshot(stats_df, snapshot_id, partition_col=partition_col)
+    _mark("profile-plan")
     snapshot_stats = prof["snapshot"]
 
     # -- constraint checks (D10-D12), declarative plans ----------------------
@@ -121,6 +134,7 @@ def validate(
         violations = violations.unionByName(drv)
 
     violations = C.stable_order(violations).cache()
+    _mark("plan-violations")
 
     # -- verdicts: per-partition pass/fail + metrics (F4) ---------------------
     man = {p["partition_id"]: p for p in
@@ -128,6 +142,7 @@ def validate(
     counts = {r.partition_id: r.n for r in
               (violations.groupBy("partition_id")
                .agg(F.count(F.lit(1)).alias("n")).collect())}
+    _mark("materialize-violations")
     snapshot_level = counts.get(-1, 0)
     wall_ms = int((time.monotonic() - t0) * 1000)
     verdict_rows = []
@@ -146,8 +161,10 @@ def validate(
         "n_rows bigint, n_violations bigint, wall_ms bigint, state_json string")
 
     # -- audit append (D19): idempotent per-partition lineage -----------------
+    _mark("verdicts")
     if write_audit:
         catalog.append_audit(verdicts, snapshot_id)
+        _mark("audit")
 
     return ValidationResult(
         snapshot_id=snapshot_id,

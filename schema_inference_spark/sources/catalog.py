@@ -79,9 +79,8 @@ class SnapshotCatalog:
         a partition filter — same pruning contract."""
         snap_dir = os.path.join(self.root, snapshot_id)
         if partitions is None:
-            paths = [snap_dir]
-        else:
-            paths = [os.path.join(snap_dir, f"bucket={b}") for b in partitions]
+            partitions = self.partition_ids(snapshot_id)
+        paths = [os.path.join(snap_dir, f"bucket={b}") for b in partitions]
         # mergeSchema=true: partitions with conflicting physical types must
         # still SCAN (for stats + row-level checks); strict type semantics
         # are enforced by the footer census, not the scan (SURVEY.md §7.3-1)
