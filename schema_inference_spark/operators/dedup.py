@@ -70,42 +70,50 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     Jaccard >= threshold. The shingle join is shuffle-on-shingle; shingle
     frequency is the skew axis (drop stop-shingles at scale).
     """
+    # each exploded row carries its doc's shingle count, so the pair
+    # aggregate computes Jaccard directly — one shuffle join + one agg,
+    # no second shingle scan, no counts joins
     sh = (with_shingles(df.select(id_col, text_col), text_col, k)
           .select(F.col(id_col).alias("doc"),
+                  F.size("shingles").alias("n_sh"),
                   F.explode("shingles").alias("sh"))
           .filter(F.col("sh") != ""))
-    counts = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
-                    & (F.col("a.doc") < F.col("b.doc")))
-             .groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
-             .agg(F.count(F.lit(1)).alias("n_inter")))
-    ca = counts.alias("ca")
-    cb = counts.alias("cb")
-    return (inter
-            .join(ca, F.col("d1") == F.col("ca.doc"))
-            .join(cb, F.col("d2") == F.col("cb.doc"))
+    a, b = sh.alias("a"), sh.alias("b")
+    return (a.join(b, (F.col("a.sh") == F.col("b.sh"))
+                   & (F.col("a.doc") < F.col("b.doc")))
+            .groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"),
+                     F.col("a.n_sh").alias("n1"), F.col("b.n_sh").alias("n2"))
+            .agg(F.count(F.lit(1)).alias("n_inter"))
             .select("d1", "d2",
                     F.round(F.col("n_inter")
-                            / (F.col("ca.n_sh") + F.col("cb.n_sh")
-                               - F.col("n_inter")), 4).alias("jaccard"))
+                            / (F.col("n1") + F.col("n2") - F.col("n_inter")),
+                            4).alias("jaccard"))
             .filter(F.col("jaccard") >= threshold)
             .orderBy("d1", "d2"))
 
 
 def minhash_signature(df: DataFrame, n_hashes: int = 64,
-                      text_col: str = "text", k: int = 3) -> DataFrame:
+                      text_col: str = "text", k: int = 3,
+                      id_col: str = "doc_id") -> DataFrame:
     """MinHash signature per doc: sig_i = min over shingles of
-    hash(shingle, seed_i). Pure column expressions (array_min over
-    transform) — one narrow pass, no explode, no shuffle."""
-    out = with_shingles(df, text_col, k)
-    sig = F.array(*[
-        F.array_min(F.transform(
-            F.col("shingles"),
-            lambda s, i=i: F.pmod(F.xxhash64(s, F.lit(i)), F.lit(BIG))))
-        for i in range(n_hashes)])
-    return out.withColumn("minhash", sig).drop("shingles")
+    hash(shingle, seed_i).
+
+    Computed as explode + one partial+final aggregation of n_hashes `min`s
+    rather than n_hashes array-level `transform`s: Catalyst's project
+    collapsing inlines the shingle-building expression into every
+    transform, re-tokenizing the text n_hashes times; the exploded form
+    hashes each shingle n_hashes times but builds it once, and the
+    aggregation is a plain map-side-combined groupBy on the doc id.
+    """
+    sh = (with_shingles(df.select(id_col, text_col), text_col, k)
+          .select(F.col(id_col),
+                  F.explode("shingles").alias("sh"))
+          .filter(F.col("sh") != ""))
+    aggs = [F.min(F.pmod(F.xxhash64("sh", F.lit(i)), F.lit(BIG))).alias(f"h{i}")
+            for i in range(n_hashes)]
+    wide = sh.groupBy(id_col).agg(*aggs)
+    return wide.select(
+        id_col, F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("minhash"))
 
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -119,7 +127,7 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     prod samples or routes them to a dedicated pass).
     """
     rows = n_hashes // bands
-    sig = minhash_signature(df.select(id_col, text_col), n_hashes, text_col, k)
+    sig = minhash_signature(df, n_hashes, text_col, k, id_col)
     band_structs = F.array(*[
         F.struct(F.lit(b).alias("band"),
                  F.xxhash64(F.concat_ws(

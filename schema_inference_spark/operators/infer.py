@@ -54,8 +54,13 @@ def _empty_col_state() -> ColState:
 
 
 def _json_safe(v: Any) -> Any:
-    if isinstance(v, (datetime.datetime, datetime.date)):
-        return v.isoformat()  # covers pandas Timestamp (datetime subclass)
+    if isinstance(v, datetime.datetime):
+        # canonical naive-UTC ISO so the arrow and sql state engines agree
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
     if isinstance(v, bytes):
         return v.hex()
     if hasattr(v, "item"):  # numpy scalar
@@ -111,7 +116,10 @@ def physical_census(spark, files_by_partition: List[Tuple[int, str]],
     """Distributed parquet-footer read: [(partition_id, path)] ->
     {partition_id: {column: {"ir": <IR>, "phys": "<arrow type>"}}}.
 
-    Runs as a Spark job so 10^5+ footers parallelize; results are tiny.
+    Runs as a Spark job when the file list is large (10^5+ footers
+    parallelize across executors); small manifests are read driver-side in
+    a thread pool — a footer read is ~1ms, far below Spark's per-task
+    scheduling cost.
     """
     def read_footer(item: Tuple[int, str]):
         pid, path = item
@@ -123,24 +131,37 @@ def physical_census(spark, files_by_partition: List[Tuple[int, str]],
         return pid, cols
 
     n = max(len(files_by_partition), 1)
+
+    if n <= 512:
+        from concurrent.futures import ThreadPoolExecutor
+        out: Dict[int, Dict[str, Dict[str, Any]]] = {}
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            for pid, cols in pool.map(read_footer, files_by_partition):
+                if pid in out:
+                    out[pid] = _merge_file_cols(out[pid], cols)
+                else:
+                    out[pid] = cols
+        return out
+
     rdd = spark.sparkContext.parallelize(files_by_partition,
                                          min(n, 64)).map(read_footer)
 
-    def merge_file_cols(a, b):
-        out = {}
-        for col in sorted(set(a) | set(b)):
-            if col not in a:
-                out[col] = b[col]
-            elif col not in b:
-                out[col] = a[col]
-            else:
-                merged = merge_column_schema(a[col]["ir"], b[col]["ir"])
-                phys = ",".join(sorted(set(a[col]["phys"].split(","))
-                                       | set(b[col]["phys"].split(","))))
-                out[col] = {"ir": merged, "phys": phys}
-        return out
+    return dict(rdd.reduceByKey(_merge_file_cols).collect())
 
-    return dict(rdd.reduceByKey(merge_file_cols).collect())
+
+def _merge_file_cols(a, b):
+    out = {}
+    for col in sorted(set(a) | set(b)):
+        if col not in a:
+            out[col] = b[col]
+        elif col not in b:
+            out[col] = a[col]
+        else:
+            merged = merge_column_schema(a[col]["ir"], b[col]["ir"])
+            phys = ",".join(sorted(set(a[col]["phys"].split(","))
+                                   | set(b[col]["phys"].split(","))))
+            out[col] = {"ir": merged, "phys": phys}
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -190,7 +211,10 @@ def read_snapshot_tolerant(spark, catalog, snapshot_id: str,
             t = v["ir"].get("type")
             col_types[c].add(t if isinstance(t, str) else "string")
     from pyspark.sql import functions as F
-    target = {c: _widened(sorted(ts)) for c, ts in col_types.items()}
+    # only columns whose physical types actually differ get the widening
+    # cast; agreeing columns keep their native scan type
+    target = {c: _widened(sorted(ts)) for c, ts in col_types.items()
+              if len(ts) > 1}
     spark_t = {"int": "bigint", "float": "float", "double": "double",
                "string": "string"}
 
@@ -252,6 +276,14 @@ def partition_states(df, partition_col: str = "bucket") -> List[Tuple[int, PartS
     data_cols = [c for c in df.columns if c != partition_col]
 
     def state_fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        # one worker per core already: pyarrow's own intra-op pool (sized
+        # to ALL cores per process) oversubscribes the machine W x C
+        # threads and anti-scales — pin it to 1
+        try:
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(1)
+        except Exception:
+            pass
         acc: Dict[int, PartState] = {}
         for batch in batches:
             pids = batch.column(batch.schema.get_field_index(partition_col))
@@ -283,6 +315,52 @@ def partition_states(df, partition_col: str = "bucket") -> List[Tuple[int, PartS
     return sorted(by_pid.items())
 
 
+def sql_partition_states(df, census: Dict[int, Dict[str, Dict[str, Any]]],
+                         partition_col: str = "bucket",
+                         ) -> List[Tuple[int, PartState]]:
+    """Per-partition column states via one JVM aggregation (the default
+    state engine).
+
+    Same monoid as ``partition_states`` — Spark's partial+final hash
+    aggregation IS the associative per-partition combine — but entirely
+    whole-stage-codegen: measured on this machine, the JVM agg scales
+    ~linearly with cores while the Python Arrow feed serializes on a
+    shared allocator lock for string/timestamp columns (8->32 threads made
+    it *slower*). Observed value types come from the footer census
+    (physical truth, pre-coercion); all-NULL columns are detected from the
+    data-level null counts.
+    """
+    from pyspark.sql import functions as F
+
+    data_cols = [c for c in df.columns if c != partition_col]
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in data_cols:
+        aggs.append(F.count(c).alias(f"{c}__cnt"))
+        aggs.append(F.min(c).alias(f"{c}__min"))
+        aggs.append(F.max(c).alias(f"{c}__max"))
+    rows = df.groupBy(F.col(partition_col).alias("_pid")).agg(*aggs).collect()
+
+    out: List[Tuple[int, PartState]] = []
+    for r in rows:
+        pid = int(r["_pid"])
+        state: PartState = {}
+        for c in data_cols:
+            st = _empty_col_state()
+            st["count"] = int(r["_rows"])
+            st["nulls"] = int(r["_rows"]) - int(r[f"{c}__cnt"])
+            st["pids"] = [pid]
+            if int(r[f"{c}__cnt"]) > 0:
+                info = census.get(pid, {}).get(c)
+                st["schema"] = (dict(info["ir"]) if info
+                                else {"type": "any"})
+                st["phys"] = [info["phys"]] if info else []
+                st["min"] = _json_safe(r[f"{c}__min"])
+                st["max"] = _json_safe(r[f"{c}__max"])
+            state[c] = st
+        out.append((pid, state))
+    return sorted(out)
+
+
 def tree_merge_states(spark, part_states: List[Tuple[int, PartState]]) -> PartState:
     """Snapshot-level merge: treeAggregate(depth=2) over per-partition
     states — associative combine, no driver-side fold over 10^5 partitions
@@ -292,6 +370,12 @@ def tree_merge_states(spark, part_states: List[Tuple[int, PartState]]) -> PartSt
     states = [s for _, s in part_states]
     if len(states) == 1:
         return states[0]
+    if len(states) <= 256:
+        # same associative combine, driver-side: shipping a few KB of
+        # state to executors costs more than folding it here. The tree
+        # path below is the 10^5-partition shape (exercised in tests).
+        from functools import reduce
+        return reduce(merge_part_states, states, {})
     rdd = spark.sparkContext.parallelize(states, min(len(states), 64))
     return rdd.treeAggregate({}, merge_part_states, merge_part_states, depth=2)
 
@@ -330,8 +414,15 @@ def finalize_schema(col: str, st: ColState) -> Dict[str, Any]:
 
 
 def infer_snapshot(spark, catalog, snapshot_id: str,
-                   partitions: Optional[List[int]] = None) -> InferResult:
-    """Full inference for one snapshot (optionally a partition subset)."""
+                   partitions: Optional[List[int]] = None,
+                   engine: str = "sql") -> InferResult:
+    """Full inference for one snapshot (optionally a partition subset).
+
+    engine="sql" (default): JVM aggregation computes the per-partition
+    states (scales with cores). engine="arrow": mapInArrow computes them
+    executor-side in pyarrow — semantically identical (asserted in tests),
+    the escape hatch for state shapes SQL can't express.
+    """
     if partitions is None:
         partitions = catalog.partition_ids(snapshot_id)
     files = []
@@ -346,7 +437,10 @@ def infer_snapshot(spark, catalog, snapshot_id: str,
     census = physical_census(spark, files)
 
     df = read_snapshot_tolerant(spark, catalog, snapshot_id, partitions, census)
-    pstates = partition_states(df)
+    if engine == "arrow":
+        pstates = partition_states(df)
+    else:
+        pstates = sql_partition_states(df, census)
     snap_state = tree_merge_states(spark, pstates)
 
     # overlay census conflicts: if physical types across partitions disagree,
@@ -374,7 +468,10 @@ def infer_snapshot(spark, catalog, snapshot_id: str,
     for col in sorted(snap_state):
         st = snap_state[col]
         cm = census_merged.get(col)
-        if cm is not None and is_failure(cm["ir"]) and not is_failure(st["schema"]):
+        if cm is not None and is_failure(cm["ir"]):
+            # canonical attribution: the census merge walks partitions in
+            # sorted order, so its pids are deterministic and identical
+            # across state engines and parallelism levels
             st = dict(st)
             st["schema"] = cm["ir"]
             st["fail_pids"] = [sorted(cm.get("pids_1", [])),

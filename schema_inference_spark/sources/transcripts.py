@@ -116,13 +116,16 @@ def generate_turns(
     import pyarrow.compute as pc
     offsets = np.zeros(n_rows + 1, dtype=np.int64)
     np.cumsum(n_words, out=offsets[1:])
-    # Arrow take (not numpy fancy indexing): 25x faster at 10^8 words
-    word_values = pc.take(pa.array(_WORDS.tolist(), type=pa.string()),
+    # Arrow take (not numpy fancy indexing): 25x faster at 10^8 words;
+    # large_string end-to-end — joined text exceeds the 2GB StringArray cap
+    # beyond ~15M turns
+    word_values = pc.take(pa.array(_WORDS.tolist(), type=pa.large_string()),
                           pa.array(word_pick, type=pa.int32()))
     if isinstance(word_values, pa.ChunkedArray):
         word_values = word_values.combine_chunks()
     word_lists = pa.LargeListArray.from_arrays(offsets, word_values)
-    texts_arr = pc.binary_join(word_lists, " ").cast(pa.string())
+    texts_arr = pc.binary_join(word_lists,
+                               pa.scalar(" ", type=pa.large_string()))
 
     # ts: base + conv offset hours + turn_idx minutes (monotone per conv)
     ts_us = (BASE_TS_US + conv_num_arr * 3_600_000_000

@@ -176,3 +176,45 @@ def test_output_invariant_under_repartition(spark, catalog, r1):
         assert a == b
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_state_engines_agree(spark, catalog):
+    """The Arrow state path and the SQL state path are the same monoid:
+    identical snapshot schema, stats, and violations on every fixture."""
+    for snap in ("s1", "s2", "s3"):
+        a = infer_snapshot(spark, catalog, snap, engine="arrow")
+        b = infer_snapshot(spark, catalog, snap, engine="sql")
+        assert a.table_schema == b.table_schema, snap
+        assert a.column_stats == b.column_stats, snap
+        assert a.violations == b.violations, snap
+
+
+def test_tree_merge_matches_driver_fold(spark, catalog):
+    """treeAggregate path (10^5-partition shape) and the driver fold are
+    the same associative combine."""
+    from functools import reduce
+
+    from schema_inference_spark.operators.infer import (
+        merge_part_states,
+        physical_census,
+        read_snapshot_tolerant,
+        sql_partition_states,
+        tree_merge_states,
+    )
+    files = [(p["partition_id"],
+              f"{catalog.root}/s1/{p['path']}/{p['files'][0]}")
+             for p in catalog.manifest("s1")["partitions"]]
+    census = physical_census(spark, files)
+    df = read_snapshot_tolerant(spark, catalog, "s1",
+                                catalog.partition_ids("s1"), census)
+    ps = sql_partition_states(df, census)
+    states = [s for _, s in ps]
+    driver = reduce(merge_part_states, states, {})
+    rdd = spark.sparkContext.parallelize(states, len(states))
+    tree = rdd.treeAggregate({}, merge_part_states, merge_part_states, depth=2)
+    for col in driver:
+        assert driver[col]["schema"] == tree[col]["schema"]
+        assert driver[col]["count"] == tree[col]["count"]
+        assert driver[col]["nulls"] == tree[col]["nulls"]
+        assert driver[col]["min"] == tree[col]["min"]
+        assert driver[col]["max"] == tree[col]["max"]
