@@ -190,6 +190,76 @@ def check_ordering(df: DataFrame, snapshot_id: str,
     return gap_v.unionByName(dup_v).unionByName(ts_v)
 
 
+def check_ordering_blocked(df: DataFrame, snapshot_id: str,
+                           partition_col: str = "bucket",
+                           block_size: int = 8192) -> DataFrame:
+    """Skew-bounded variant of ``check_ordering`` (SURVEY.md §7.3-4).
+
+    A single hot conversation (agent loop) puts ALL its turns into one
+    window task in the plain check — an Amdahl bottleneck no executor
+    count can fix. Here the window is partitioned by
+    (conv_id, turn_idx div block_size): each task sorts at most
+    ~block_size turns. The pair that spans a block boundary is recovered
+    by computing each block's last row (one groupBy max-struct) and
+    injecting it into the next block as a non-emitting carrier row.
+    Output is row-identical to ``check_ordering`` (asserted in tests).
+    """
+    base = (df.select(partition_col, "conv_id", "turn_idx", "ts")
+            .withColumn("_blk", F.floor(F.col("turn_idx") / block_size)))
+
+    # last row of each (conv, block) by (turn_idx, ts): max on a struct
+    # ordered by the same keys the window sorts on. The carrier goes to
+    # the next NON-EMPTY block (a gap can span whole blocks), found with a
+    # lead() over the per-conv block list — rows there = #blocks per conv,
+    # so that window is tiny and skew-free by construction.
+    blk_last = (base.groupBy("conv_id", "_blk")
+                .agg(F.max(F.struct("turn_idx", "ts", partition_col)).alias("_m")))
+    wb = Window.partitionBy("conv_id").orderBy("_blk")
+    last = (blk_last
+            .withColumn("_next_blk", F.lead("_blk").over(wb))
+            .filter(F.col("_next_blk").isNotNull())
+            .select("conv_id", F.col("_next_blk").alias("_blk"),
+                    F.col("_m.turn_idx").alias("turn_idx"),
+                    F.col("_m.ts").alias("ts"),
+                    F.col(f"_m.{partition_col}").alias(partition_col),
+                    F.lit(True).alias("_carrier")))
+
+    unioned = base.withColumn("_carrier", F.lit(False)).unionByName(last)
+    w = Window.partitionBy("conv_id", "_blk").orderBy("turn_idx", "ts")
+    ordered = (unioned
+               .withColumn("_prev_idx", F.lag("turn_idx").over(w))
+               .withColumn("_prev_ts", F.lag("ts").over(w))
+               .filter(~F.col("_carrier")))
+
+    gap = ordered.filter(F.col("_prev_idx").isNotNull()
+                         & (F.col("turn_idx") > F.col("_prev_idx") + 1))
+    gap_v = _shape(
+        gap.withColumnRenamed(partition_col, "partition_id"),
+        snapshot_id, "turn_gap",
+        payload_col=F.to_json(F.struct(
+            F.col("_prev_idx").cast("bigint").alias("prev_idx"),
+            (F.col("turn_idx") - F.col("_prev_idx") - 1).cast("bigint").alias("missing"))),
+    )
+    dup = ordered.filter(F.col("_prev_idx").isNotNull()
+                         & (F.col("turn_idx") == F.col("_prev_idx")))
+    dup_v = _shape(
+        dup.withColumnRenamed(partition_col, "partition_id"),
+        snapshot_id, "turn_dup",
+        payload_col=F.to_json(F.struct(
+            F.col("_prev_idx").cast("bigint").alias("prev_idx"))),
+    )
+    ts_bad = ordered.filter(F.col("_prev_ts").isNotNull()
+                            & (F.col("ts") < F.col("_prev_ts")))
+    ts_v = _shape(
+        ts_bad.withColumnRenamed(partition_col, "partition_id"),
+        snapshot_id, "ts_order",
+        payload_col=F.to_json(F.struct(
+            F.date_format("_prev_ts", "yyyy-MM-dd'T'HH:mm:ssXXX").alias("prev_ts"),
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ssXXX").alias("ts"))),
+    )
+    return gap_v.unionByName(dup_v).unionByName(ts_v)
+
+
 # ---------------------------------------------------------------------------
 # D16 — vocabulary diff (set ops): observed-distinct minus baseline
 # ---------------------------------------------------------------------------

@@ -106,7 +106,10 @@ def validate(
                             "ref_role", partition_col),
         C.check_referential(df, snapshot_id, "tool", tool_vocab,
                             "ref_tool", partition_col, nullable=True),
-        C.check_ordering(df, snapshot_id, partition_col),
+        # blocked variant: bounded per-task cardinality even for a hot
+        # conv_id holding 10% of all turns (row-identical to the plain
+        # window; SURVEY.md §7.3-4 skew escape hatch)
+        C.check_ordering_blocked(df, snapshot_id, partition_col),
     ]
     violations = v_parts[0]
     for v in v_parts[1:]:

@@ -218,3 +218,32 @@ def test_tree_merge_matches_driver_fold(spark, catalog):
         assert driver[col]["nulls"] == tree[col]["nulls"]
         assert driver[col]["min"] == tree[col]["min"]
         assert driver[col]["max"] == tree[col]["max"]
+
+
+def test_blocked_ordering_matches_plain(spark, catalog):
+    """The skew-bounded ordering check is row-identical to the plain
+    window, including a gap that spans whole blocks (tiny block_size)."""
+    from schema_inference_spark.operators.checks import (
+        check_ordering,
+        check_ordering_blocked,
+        stable_order,
+    )
+    df = catalog.read_snapshot(spark, "s1")
+    plain = [r.asDict() for r in stable_order(
+        check_ordering(df, "s1")).collect()]
+    for bs in (4, 8192):
+        blocked = [r.asDict() for r in stable_order(
+            check_ordering_blocked(df, "s1", block_size=bs)).collect()]
+        assert blocked == plain, f"block_size={bs}"
+    # synthetic conv with a gap wider than the block: 0,1,2, then 50
+    import datetime
+    rows = [(0, "x", i, datetime.datetime(2026, 1, 1, 0, i))
+            for i in (0, 1, 2, 50)]
+    tiny = spark.createDataFrame(
+        rows, "bucket int, conv_id string, turn_idx int, ts timestamp")
+    got = [r.asDict() for r in stable_order(
+        check_ordering_blocked(tiny, "t", block_size=4)).collect()]
+    want = [r.asDict() for r in stable_order(
+        check_ordering(tiny, "t")).collect()]
+    assert got == want
+    assert len(got) == 1 and got[0]["check_id"] == "turn_gap"
