@@ -49,14 +49,20 @@ def with_shingles(df: DataFrame, text_col: str = "text",
     """Distinct word k-shingles per doc — narrow, JVM-side (higher-order
     fns, no UDF)."""
     tokens = F.split(normalized(F.col(text_col)), " ")
-    idx = F.sequence(F.lit(1), F.size(tokens) - (k - 1))
-    shingle = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(tokens, i + j) for j in range(k)])
-    # guard: sequence(1, n) DESCENDS when n < 1 — short docs get no shingles
+    n_sh = F.size(tokens) - (k - 1)
+    # zip_with over k shifted slices, NOT transform(sequence, i ->
+    # element_at(tokens, i+j)): Catalyst inlines the split() into every
+    # lambda use, so the element_at form re-tokenizes the text per
+    # shingle — O(len^2) per doc. Slices evaluate the token array O(k)
+    # times per ROW.
+    shingles = F.slice(tokens, 1, n_sh)
+    for j in range(1, k):
+        nxt = F.slice(tokens, j + 1, n_sh)
+        shingles = F.zip_with(shingles, nxt,
+                              lambda a, b: F.concat(a, F.lit(" "), b))
     return df.withColumn(
         "shingles",
-        F.when(F.size(tokens) >= k,
-               F.array_distinct(F.transform(idx, shingle)))
+        F.when(F.size(tokens) >= k, F.array_distinct(shingles))
         .otherwise(F.array().cast("array<string>")))
 
 
