@@ -1,0 +1,78 @@
+"""spark-submit entry point (north_rule deployment shape).
+
+Cluster:
+    zip -r engine.zip schema_inference_spark
+    spark-submit --py-files engine.zip submit_validate.py \
+        --root s3://bucket/transcripts --snapshot s1 \
+        --audit s3://bucket/audit [--baseline s3://bucket/baseline.json]
+
+Local smoke:
+    python submit_validate.py --root /tmp/snapshots --snapshot s1
+
+The job is resume-safe: completed partitions are skipped via the audit
+table; violations are written stable-ordered, partitioned by snapshot.
+Exit code is 0 when every pending partition passed, 1 when any failed —
+data errors are verdicts, never exceptions (the reference's by-value
+failure propagation, algo_w.clj:9-11).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", required=True, help="snapshot catalog root")
+    ap.add_argument("--snapshot", required=True)
+    ap.add_argument("--audit", default=None, help="audit table root")
+    ap.add_argument("--violations-out", default=None,
+                    help="parquet sink for violation rows")
+    ap.add_argument("--baseline", default=None,
+                    help="JSON file: {column -> kll sketch hex} drift baseline")
+    ap.add_argument("--no-resume", action="store_true")
+    args = ap.parse_args()
+
+    from schema_inference_spark.functions import get_spark
+    from schema_inference_spark.pipeline import validate
+    from schema_inference_spark.sources.catalog import SnapshotCatalog
+
+    spark = get_spark(app_name=f"validate-{args.snapshot}")
+    catalog = SnapshotCatalog(args.root, audit_root=args.audit)
+
+    baseline_sketches = None
+    if args.baseline:
+        with open(args.baseline) as f:
+            baseline_sketches = {k: bytes.fromhex(v) if v else None
+                                 for k, v in json.load(f).items()}
+
+    result = validate(spark, catalog, args.snapshot,
+                      baseline_sketches=baseline_sketches,
+                      resume=not args.no_resume)
+
+    if args.violations_out:
+        (result.violations
+         .write.mode("append")
+         .partitionBy("snapshot_id")
+         .parquet(args.violations_out))
+
+    validated = set(result.partitions)
+    verdicts = [v for v in result.verdicts.collect()
+                if v.partition_id in validated]
+    n_fail = sum(1 for v in verdicts if v.verdict == "fail")
+    print(json.dumps({
+        "snapshot": args.snapshot,
+        "partitions_validated": len(validated),
+        "partitions_failed": n_fail,
+        "already_complete": not validated,
+        "schema": {k: v for k, v in result.table_schema.items()},
+    }, default=str))
+    spark.stop()
+    # idempotent rerun with nothing pending exits 0
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
