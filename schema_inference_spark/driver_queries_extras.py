@@ -117,14 +117,16 @@ def q_cosine_near_dup_label(spark, sf_dir):
     deterministic blocking key both engines share — the LSH-bucketed
     variant is rows-only via q_ann_lsh_topk)."""
     e = _t(spark, sf_dir, "embeddings")
+    vec = SIM.as_double(F.col("embedding"))
     l = e.select(F.col("vec_id").alias("d1"), F.col("label").alias("lb1"),
-                 SIM.as_double(F.col("embedding")).alias("v1"))
+                 vec.alias("v1"), SIM._norm(vec).alias("n1"))
     r = e.select(F.col("vec_id").alias("d2"), F.col("label").alias("lb2"),
-                 SIM.as_double(F.col("embedding")).alias("v2"))
+                 vec.alias("v2"), SIM._norm(vec).alias("n2"))
     return (l.join(r, (F.col("lb1") == F.col("lb2"))
                    & (F.col("d1") < F.col("d2")))
             .select("d1", "d2",
-                    F.round(SIM.cosine(F.col("v1"), F.col("v2")), 4).alias("sim"))
+                    F.round(SIM._sim(F.col("v1"), F.col("n1"),
+                                     F.col("v2"), F.col("n2")), 4).alias("sim"))
             .filter(F.col("sim") >= 0.4)
             .orderBy("d1", "d2"))
 

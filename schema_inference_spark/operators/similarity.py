@@ -38,6 +38,15 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _sim(v1, n1, v2, n2):
+    """dot(v1,v2)/(n1*n2) with norms precomputed per ROW before the join —
+    bit-identical to computing cosine() per pair (same sequential
+    aggregates, same division) at a third of the per-pair work. Catalyst
+    inlines column expressions into every lambda use, so per-pair norms
+    would otherwise be recomputed for each candidate."""
+    return _dot(v1, v2) / (n1 * n2)
+
+
 def cosine_topk(df: DataFrame, probe_ids: List[int], k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 ) -> DataFrame:
@@ -48,14 +57,16 @@ def cosine_topk(df: DataFrame, probe_ids: List[int], k: int = 5,
     rounding pins cross-engine float determinism, the id tiebreak pins
     ordering.
     """
-    base = df.select(F.col(id_col).alias("nid"),
-                     as_double(F.col(vec_col)).alias("nvec"))
+    vec = as_double(F.col(vec_col))
+    base = df.select(F.col(id_col).alias("nid"), vec.alias("nvec"),
+                     _norm(vec).alias("nnorm"))
     probes = (df.filter(F.col(id_col).isin(probe_ids))
-              .select(F.col(id_col).alias("pid"),
-                      as_double(F.col(vec_col)).alias("pvec")))
+              .select(F.col(id_col).alias("pid"), vec.alias("pvec"),
+                      _norm(vec).alias("pnorm")))
     sims = (base.join(F.broadcast(probes), F.col("pid") != F.col("nid"))
             .select("pid", "nid",
-                    F.round(cosine(F.col("pvec"), F.col("nvec")), 4).alias("sim")))
+                    F.round(_sim(F.col("pvec"), F.col("pnorm"),
+                                 F.col("nvec"), F.col("nnorm")), 4).alias("sim")))
     w = Window.partitionBy("pid").orderBy(F.desc("sim"), F.asc("nid"))
     return (sims.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -93,18 +104,21 @@ def lsh_topk(df: DataFrame, probe_ids: List[int], k: int = 5,
     probe-corpus join is an equi-join on bucket, not a cross join.
     Recall < 1 by construction; calibrate bucket bits against the
     brute-force baseline."""
+    vec = as_double(F.col(vec_col))
     bucketed = with_lsh_bucket(df, dim, n_planes, seed, vec_col).select(
-        F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("nvec"),
-        "lsh_bucket")
+        F.col(id_col).alias("nid"), vec.alias("nvec"),
+        _norm(vec).alias("nnorm"), "lsh_bucket")
     probes = (bucketed.filter(F.col("nid").isin(probe_ids))
               .select(F.col("nid").alias("pid"),
                       F.col("nvec").alias("pvec"),
+                      F.col("nnorm").alias("pnorm"),
                       F.col("lsh_bucket").alias("pbucket")))
     sims = (bucketed.join(F.broadcast(probes),
                           (F.col("pbucket") == F.col("lsh_bucket"))
                           & (F.col("pid") != F.col("nid")))
             .select("pid", "nid",
-                    F.round(cosine(F.col("pvec"), F.col("nvec")), 4).alias("sim")))
+                    F.round(_sim(F.col("pvec"), F.col("pnorm"),
+                                 F.col("nvec"), F.col("nnorm")), 4).alias("sim")))
     w = Window.partitionBy("pid").orderBy(F.desc("sim"), F.asc("nid"))
     return (sims.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -118,13 +132,15 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
                           ) -> DataFrame:
     """Embedding near-dup pairs above a cosine threshold, bucket-blocked:
     all-pairs only *within* LSH buckets (plus exact cosine verify)."""
+    vec = as_double(F.col(vec_col))
     bucketed = with_lsh_bucket(df, dim, n_planes, seed, vec_col).select(
-        F.col(id_col).alias("doc"), as_double(F.col(vec_col)).alias("vec"),
-        "lsh_bucket")
+        F.col(id_col).alias("doc"), vec.alias("vec"),
+        _norm(vec).alias("vnorm"), "lsh_bucket")
     l, r = bucketed.alias("l"), bucketed.alias("r")
     return (l.join(r, (F.col("l.lsh_bucket") == F.col("r.lsh_bucket"))
                    & (F.col("l.doc") < F.col("r.doc")))
             .select(F.col("l.doc").alias("d1"), F.col("r.doc").alias("d2"),
-                    F.round(cosine(F.col("l.vec"), F.col("r.vec")), 4).alias("sim"))
+                    F.round(_sim(F.col("l.vec"), F.col("l.vnorm"),
+                                 F.col("r.vec"), F.col("r.vnorm")), 4).alias("sim"))
             .filter(F.col("sim") >= threshold)
             .orderBy("d1", "d2"))
