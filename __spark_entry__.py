@@ -15,8 +15,6 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import functions as F  # noqa: E402
-
 from schema_inference_spark.driver_queries import (  # noqa: E402
     CORE_ORACLES,
     CORE_QUERIES,

@@ -19,7 +19,6 @@ All Spark-first, no Python in the hot path:
 
 from __future__ import annotations
 
-from typing import List
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
