@@ -241,6 +241,17 @@ ORDER BY doc_id
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Rolling-hash winnowing fingerprints (MOSS scheme). Rows-only
+    (engine hash); guarantees + identity properties are unit-tested."""
+    return TS.winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def q_winnow_similar_pairs(spark, sf_dir):
+    """Doc pairs sharing winnowing fingerprints. Rows-only."""
+    return TS.winnow_similar_pairs(_t(spark, sf_dir, "documents"))
+
+
 def q_multimodal_meta(spark, sf_dir):
     return M.payload_meta(_t(spark, sf_dir, "documents"))
 
@@ -279,6 +290,8 @@ EXTRA_QUERIES: Dict[str, Callable] = {
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "winnow_similar_pairs": q_winnow_similar_pairs,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
 }

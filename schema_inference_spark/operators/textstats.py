@@ -122,3 +122,62 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id",
         F.md5(t).alias("fp"),
         (F.floor(F.length(t) / 32) * 32).cast("bigint").alias("len_band"))
         .orderBy(id_col))
+
+
+def _positional_shingles(df: DataFrame, text_col: str, k: int):
+    """Token k-grams in document order (no dedup — winnowing is
+    positional). Same zip_with-over-slices construction as dedup.py to
+    avoid the lambda-inlining O(len^2) trap."""
+    tokens = F.split(normalized(F.col(text_col)), " ")
+    n_sh = F.size(tokens) - (k - 1)
+    sh = F.slice(tokens, 1, n_sh)
+    for j in range(1, k):
+        sh = F.zip_with(sh, F.slice(tokens, j + 1, n_sh),
+                        lambda a, b: F.concat(a, F.lit(" "), b))
+    return df.withColumn(
+        "_sh", F.when(F.size(tokens) >= k, sh)
+        .otherwise(F.array().cast("array<string>")))
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 4,
+                        window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken MOSS
+    scheme): hash every token k-gram (rolling position), take the minimum
+    hash of each sliding window of ``window`` consecutive k-grams, emit
+    the distinct selected minima as the doc's fingerprint set.
+
+    Guarantees: any shared run of >= k+window-1 tokens between two docs
+    shares at least one fingerprint. Execution: posexplode + one window
+    over (doc ORDER BY pos) — per-doc cardinality bounded by doc length,
+    a plain shuffle on the doc id.
+    """
+    from pyspark.sql import Window as W
+
+    grams = (_positional_shingles(df.select(id_col, text_col), text_col, k)
+             .select(F.col(id_col).alias("doc"),
+                     F.posexplode("_sh").alias("pos", "sh"))
+             .withColumn("h", F.xxhash64("sh")))
+    w = (W.partitionBy("doc").orderBy("pos")
+         .rowsBetween(W.currentRow, window - 1))
+    return (grams
+            .withColumn("fp", F.min("h").over(w))
+            .select("doc", "fp").distinct()
+            .orderBy("doc", "fp"))
+
+
+def winnow_similar_pairs(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", k: int = 4,
+                         window: int = 4,
+                         min_shared: int = 3) -> DataFrame:
+    """Doc pairs sharing >= min_shared winnowing fingerprints — the
+    plagiarism/boilerplate detector: inverted-index equi-join on the
+    fingerprint (same shape and skew profile as the shingle join)."""
+    fp = winnow_fingerprints(df, id_col, text_col, k, window)
+    a, b = fp.alias("a"), fp.alias("b")
+    return (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                   & (F.col("a.doc") < F.col("b.doc")))
+            .groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared)
+            .orderBy("d1", "d2"))

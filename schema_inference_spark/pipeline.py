@@ -52,6 +52,7 @@ def validate(
     tool_vocab: Optional[List[str]] = None,
     baseline_sketches: Optional[Dict[str, bytes]] = None,
     baseline_schema: Optional[Dict[str, Dict]] = None,
+    contract: Optional[Dict[str, Dict]] = None,
     resume: bool = True,
     write_audit: bool = True,
     partition_col: str = "bucket",
@@ -117,6 +118,12 @@ def validate(
 
     # -- driver-side violations: schema merge, drift, compat -----------------
     driver_rows: List[Dict] = list(inf.violations)
+    if contract:
+        # protocol-conformance gate (the reference's :protocol-invoke /
+        # sub-schema check, algo_w.clj:223-248) over the inferred schema
+        from .plans.registry import CheckRegistry
+        driver_rows += CheckRegistry().conforms(
+            inf.table_schema, contract, snapshot_id)
     if baseline_sketches:
         cur = {r["column"]: bytes(r["kll"]) if r["kll"] is not None else None
                for r in snapshot_stats.select("column", "kll").collect()}
