@@ -194,3 +194,31 @@ def baseline_from_result(result: ValidationResult) -> Dict:
     for r in result.snapshot_stats.select("column", "kll").collect():
         sketches[r.column] = bytes(r.kll) if r.kll is not None else None
     return {"sketches": sketches, "schema": result.table_schema}
+
+
+def bind_baseline(table_schema: Dict[str, Dict],
+                  baseline_schema: Dict[str, Dict]) -> Dict[str, Dict]:
+    """Table-level concretize (ref: api.clj:10-15): bind baseline column
+    types into a snapshot schema whose unresolved (all-NULL) columns are
+    still ∀-quantified schemes. Resolved columns and failures pass through
+    unchanged; a scheme column takes the baseline's type where one exists,
+    re-generalizing anything still unknown.
+    """
+    from .ir.algo_w import concretize
+    from .ir.schema_ir import is_failure
+
+    out: Dict[str, Dict] = {}
+    for col, schema in table_schema.items():
+        if schema.get("type") != "scheme" or is_failure(schema):
+            out[col] = schema
+            continue
+        base = baseline_schema.get(col)
+        if base is None:
+            out[col] = schema
+            continue
+        # strip a maybe-wrapper mismatch: the scheme body is maybe<s-var>;
+        # bind the var to the baseline's value type
+        bindings = {v: (base["child"] if base.get("type") == "maybe" else base)
+                    for v in schema["s_vars"]}
+        out[col] = concretize(bindings, schema)
+    return out
