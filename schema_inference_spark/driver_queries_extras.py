@@ -241,6 +241,12 @@ ORDER BY doc_id
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN top-k (coarse k-means quantizer + cell-blocked search).
+    Rows-only; recall/determinism asserted in tests."""
+    return SIM.ivf_topk(_t(spark, sf_dir, "embeddings"), PROBE_IDS, k=5)
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     """Rolling-hash winnowing fingerprints (MOSS scheme). Rows-only
     (engine hash); guarantees + identity properties are unit-tested."""
@@ -286,6 +292,7 @@ EXTRA_QUERIES: Dict[str, Callable] = {
     "cosine_topk": q_cosine_topk,
     "cosine_near_dup": q_cosine_near_dup_label,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "token_counts": q_token_counts,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,

@@ -89,3 +89,24 @@ def test_multimodal_fake_features_deterministic(spark):
     assert sorted(map(str, a)) == sorted(map(str, b))
     assert all(len(r.feature) == FEATURE_DIM for r in a)
     assert all(0.0 <= v < 1.0 for r in a for v in r.feature)
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    """IVF ANN: results rank-consistent within cells, nonzero recall vs
+    brute force, deterministic across runs."""
+    from schema_inference_spark.operators.similarity import ivf_topk
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = list(range(10))
+    a = ivf_topk(df, probes, k=5, nprobe=2)
+    rows = a.collect()
+    assert len(rows) > 0
+    b_rows = ivf_topk(df, probes, k=5, nprobe=2).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in b_rows]
+    exact = {(r.pid, r.nid) for r in
+             EXTRA_QUERIES["cosine_topk"](spark, sf_dir).collect()}
+    got = {(r.pid, r.nid) for r in rows}
+    assert len(got & exact) > 0
+    # nprobe=16 (all cells) must recover the exact top-k entirely
+    full = ivf_topk(df, probes, k=5, nprobe=16)
+    full_pairs = {(r.pid, r.nid) for r in full.collect()}
+    assert exact <= full_pairs
