@@ -247,3 +247,55 @@ def test_blocked_ordering_matches_plain(spark, catalog):
         check_ordering(tiny, "t")).collect()]
     assert got == want
     assert len(got) == 1 and got[0]["check_id"] == "turn_gap"
+
+
+def test_multi_file_partitions(spark, tmp_path):
+    """The 100TB shape: many files per partition. Census merges per-file
+    schemas within a partition; a conflict INSIDE one partition surfaces
+    as a schema_merge violation; stats aggregate across files."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from schema_inference_spark.operators.infer import infer_snapshot
+    from schema_inference_spark.sources.catalog import SnapshotCatalog
+    from schema_inference_spark.sources.transcripts import generate_turns
+
+    root = str(tmp_path)
+    table = generate_turns(n_conv=30, seed=7)
+    snap = f"{root}/m1"
+    import json as _json
+    import os
+    parts = []
+    n = table.num_rows
+    third = n // 3
+    # partition 0: two files; partition 1: one file with turn_idx as double
+    os.makedirs(f"{snap}/bucket=0", exist_ok=True)
+    pq.write_table(table.slice(0, third), f"{snap}/bucket=0/part-0.parquet")
+    pq.write_table(table.slice(third, third), f"{snap}/bucket=0/part-1.parquet")
+    os.makedirs(f"{snap}/bucket=1", exist_ok=True)
+    rest = table.slice(2 * third)
+    idx = rest.column("turn_idx").cast(pa.float64())
+    rest = rest.set_column(rest.schema.get_field_index("turn_idx"),
+                           "turn_idx", idx)
+    pq.write_table(rest, f"{snap}/bucket=1/part-0.parquet")
+    parts = [
+        {"partition_id": 0, "path": "bucket=0",
+         "files": ["part-0.parquet", "part-1.parquet"], "n_rows": 2 * third},
+        {"partition_id": 1, "path": "bucket=1",
+         "files": ["part-0.parquet"], "n_rows": n - 2 * third},
+    ]
+    with open(f"{snap}/manifest.json", "w") as f:
+        _json.dump({"snapshot_id": "m1", "table": "transcripts",
+                    "format": "parquet", "n_buckets": 2,
+                    "partition_by": "bucket", "partitions": parts,
+                    "n_rows": n}, f)
+
+    cat = SnapshotCatalog(root)
+    inf = infer_snapshot(spark, cat, "m1")
+    # cross-partition conflict detected (int files vs double file)
+    v = [x for x in inf.violations if x["check_id"] == "schema_merge"]
+    assert len(v) == 1 and v[0]["mgu_failure"] == "non_equal"
+    # counts aggregate across all three files
+    assert inf.column_stats["conv_id"]["count"] == n
+    # both files of partition 0 contributed to its state
+    assert inf.partition_states[0]["conv_id"]["count"] == 2 * third
