@@ -52,6 +52,56 @@ FROM events
 """
 
 
+def q_profile_stats(spark, sf_dir):
+    """The D7 column profile through the REAL engine operators
+    (partition_profile -> snapshot_profile): per-column typed min/max
+    merged across partitions on the native type — the oracle computes the
+    same extremes globally, so any lexicographic merge would hash-mismatch
+    (e.g. events.value max 490.02 vs lexicographic '99.93')."""
+    from .operators.stats import partition_profile, snapshot_profile
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "bucket", F.pmod(F.crc32(F.col("event_id").cast("string")), F.lit(8)))
+    part = partition_profile(
+        ev, "sf", columns=["event_id", "ts", "user_id", "event_type", "value"])
+    snap = snapshot_profile(part)
+    str_only = lambda c: F.when(F.col("column") == "event_type",  # noqa: E731
+                                F.col(c)).otherwise(F.lit(None).cast("string"))
+    return (snap.select(
+        "column",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_nulls").cast("bigint").alias("n_nulls"),
+        F.round("min_num", 4).alias("min_num"),
+        F.round("max_num", 4).alias("max_num"),
+        str_only("min_str").alias("min_str"),
+        str_only("max_str").alias("max_str"))
+        .orderBy("column"))
+
+
+SQL_PROFILE_STATS = """
+SELECT 'event_id' AS "column", count(*) AS n_rows,
+       count(*) - count(event_id) AS n_nulls,
+       round(min(event_id), 4) AS min_num, round(max(event_id), 4) AS max_num,
+       NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str FROM events
+UNION ALL
+SELECT 'event_type', count(*), count(*) - count(event_type),
+       NULL::DOUBLE, NULL::DOUBLE, min(event_type), max(event_type) FROM events
+UNION ALL
+SELECT 'ts', count(*), count(*) - count(ts),
+       round(epoch(min(ts)), 4), round(epoch(max(ts)), 4),
+       NULL::VARCHAR, NULL::VARCHAR FROM events
+UNION ALL
+SELECT 'user_id', count(*), count(*) - count(user_id),
+       round(min(user_id), 4), round(max(user_id), 4),
+       NULL::VARCHAR, NULL::VARCHAR FROM events
+UNION ALL
+SELECT 'value', count(*), count(*) - count(value),
+       round(min(value), 4), round(max(value), 4),
+       NULL::VARCHAR, NULL::VARCHAR FROM events
+ORDER BY "column"
+"""
+
+
 def q_null_rates(spark, sf_dir):
     """Per-column null counts over events — one pass, partial+final agg."""
     ev = _t(spark, sf_dir, "events")
@@ -345,6 +395,7 @@ ORDER BY r_name
 
 CORE_QUERIES: Dict[str, Callable] = {
     "stats_value": q_stats_value,
+    "profile_stats": q_profile_stats,
     "null_rates": q_null_rates,
     "distinct_exact": q_distinct_exact,
     "distinct_hll": q_distinct_hll,
@@ -363,6 +414,7 @@ CORE_QUERIES: Dict[str, Callable] = {
 
 CORE_ORACLES: Dict[str, str] = {
     "stats_value": SQL_STATS_VALUE,
+    "profile_stats": SQL_PROFILE_STATS,
     "null_rates": SQL_NULL_RATES,
     "distinct_exact": SQL_DISTINCT_EXACT,
     # distinct_hll / quantiles_kll: sketch estimates, rows-only by design

@@ -41,24 +41,45 @@ def _is_ts(df: DataFrame, col: str) -> bool:
     return dict(df.dtypes)[col].startswith("timestamp")
 
 
-def _kll_input(df: DataFrame, col: str) -> Optional[Column]:
+def _num_key(df: DataFrame, col: str) -> Optional[Column]:
+    """Numeric ordering key: the column as fractional double (timestamps
+    keep sub-second precision via a cast, NOT unix_timestamp which
+    truncates). None for non-numeric, non-temporal columns."""
     if _is_numeric(df, col):
         return F.col(col).cast("double")
     if _is_ts(df, col):
-        return F.unix_timestamp(F.col(col)).cast("double")
+        # NTZ timestamps need the hop via timestamp; session tz is UTC
+        return F.col(col).cast("timestamp").cast("double")
     return None
+
+
+def _kll_input(df: DataFrame, col: str) -> Optional[Column]:
+    return _num_key(df, col)
 
 
 def partition_profile(df: DataFrame, snapshot_id: str,
                       columns: Optional[List[str]] = None,
                       partition_col: str = "bucket") -> DataFrame:
-    """Level-1: per-(partition, column) stats in ONE aggregation pass."""
+    """Level-1: per-(partition, column) stats in ONE aggregation pass.
+
+    min/max are aggregated in the COLUMN'S NATIVE TYPE and only the result
+    is stringified (``F.min(c).cast("string")``, never
+    ``F.min(c.cast("string"))`` — the latter is lexicographic and wrong for
+    numerics). Numeric/temporal columns additionally carry a typed ordering
+    key (``min_num``/``max_num`` as double) so the level-2 cross-partition
+    merge stays numeric.
+    """
     cols = columns or [c for c in df.columns if c != partition_col]
     aggs: List[Column] = [F.count(F.lit(1)).alias("_total")]
     for c in cols:
+        nk = _num_key(df, c)
         aggs.append(F.count(c).alias(f"{c}__cnt"))
-        aggs.append(F.min(F.col(c).cast("string")).alias(f"{c}__min"))
-        aggs.append(F.max(F.col(c).cast("string")).alias(f"{c}__max"))
+        aggs.append(F.min(c).cast("string").alias(f"{c}__min"))
+        aggs.append(F.max(c).cast("string").alias(f"{c}__max"))
+        aggs.append((F.min(nk) if nk is not None
+                     else F.lit(None).cast("double")).alias(f"{c}__min_num"))
+        aggs.append((F.max(nk) if nk is not None
+                     else F.lit(None).cast("double")).alias(f"{c}__max_num"))
         # HLL accepts int/long/string/binary; normalize via string cast for
         # float-ish types to keep one code path
         hll_in = F.col(c) if not _is_ts(df, c) else F.col(c).cast("string")
@@ -70,6 +91,7 @@ def partition_profile(df: DataFrame, snapshot_id: str,
             (F.kll_sketch_agg_double(kll_in) if kll_in is not None
              else F.lit(None).cast("binary")).alias(f"{c}__kll"))
         aggs.append(F.lit(kll_in is not None).alias(f"{c}__kll_ok"))
+        aggs.append(F.lit(nk is not None).alias(f"{c}__is_num"))
 
     wide = df.groupBy(F.col(partition_col).alias("partition_id")).agg(*aggs)
 
@@ -81,6 +103,9 @@ def partition_profile(df: DataFrame, snapshot_id: str,
             (F.col("_total") - F.col(f"{c}__cnt")).alias("n_nulls"),
             F.col(f"{c}__min").alias("min_str"),
             F.col(f"{c}__max").alias("max_str"),
+            F.col(f"{c}__min_num").alias("min_num"),
+            F.col(f"{c}__max_num").alias("max_num"),
+            F.col(f"{c}__is_num").alias("is_num"),
             F.col(f"{c}__hll").alias("hll"),
             F.col(f"{c}__kll").alias("kll"),
             F.col(f"{c}__kll_ok").alias("kll_ok"),
@@ -93,13 +118,28 @@ def partition_profile(df: DataFrame, snapshot_id: str,
 
 
 def snapshot_profile(partition_stats: DataFrame) -> DataFrame:
-    """Level-2: merge per-partition sketch states into snapshot stats."""
+    """Level-2: merge per-partition sketch states into snapshot stats.
+
+    Numeric/temporal columns merge min/max on the typed double key
+    (min_by/max_by carry the partition-local string rendering alongside);
+    string-typed columns merge their strings directly — lexicographic is
+    the CORRECT order there. This is what keeps the profile path in
+    agreement with the typed ``sql_partition_states`` path (both are the
+    same monoid over native-type extremes)."""
+    # min_by/max_by ordering keys: push all-NULL partitions (null key) to
+    # the losing end so they can never donate their NULL string rendering
+    lo_key = F.coalesce(F.col("min_num"), F.lit(float("inf")))
+    hi_key = F.coalesce(F.col("max_num"), F.lit(float("-inf")))
     return (partition_stats
             .groupBy("snapshot_id", "column")
             .agg(F.sum("n_rows").alias("n_rows"),
                  F.sum("n_nulls").alias("n_nulls"),
-                 F.min("min_str").alias("min_str"),
-                 F.max("max_str").alias("max_str"),
+                 F.when(F.min("is_num"), F.min_by("min_str", lo_key))
+                 .otherwise(F.min("min_str")).alias("min_str"),
+                 F.when(F.min("is_num"), F.max_by("max_str", hi_key))
+                 .otherwise(F.max("max_str")).alias("max_str"),
+                 F.min("min_num").alias("min_num"),
+                 F.max("max_num").alias("max_num"),
                  F.hll_union_agg("hll").alias("hll"),
                  # guard: merging a NULL-only kll column yields an invalid
                  # buffer; gate on eligibility so string columns stay NULL
