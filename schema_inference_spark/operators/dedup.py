@@ -5,13 +5,16 @@ All Spark-first, no Python in the hot path:
 - exact:        md5 hash-groupBy duplicate groups
 - set-sim:      inverted-index shingle join with exact Jaccard verify —
                 the standard distributed set-similarity join (explode
-                distinct shingles, equi-join on shingle, count
-                intersections). Skew note: hot shingles (stop-shingles)
-                are the skew risk at scale; prod drops top-frequency
-                shingles (prefix filtering) before the join.
+                distinct shingles, equi-join on shingle). Skew guard:
+                shingles with document frequency > max_df are dropped
+                from CANDIDATE generation (drop_hot_tokens — the
+                stop-shingle / prefix-filter cap); verification computes
+                exact Jaccard over the FULL shingle sets.
 - MinHash+LSH:  per-doc signature via array_min over hashed shingles
                 (NO explode, narrow transform), banded bucket join for
                 candidates, exact-Jaccard verification of candidates.
+                Skew guard: buckets above bucket_cap members switch from
+                all-pairs to chained pairing (linear, still connected).
 - SimHash:      per-bit sign sums over token hashes (explode + one
                 partial+final agg), Hamming-adjacent buckets.
 - embedding:    cosine near-dup pairs (see similarity.py for ANN top-k).
@@ -65,34 +68,62 @@ def with_shingles(df: DataFrame, text_col: str = "text",
         .otherwise(F.array().cast("array<string>")))
 
 
+def drop_hot_tokens(exploded: DataFrame, token_col: str,
+                    max_df: int) -> DataFrame:
+    """Stop-token (prefix-filter analog) skew guard for inverted-index
+    self-joins: remove tokens whose document frequency exceeds ``max_df``
+    before the equi-join. A hot token ("in the" as a shingle, boilerplate
+    winnow fingerprints) otherwise lands df(t)^2/2 pair rows on ONE
+    reducer — quadratic in the hottest frequency, the scale-killer of any
+    similarity self-join on a crawl corpus. Cost: one aggregation on the
+    same key the join shuffles on, plus a broadcast anti-join (the hot set
+    is tiny by construction — it's the distribution's head)."""
+    hot = (exploded.groupBy(token_col)
+           .agg(F.count(F.lit(1)).alias("_df"))
+           .filter(F.col("_df") > max_df)
+           .select(token_col))
+    return exploded.join(F.broadcast(hot), token_col, "left_anti")
+
+
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", k: int = 3,
-                  threshold: float = 0.5) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via inverted-index join.
+                  threshold: float = 0.5,
+                  max_df: int = 1024) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs: capped inverted-index
+    candidate generation + exact verification.
 
-    Plan: shingles -> explode -> self-equi-join on shingle (id1 < id2) ->
-    count = |intersection| -> join per-doc shingle counts -> filter
-    Jaccard >= threshold. The shingle join is shuffle-on-shingle; shingle
-    frequency is the skew axis (drop stop-shingles at scale).
+    Plan: shingles -> explode -> drop shingles with document frequency >
+    ``max_df`` (stop-shingle cap; see ``drop_hot_tokens``) -> self-equi-join
+    on shingle (id1 < id2) -> DISTINCT candidate pairs -> join the full
+    shingle sets back and compute EXACT Jaccard (array_intersect/union
+    over every shingle, including the hot ones) -> threshold filter.
+
+    The cap bounds each reducer's pair expansion at max_df^2/2 while the
+    verification step keeps emitted scores exact — a pair is only missed
+    if EVERY shingle it shares is hot, which at any sane cap means the
+    pair is wall-to-wall boilerplate (and exact-dedup territory).
+    ``max_df=None`` disables the cap.
     """
-    # each exploded row carries its doc's shingle count, so the pair
-    # aggregate computes Jaccard directly — one shuffle join + one agg,
-    # no second shingle scan, no counts joins
-    sh = (with_shingles(df.select(id_col, text_col), text_col, k)
-          .select(F.col(id_col).alias("doc"),
-                  F.size("shingles").alias("n_sh"),
-                  F.explode("shingles").alias("sh"))
+    docs = (with_shingles(df.select(id_col, text_col), text_col, k)
+            .select(F.col(id_col).alias("doc"), "shingles"))
+    sh = (docs.select("doc", F.explode("shingles").alias("sh"))
           .filter(F.col("sh") != ""))
+    if max_df is not None:
+        sh = drop_hot_tokens(sh, "sh", max_df)
     a, b = sh.alias("a"), sh.alias("b")
-    return (a.join(b, (F.col("a.sh") == F.col("b.sh"))
+    cand = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
                    & (F.col("a.doc") < F.col("b.doc")))
-            .groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"),
-                     F.col("a.n_sh").alias("n1"), F.col("b.n_sh").alias("n2"))
-            .agg(F.count(F.lit(1)).alias("n_inter"))
+            .select(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+            .distinct())
+    s1, s2 = docs.alias("s1"), docs.alias("s2")
+    return (cand
+            .join(s1, F.col("d1") == F.col("s1.doc"))
+            .join(s2, F.col("d2") == F.col("s2.doc"))
             .select("d1", "d2",
-                    F.round(F.col("n_inter")
-                            / (F.col("n1") + F.col("n2") - F.col("n_inter")),
-                            4).alias("jaccard"))
+                    F.round(
+                        F.size(F.array_intersect("s1.shingles", "s2.shingles"))
+                        / F.size(F.array_union("s1.shingles", "s2.shingles")),
+                        4).alias("jaccard"))
             .filter(F.col("jaccard") >= threshold)
             .orderBy("d1", "d2"))
 
@@ -123,14 +154,26 @@ def minhash_signature(df: DataFrame, n_hashes: int = 64,
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n_hashes: int = 64,
-                        bands: int = 16, k: int = 3) -> DataFrame:
-    """MinHash-LSH candidate pairs: band the signature, bucket-join.
+                        bands: int = 16, k: int = 3,
+                        bucket_cap: int = 64,
+                        chain: int = 8) -> DataFrame:
+    """MinHash-LSH candidate pairs: band the signature, bucket-join, with
+    an explicit bucket-size cap.
 
     rows_per_band = n_hashes // bands; docs sharing any band bucket become
-    candidates. Per-bucket pair expansion is quadratic in bucket size —
-    at scale, cap bucket size (hot buckets are near-identical boilerplate;
-    prod samples or routes them to a dedicated pass).
+    candidates. Pair expansion is quadratic in bucket size, and crawl
+    corpora have boilerplate buckets with 10^5 members — so buckets larger
+    than ``bucket_cap`` switch from all-pairs to CHAINED pairing: members
+    are ranked (deterministically, by doc id) and each pairs with its next
+    ``chain`` neighbors. That bounds a B-member bucket at B*chain rows
+    (linear) while keeping the bucket's pair graph CONNECTED — for dedup,
+    transitive closure over the verified chain recovers the same duplicate
+    group all-pairs would (members of an oversized bucket agree on a whole
+    band, i.e. they are near-identical boilerplate). ``bucket_cap=None``
+    disables the cap.
     """
+    from pyspark.sql import Window
+
     rows = n_hashes // bands
     sig = minhash_signature(df, n_hashes, text_col, k, id_col)
     band_structs = F.array(*[
@@ -142,11 +185,41 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     buckets = (sig.select(F.col(id_col).alias("doc"),
                           F.explode(band_structs).alias("bb"))
                .select("doc", "bb.band", "bb.bucket"))
-    l, r = buckets.alias("l"), buckets.alias("r")
-    return (l.join(r, (F.col("l.band") == F.col("r.band"))
-                   & (F.col("l.bucket") == F.col("r.bucket"))
-                   & (F.col("l.doc") < F.col("r.doc")))
-            .select(F.col("l.doc").alias("d1"), F.col("r.doc").alias("d2"))
+
+    if bucket_cap is None:
+        l, r = buckets.alias("l"), buckets.alias("r")
+        return (l.join(r, (F.col("l.band") == F.col("r.band"))
+                       & (F.col("l.bucket") == F.col("r.bucket"))
+                       & (F.col("l.doc") < F.col("r.doc")))
+                .select(F.col("l.doc").alias("d1"), F.col("r.doc").alias("d2"))
+                .distinct()
+                .orderBy("d1", "d2"))
+
+    # one shuffle on (band, bucket) serves both the size count and the
+    # rank — the same partitioning the join itself needs
+    w = Window.partitionBy("band", "bucket")
+    sized = (buckets
+             .withColumn("_sz", F.count(F.lit(1)).over(w))
+             .withColumn("_rnk", F.row_number().over(w.orderBy("doc"))))
+
+    small = sized.filter(F.col("_sz") <= bucket_cap)
+    sl, sr = small.alias("l"), small.alias("r")
+    small_pairs = (sl.join(sr, (F.col("l.band") == F.col("r.band"))
+                           & (F.col("l.bucket") == F.col("r.bucket"))
+                           & (F.col("l.doc") < F.col("r.doc")))
+                   .select(F.col("l.doc").alias("d1"),
+                           F.col("r.doc").alias("d2")))
+
+    big = sized.filter(F.col("_sz") > bucket_cap)
+    bl, br = big.alias("l"), big.alias("r")
+    big_pairs = (bl.join(br, (F.col("l.band") == F.col("r.band"))
+                         & (F.col("l.bucket") == F.col("r.bucket"))
+                         & (F.col("r._rnk") > F.col("l._rnk"))
+                         & (F.col("r._rnk") <= F.col("l._rnk") + chain))
+                 .select(F.least("l.doc", "r.doc").alias("d1"),
+                         F.greatest("l.doc", "r.doc").alias("d2")))
+
+    return (small_pairs.unionByName(big_pairs)
             .distinct()
             .orderBy("d1", "d2"))
 
@@ -154,11 +227,13 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
 def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", threshold: float = 0.5,
                       n_hashes: int = 64, bands: int = 16,
-                      k: int = 3) -> DataFrame:
+                      k: int = 3, bucket_cap: int = 64,
+                      chain: int = 8) -> DataFrame:
     """LSH candidates verified with exact Jaccard: join candidates back to
     shingle sets and keep pairs >= threshold. Verification touches only
     candidate docs — the LSH prefilter is what makes all-pairs tractable."""
-    cand = lsh_candidate_pairs(df, id_col, text_col, n_hashes, bands, k)
+    cand = lsh_candidate_pairs(df, id_col, text_col, n_hashes, bands, k,
+                               bucket_cap, chain)
     sh = (with_shingles(df.select(id_col, text_col), text_col, k)
           .select(F.col(id_col).alias("doc"), "shingles"))
     s1, s2 = sh.alias("s1"), sh.alias("s2")

@@ -169,11 +169,23 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
 def winnow_similar_pairs(df: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text", k: int = 4,
                          window: int = 4,
-                         min_shared: int = 3) -> DataFrame:
+                         min_shared: int = 3,
+                         max_df: int = 1024) -> DataFrame:
     """Doc pairs sharing >= min_shared winnowing fingerprints — the
     plagiarism/boilerplate detector: inverted-index equi-join on the
-    fingerprint (same shape and skew profile as the shingle join)."""
+    fingerprint (same shape and skew profile as the shingle join).
+
+    Fingerprints appearing in more than ``max_df`` documents are dropped
+    before the self-join (the ``drop_hot_tokens`` skew guard): a
+    boilerplate fingerprint shared by 10^5 docs is pure noise for
+    similarity ranking but quadratic for the join. n_shared therefore
+    counts DISCRIMINATIVE shared fingerprints — corpus-wide boilerplate
+    doesn't make two documents "similar". ``max_df=None`` disables."""
+    from .dedup import drop_hot_tokens
+
     fp = winnow_fingerprints(df, id_col, text_col, k, window)
+    if max_df is not None:
+        fp = drop_hot_tokens(fp, "fp", max_df)
     a, b = fp.alias("a"), fp.alias("b")
     return (a.join(b, (F.col("a.fp") == F.col("b.fp"))
                    & (F.col("a.doc") < F.col("b.doc")))
