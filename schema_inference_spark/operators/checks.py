@@ -128,8 +128,11 @@ def check_referential(df: DataFrame, snapshot_id: str, column: str,
         snapshot_id, check_id,
         payload_col=F.to_json(F.struct(F.col(column).alias("value"))),
         mgu_failure="non_equal",
-        schema_1=F.concat(F.lit('{"type":"enum","values":["'),
-                          F.col(column), F.lit('"]}')),
+        # to_json, not string concat: an out-of-vocab value containing a
+        # quote or backslash must still yield parseable canonical JSON
+        schema_1=F.to_json(F.struct(
+            F.lit("enum").alias("type"),
+            F.array(F.col(column)).alias("values"))),
         schema_2=F.lit(vocab_json),
     )
 

@@ -55,6 +55,7 @@ def validate(
     contract: Optional[Dict[str, Dict]] = None,
     resume: bool = True,
     write_audit: bool = True,
+    write_violations: Optional[bool] = None,
     partition_col: str = "bucket",
 ) -> ValidationResult:
     import os
@@ -143,21 +144,37 @@ def validate(
             C.VIOLATION_DDL)
         violations = violations.unionByName(drv)
 
-    violations = C.stable_order(violations).cache()
+    violations = C.stable_order(violations)
     _mark("plan-violations")
 
-    # -- verdicts: per-partition pass/fail + metrics (F4) ---------------------
-    man = {p["partition_id"]: p for p in
-           catalog.manifest(snapshot_id)["partitions"]}
+    # -- materialize violations ONCE (D2 second half + the round-1 scaling
+    # fix): when persisting, the single action is the partitioned write to
+    # the violation store; per-partition counts then come from the written
+    # artifact (a metadata-sized parquet agg), replacing the round-1
+    # cache()+groupBy().collect() double materialization. The store is
+    # idempotent per partition, so resume reproduces prior runs' violation
+    # rows without re-scanning (catalog.append_violations).
+    persist = write_violations if write_violations is not None else write_audit
+    if persist:
+        catalog.append_violations(violations, snapshot_id)
+        violations = C.stable_order(
+            catalog.read_violations(spark, snapshot_id,
+                                    partitions=sorted(pending) + [-1]))
+    else:
+        violations = violations.cache()
     counts = {r.partition_id: r.n for r in
               (violations.groupBy("partition_id")
                .agg(F.count(F.lit(1)).alias("n")).collect())}
     _mark("materialize-violations")
+
+    # -- verdicts: per-partition pass/fail + metrics (F4) ---------------------
+    man = {p["partition_id"]: p for p in
+           catalog.manifest(snapshot_id)["partitions"]}
     snapshot_level = counts.get(-1, 0)
     wall_ms = int((time.monotonic() - t0) * 1000)
     verdict_rows = []
     for pid in sorted(pending):
-        n_v = counts.get(pid, 0) + snapshot_level
+        n_v = counts.get(pid, 0)
         verdict_rows.append((
             snapshot_id, pid,
             "fail" if n_v > 0 else "pass",
@@ -165,6 +182,12 @@ def validate(
             json.dumps(inf.partition_states.get(pid, {}), sort_keys=True,
                        default=str),
         ))
+    if snapshot_level:
+        # snapshot-scoped failures (drift, cross-partition schema merge)
+        # get their own verdict row instead of being folded into every
+        # partition's tally — one drift hit must not flip all partitions
+        verdict_rows.append((snapshot_id, -1, "fail", 0,
+                             int(snapshot_level), wall_ms, json.dumps({})))
     verdicts = spark.createDataFrame(
         verdict_rows,
         "snapshot_id string, partition_id int, verdict string, "

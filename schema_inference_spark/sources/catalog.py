@@ -38,10 +38,20 @@ AUDIT_SCHEMA = T.StructType([
 ])
 
 
+VIOLATION_DDL = ("snapshot_id string, partition_id int, check_id string, "
+                 "mgu_failure string, schema_1 string, schema_2 string, "
+                 "conv_id string, turn_idx bigint, payload string")
+
+_VIOLATION_COLS = [f.strip().split(" ")[0] for f in VIOLATION_DDL.split(",")]
+
+
 class SnapshotCatalog:
-    def __init__(self, root: str, audit_root: Optional[str] = None):
+    def __init__(self, root: str, audit_root: Optional[str] = None,
+                 violations_root: Optional[str] = None):
         self.root = root
         self.audit_root = audit_root or os.path.join(root, "_audit")
+        self.violations_root = violations_root or os.path.join(
+            root, "_violations")
 
     # -- snapshot metadata ---------------------------------------------------
 
@@ -115,6 +125,47 @@ class SnapshotCatalog:
         """Resume point: manifest partitions minus completed audit rows."""
         done = set(self.completed_partitions(spark, snapshot_id))
         return [p for p in self.partition_ids(snapshot_id) if p not in done]
+
+    # -- violation store (D2, second half) -------------------------------------
+
+    def _violations_dir(self, snapshot_id: str) -> str:
+        return os.path.join(self.violations_root, f"snapshot_id={snapshot_id}")
+
+    def append_violations(self, violations_df: DataFrame,
+                          snapshot_id: str) -> None:
+        """Persist violation rows, partitioned by partition_id, with
+        DYNAMIC per-partition overwrite: re-validating a partition (crash
+        before its audit row landed, explicit re-run) REPLACES that
+        partition's violation rows instead of duplicating them — the same
+        idempotence contract as the audit path, so the violation store is
+        resume-safe by construction. Snapshot-level rows (drift, schema
+        merge across partitions) live under partition_id=-1. Prod swaps
+        this for an Iceberg MERGE/overwritePartitions on the same key."""
+        (violations_df.drop("snapshot_id")
+         .repartition(1)  # violation rows are sparse; one file per pid dir
+         .write
+         .option("partitionOverwriteMode", "dynamic")
+         .mode("overwrite")
+         .partitionBy("partition_id")
+         .parquet(self._violations_dir(snapshot_id)))
+
+    def read_violations(self, spark: SparkSession, snapshot_id: str,
+                        partitions: Optional[Sequence[int]] = None) -> DataFrame:
+        """Read persisted violations (optionally pruned to a partition
+        subset; pass -1 to include snapshot-level rows). Partition pruning
+        happens at planning time via the hive-style partition_id dirs."""
+        d = self._violations_dir(snapshot_id)
+        has_files = os.path.isdir(d) and any(
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(d) for f in fs)
+        if not has_files:
+            return spark.createDataFrame([], VIOLATION_DDL)
+        df = (spark.read.option("basePath", d).parquet(d)
+              .withColumn("snapshot_id", F.lit(snapshot_id))
+              .withColumn("partition_id", F.col("partition_id").cast("int")))
+        if partitions is not None:
+            df = df.filter(F.col("partition_id").isin(list(partitions)))
+        return df.select(*_VIOLATION_COLS)
 
     def append_audit(self, audit_df: DataFrame, snapshot_id: str) -> None:
         """Idempotent per-run append. Partition-grained overwrite semantics

@@ -53,14 +53,18 @@ def main() -> int:
                       resume=not args.no_resume)
 
     if args.violations_out:
+        # idempotent per-snapshot overwrite (reruns replace, never
+        # duplicate); the primary resume-safe store is the catalog's
+        # _violations table, written inside validate()
         (result.violations
-         .write.mode("append")
+         .write.option("partitionOverwriteMode", "dynamic")
+         .mode("overwrite")
          .partitionBy("snapshot_id")
          .parquet(args.violations_out))
 
     validated = set(result.partitions)
     verdicts = [v for v in result.verdicts.collect()
-                if v.partition_id in validated]
+                if v.partition_id in validated or v.partition_id == -1]
     n_fail = sum(1 for v in verdicts if v.verdict == "fail")
     print(json.dumps({
         "snapshot": args.snapshot,

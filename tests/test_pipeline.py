@@ -161,6 +161,73 @@ def test_resume_skips_completed_partitions(spark, fixture_root):
     assert done.partitions == []
 
 
+def test_violation_store_resume_safe(spark, fixture_root):
+    """D2 second half: kill/resume — the union of persisted violations
+    across a partial run + a resumed run is byte-identical to a single
+    cold run's, and re-validating a partition overwrites (never
+    duplicates) its rows."""
+    cat = SnapshotCatalog(fixture_root,
+                          audit_root=fixture_root + "/_audit_vstore",
+                          violations_root=fixture_root + "/_vstore")
+    cold = validate(spark, cat, "s1", resume=False, write_audit=False)
+    cold_rows = [r.asDict() for r in cold.violations.collect()]
+
+    # "killed" run: partitions 0-3 completed — their violations and audit
+    # rows landed before the crash
+    cat.append_violations(cold.violations.filter("partition_id < 4"), "s1")
+    cat.append_audit(cold.verdicts.filter("partition_id < 4"), "s1")
+
+    # resumed run validates 4-7 and persists their violations
+    warm = validate(spark, cat, "s1", resume=True, write_audit=True)
+    assert warm.partitions == [4, 5, 6, 7]
+
+    stored = [r.asDict() for r in
+              validate.__globals__["C"].stable_order(
+                  cat.read_violations(spark, "s1")).collect()]
+    assert stored == cold_rows
+
+    # idempotence: force a full re-validate — dynamic overwrite replaces
+    # per-partition rows, so the store still equals one cold run
+    validate(spark, cat, "s1", resume=False, write_audit=True)
+    stored2 = [r.asDict() for r in
+               validate.__globals__["C"].stable_order(
+                   cat.read_violations(spark, "s1")).collect()]
+    assert stored2 == cold_rows
+
+
+def test_referential_schema1_json_escaped(spark):
+    """An out-of-vocab value containing quotes/backslashes must still
+    produce parseable canonical JSON in schema_1 (ADVICE r1)."""
+    import datetime
+
+    from schema_inference_spark.operators.checks import check_referential
+    rows = [(0, "c1", 1, 'mod"er\\ator', datetime.datetime(2026, 1, 1))]
+    df = spark.createDataFrame(
+        rows, "bucket int, conv_id string, turn_idx int, role string, ts timestamp")
+    v = check_referential(df, "t", "role", ["user"], "ref_role").collect()
+    assert len(v) == 1
+    assert json.loads(v[0].schema_1) == {"type": "enum",
+                                         "values": ['mod"er\\ator']}
+
+
+def test_snapshot_level_verdict_row(spark, catalog):
+    """A snapshot-scoped violation (drift) yields ONE partition_id=-1
+    verdict row; per-partition verdicts count only their own rows
+    (ADVICE r1: one drift hit must not flip every partition to fail)."""
+    base = baseline_from_result(
+        validate(spark, catalog, "s1", write_audit=False))
+    r4 = validate(spark, catalog, "s4", baseline_sketches=base["sketches"],
+                  write_audit=False)
+    verd = {v.partition_id: v for v in r4.verdicts.collect()}
+    counts = {}
+    for r in r4.violations.collect():
+        counts[r.partition_id] = counts.get(r.partition_id, 0) + 1
+    assert -1 in verd and verd[-1].verdict == "fail"
+    assert verd[-1].n_violations == counts[-1]
+    for pid, v in verd.items():
+        assert v.n_violations == counts.get(pid, 0)
+
+
 # --- parallelism invariance (north_rule: identical outputs at N vs 4N) ---------
 
 def test_output_invariant_under_repartition(spark, catalog, r1):
