@@ -264,6 +264,148 @@ def check_ordering_blocked(df: DataFrame, snapshot_id: str,
 
 
 # ---------------------------------------------------------------------------
+# Fused row-level checks: D10 + D11 (x2) + D12 in ONE scan, ONE shuffle
+# ---------------------------------------------------------------------------
+
+def check_rowlevel_fused(df: DataFrame, snapshot_id: str,
+                         role_vocab: List[str], tool_vocab: List[str],
+                         partition_col: str = "bucket",
+                         block_size: int = 8192) -> DataFrame:
+    """Every row-level check in a single pass, row-identical to the union
+    of ``check_unique_key`` + ``check_referential`` (role, tool) +
+    ``check_ordering_blocked`` (asserted in tests).
+
+    Why: run separately, the four checks scan the snapshot four times
+    (five with the blocked-ordering carrier aggregate). At 100 TB the scan
+    IS the cost, so the fused plan computes all of them from one skew-
+    blocked window pass:
+
+      scan -> Exchange(conv_id, turn_idx div block_size) -> Sort ->
+      Window(lag + per-key count) -> per-row ARRAY of violation structs ->
+      explode
+
+    - uniqueness: same turn_idx implies same block, so the per-key count
+      over (conv, blk, turn_idx) — free under the block partitioning —
+      equals the global key count; the row_number==1 row emits the
+      violation with min(bucket) attribution, exactly like the salted
+      two-phase aggregate's output. (The standalone salted D10 remains
+      the escape hatch for pathological single-key floods.)
+    - referential: vocab membership is a per-row predicate (the vocab is
+      a literal enum) — evaluated inline, same rows as the broadcast
+      anti-join.
+    - ordering: identical carrier-row construction as
+      ``check_ordering_blocked`` (gap spanning whole blocks included).
+
+    The only extra scan is the carrier aggregate (block boundaries); the
+    explode emits every check's rows from one WindowExec, so nothing is
+    re-sorted per check.
+    """
+    vj = lambda vocab: json.dumps({"type": "enum", "values": sorted(vocab)},  # noqa: E731
+                                  sort_keys=True, separators=(",", ":"))
+
+    base = (df.select(partition_col, "conv_id", "turn_idx", "ts",
+                      "role", "tool")
+            .withColumn("_blk", F.floor(F.col("turn_idx") / block_size)))
+
+    # carrier rows: each block's last row injected into the next
+    # NON-EMPTY block (same construction as check_ordering_blocked)
+    blk_last = (base.groupBy("conv_id", "_blk")
+                .agg(F.max(F.struct("turn_idx", "ts", partition_col)).alias("_m")))
+    wb = Window.partitionBy("conv_id").orderBy("_blk")
+    last = (blk_last
+            .withColumn("_next_blk", F.lead("_blk").over(wb))
+            .filter(F.col("_next_blk").isNotNull())
+            .select("conv_id", F.col("_next_blk").alias("_blk"),
+                    F.col("_m.turn_idx").alias("turn_idx"),
+                    F.col("_m.ts").alias("ts"),
+                    F.col(f"_m.{partition_col}").alias(partition_col),
+                    F.lit(None).cast("string").alias("role"),
+                    F.lit(None).cast("string").alias("tool"),
+                    F.lit(True).alias("_carrier")))
+    unioned = base.withColumn("_carrier", F.lit(False)).unionByName(last)
+
+    w = Window.partitionBy("conv_id", "_blk").orderBy("turn_idx", "ts")
+    kw = Window.partitionBy("conv_id", "_blk", "turn_idx")
+    ordered = (unioned
+               .withColumn("_prev_idx", F.lag("turn_idx").over(w))
+               .withColumn("_prev_ts", F.lag("ts").over(w))
+               # per-key stats for uniqueness: carriers never share a key
+               # with real rows (a carrier's turn_idx comes from an
+               # EARLIER block), so no carrier guard is needed in the agg
+               .withColumn("_n_copies", F.count(F.lit(1)).over(kw))
+               .withColumn("_kmin_pid", F.min(partition_col).over(kw))
+               .withColumn("_krn", F.row_number().over(
+                   kw.orderBy("ts", partition_col)))
+               .filter(~F.col("_carrier")))
+
+    def mk(check_id, mgu, s1, s2, payload, pid):
+        return F.struct(
+            F.lit(check_id).alias("check_id"),
+            F.lit(mgu).cast("string").alias("mgu_failure"),
+            (s1 if s1 is not None else F.lit(None)).cast("string").alias("schema_1"),
+            (s2 if s2 is not None else F.lit(None)).cast("string").alias("schema_2"),
+            payload.cast("string").alias("payload"),
+            pid.cast("int").alias("partition_id"))
+
+    enum1 = lambda c: F.to_json(F.struct(  # noqa: E731
+        F.lit("enum").alias("type"), F.array(F.col(c)).alias("values")))
+    pid = F.col(partition_col)
+
+    uniq_cond = (F.col("_krn") == 1) & (F.col("_n_copies") > 1)
+    role_cond = F.col("role").isNull() | ~F.col("role").isin(role_vocab)
+    tool_cond = F.col("tool").isNotNull() & ~F.col("tool").isin(tool_vocab)
+    gap_cond = (F.col("_prev_idx").isNotNull()
+                & (F.col("turn_idx") > F.col("_prev_idx") + 1))
+    dup_cond = (F.col("_prev_idx").isNotNull()
+                & (F.col("turn_idx") == F.col("_prev_idx")))
+    ts_cond = (F.col("_prev_ts").isNotNull()
+               & (F.col("ts") < F.col("_prev_ts")))
+
+    arr = F.array(
+        F.when(uniq_cond, mk(
+            "unique_key", None, None, None,
+            F.to_json(F.struct(F.col("_n_copies").alias("n_copies"))),
+            F.col("_kmin_pid"))),
+        F.when(role_cond, mk(
+            "ref_role", "non_equal", enum1("role"), F.lit(vj(role_vocab)),
+            F.to_json(F.struct(F.col("role").alias("value"))), pid)),
+        F.when(tool_cond, mk(
+            "ref_tool", "non_equal", enum1("tool"), F.lit(vj(tool_vocab)),
+            F.to_json(F.struct(F.col("tool").alias("value"))), pid)),
+        F.when(gap_cond, mk(
+            "turn_gap", None, None, None,
+            F.to_json(F.struct(
+                F.col("_prev_idx").cast("bigint").alias("prev_idx"),
+                (F.col("turn_idx") - F.col("_prev_idx") - 1)
+                .cast("bigint").alias("missing"))), pid)),
+        F.when(dup_cond, mk(
+            "turn_dup", None, None, None,
+            F.to_json(F.struct(
+                F.col("_prev_idx").cast("bigint").alias("prev_idx"))), pid)),
+        F.when(ts_cond, mk(
+            "ts_order", None, None, None,
+            F.to_json(F.struct(
+                F.date_format("_prev_ts", "yyyy-MM-dd'T'HH:mm:ssXXX")
+                .alias("prev_ts"),
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ssXXX")
+                .alias("ts"))), pid)),
+    )
+
+    return (ordered
+            .select("conv_id", "turn_idx",
+                    F.explode(F.filter(arr, lambda x: x.isNotNull())).alias("_v"))
+            .select(F.lit(snapshot_id).alias("snapshot_id"),
+                    F.col("_v.partition_id").alias("partition_id"),
+                    F.col("_v.check_id").alias("check_id"),
+                    F.col("_v.mgu_failure").alias("mgu_failure"),
+                    F.col("_v.schema_1").alias("schema_1"),
+                    F.col("_v.schema_2").alias("schema_2"),
+                    F.col("conv_id").cast("string").alias("conv_id"),
+                    F.col("turn_idx").cast("bigint").alias("turn_idx"),
+                    F.col("_v.payload").alias("payload")))
+
+
+# ---------------------------------------------------------------------------
 # D16 — vocabulary diff (set ops): observed-distinct minus baseline
 # ---------------------------------------------------------------------------
 

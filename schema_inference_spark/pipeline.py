@@ -56,6 +56,7 @@ def validate(
     resume: bool = True,
     write_audit: bool = True,
     write_violations: Optional[bool] = None,
+    fused_checks: bool = True,
     partition_col: str = "bucket",
 ) -> ValidationResult:
     import os
@@ -102,20 +103,27 @@ def validate(
     snapshot_stats = prof["snapshot"]
 
     # -- constraint checks (D10-D12), declarative plans ----------------------
-    v_parts = [
-        C.check_unique_key(df, snapshot_id, partition_col=partition_col),
-        C.check_referential(df, snapshot_id, "role", role_vocab,
-                            "ref_role", partition_col),
-        C.check_referential(df, snapshot_id, "tool", tool_vocab,
-                            "ref_tool", partition_col, nullable=True),
-        # blocked variant: bounded per-task cardinality even for a hot
-        # conv_id holding 10% of all turns (row-identical to the plain
-        # window; SURVEY.md §7.3-4 skew escape hatch)
-        C.check_ordering_blocked(df, snapshot_id, partition_col),
-    ]
-    violations = v_parts[0]
-    for v in v_parts[1:]:
-        violations = violations.unionByName(v)
+    if fused_checks:
+        # one scan + one skew-blocked shuffle produces every row-level
+        # check's violations (row-identical to the separate plans, which
+        # would scan the snapshot 4x; asserted in tests)
+        violations = C.check_rowlevel_fused(
+            df, snapshot_id, role_vocab, tool_vocab, partition_col)
+    else:
+        v_parts = [
+            C.check_unique_key(df, snapshot_id, partition_col=partition_col),
+            C.check_referential(df, snapshot_id, "role", role_vocab,
+                                "ref_role", partition_col),
+            C.check_referential(df, snapshot_id, "tool", tool_vocab,
+                                "ref_tool", partition_col, nullable=True),
+            # blocked variant: bounded per-task cardinality even for a hot
+            # conv_id holding 10% of all turns (row-identical to the plain
+            # window; SURVEY.md §7.3-4 skew escape hatch)
+            C.check_ordering_blocked(df, snapshot_id, partition_col),
+        ]
+        violations = v_parts[0]
+        for v in v_parts[1:]:
+            violations = violations.unionByName(v)
 
     # -- driver-side violations: schema merge, drift, compat -----------------
     driver_rows: List[Dict] = list(inf.violations)

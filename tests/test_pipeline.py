@@ -161,6 +161,60 @@ def test_resume_skips_completed_partitions(spark, fixture_root):
     assert done.partitions == []
 
 
+def test_fused_checks_match_separate_plans(spark, catalog):
+    """The single-pass fused operator is row-identical to the union of
+    the four separate check plans on every fixture snapshot, including a
+    synthetic block-boundary + duplicate-key + bad-vocab corpus at a tiny
+    block size."""
+    import datetime
+
+    from schema_inference_spark.operators import checks as C
+
+    def separate(df, sid, bs=8192):
+        v = C.check_unique_key(df, sid)
+        v = v.unionByName(C.check_referential(df, sid, "role",
+                                              ROLE_VOCAB_T, "ref_role"))
+        v = v.unionByName(C.check_referential(df, sid, "tool",
+                                              TOOL_VOCAB_T, "ref_tool",
+                                              nullable=True))
+        v = v.unionByName(C.check_ordering_blocked(df, sid, block_size=bs))
+        return [r.asDict() for r in C.stable_order(v).collect()]
+
+    from schema_inference_spark.pipeline import ROLE_VOCAB, TOOL_VOCAB
+    ROLE_VOCAB_T, TOOL_VOCAB_T = ROLE_VOCAB, TOOL_VOCAB
+
+    for snap in ("s1", "s4"):
+        df = catalog.read_snapshot(spark, snap)
+        fused = [r.asDict() for r in C.stable_order(
+            C.check_rowlevel_fused(df, snap, ROLE_VOCAB, TOOL_VOCAB)).collect()]
+        assert fused == separate(df, snap), snap
+
+    # synthetic: dup key, gap spanning blocks, ts regression, bad role,
+    # bad tool, null role — all in one conv, block_size=4
+    d = datetime.datetime
+    rows = [
+        (0, "c1", 0, d(2026, 1, 1, 0, 0), "user", None),
+        (1, "c1", 1, d(2026, 1, 1, 0, 1), "assistant", "search"),
+        (1, "c1", 1, d(2026, 1, 1, 0, 2), "user", None),          # dup key
+        (0, "c1", 2, d(2026, 1, 1, 0, 1), "moderator", None),     # bad role + ts regress
+        (0, "c1", 30, d(2026, 1, 1, 0, 5), "user", "telepathy"),  # gap over blocks + bad tool
+        (0, "c1", 31, d(2026, 1, 1, 0, 6), None, None),           # null role
+    ]
+    tiny = spark.createDataFrame(
+        rows, "bucket int, conv_id string, turn_idx int, ts timestamp, "
+              "role string, tool string")
+    fused = [r.asDict() for r in C.stable_order(
+        C.check_rowlevel_fused(tiny, "t", ROLE_VOCAB, TOOL_VOCAB,
+                               block_size=4)).collect()]
+    assert fused == separate(tiny, "t", bs=4)
+    by_check = {}
+    for r in fused:
+        by_check.setdefault(r["check_id"], 0)
+        by_check[r["check_id"]] += 1
+    assert by_check == {"unique_key": 1, "ref_role": 2, "ref_tool": 1,
+                        "turn_gap": 1, "turn_dup": 1, "ts_order": 1}
+
+
 def test_violation_store_resume_safe(spark, fixture_root):
     """D2 second half: kill/resume — the union of persisted violations
     across a partial run + a resumed run is byte-identical to a single
