@@ -123,11 +123,42 @@ def physical_census(spark, files_by_partition: List[Tuple[int, str]],
     """
     def read_footer(item: Tuple[int, str]):
         pid, path = item
-        sch = pq.read_schema(path)
+        pf = pq.ParquetFile(path)
+        sch = pf.schema_arrow
+        md = pf.metadata
+        # row-group statistics: a free, scan-less stats source — the
+        # footer already carries per-row-group min/max/null-count, so the
+        # census doubles as a first-pass stats table and a cross-check on
+        # the scan path (agreement asserted in tests). String min/max may
+        # be writer-truncated, so they are kept as BOUNDS (is_exact=False
+        # semantics live with the consumer).
+        rg: Dict[str, Dict[str, Any]] = {}
+        for i in range(md.num_row_groups):
+            row_group = md.row_group(i)
+            for j in range(row_group.num_columns):
+                cc = row_group.column(j)
+                name = cc.path_in_schema
+                st = cc.statistics
+                ent = rg.setdefault(name, {"rows": 0, "nulls": 0,
+                                           "min": None, "max": None,
+                                           "has_stats": True})
+                ent["rows"] += row_group.num_rows
+                if st is None or not st.has_null_count:
+                    ent["has_stats"] = False
+                    continue
+                ent["nulls"] += st.null_count
+                if st.has_min_max:
+                    mn, mx = st.min, st.max
+                    ent["min"] = mn if ent["min"] is None else min(ent["min"], mn)
+                    ent["max"] = mx if ent["max"] is None else max(ent["max"], mx)
+                elif st.null_count < row_group.num_rows:
+                    # non-null values exist but no bounds recorded
+                    ent["has_stats"] = False
         cols = {}
         for fld in sch:
             cols[fld.name] = {"ir": arrow_type_to_ir(fld.type),
-                              "phys": str(fld.type)}
+                              "phys": str(fld.type),
+                              "rg": rg.get(fld.name)}
         return pid, cols
 
     n = max(len(files_by_partition), 1)
@@ -149,6 +180,27 @@ def physical_census(spark, files_by_partition: List[Tuple[int, str]],
     return dict(rdd.reduceByKey(_merge_file_cols).collect())
 
 
+def _merge_rg(a, b):
+    """Associative combine of per-file row-group stats."""
+    if a is None or b is None:
+        return a if b is None else b
+    out = {"rows": a["rows"] + b["rows"], "nulls": a["nulls"] + b["nulls"],
+           "has_stats": a["has_stats"] and b["has_stats"]}
+    for key, pick in (("min", min), ("max", max)):
+        va, vb = a[key], b[key]
+        if va is None:
+            out[key] = vb
+        elif vb is None:
+            out[key] = va
+        else:
+            try:
+                out[key] = pick(va, vb)
+            except TypeError:  # physical-type conflict across files
+                out[key] = va
+                out["has_stats"] = False
+    return out
+
+
 def _merge_file_cols(a, b):
     out = {}
     for col in sorted(set(a) | set(b)):
@@ -160,7 +212,33 @@ def _merge_file_cols(a, b):
             merged = merge_column_schema(a[col]["ir"], b[col]["ir"])
             phys = ",".join(sorted(set(a[col]["phys"].split(","))
                                    | set(b[col]["phys"].split(","))))
-            out[col] = {"ir": merged, "phys": phys}
+            out[col] = {"ir": merged, "phys": phys,
+                        "rg": _merge_rg(a[col].get("rg"), b[col].get("rg"))}
+    return out
+
+
+def census_stats(census: Dict[int, Dict[str, Dict[str, Any]]],
+                 ) -> Dict[str, Dict[str, Any]]:
+    """Snapshot-level column stats from footer metadata ALONE — zero data
+    scanned. At 100 TB this answers count/null-rate/min/max questions for
+    free and cross-checks the scan path (``column_stats``). Columns whose
+    row groups lack statistics (or whose string bounds may be truncated)
+    report ``exact=False``; numeric/temporal parquet stats are exact."""
+    merged: Dict[str, Dict[str, Any]] = {}
+    for pid in sorted(census):
+        for col, info in census[pid].items():
+            merged[col] = _merge_rg(merged.get(col), info.get("rg"))
+    out = {}
+    for col, st in merged.items():
+        if st is None:
+            continue
+        out[col] = {
+            "count": st["rows"],
+            "nulls": st["nulls"] if st["has_stats"] else None,
+            "min": _json_safe(st["min"]),
+            "max": _json_safe(st["max"]),
+            "exact": bool(st["has_stats"]),
+        }
     return out
 
 
