@@ -102,6 +102,38 @@ ORDER BY "column"
 """
 
 
+def q_window_stats(spark, sf_dir):
+    """Per-event-time-window column stats (D7 in stream form — the batch
+    equivalent of streaming.window_stats_stream, which is asserted equal
+    to this plan on the same input in tests/test_streaming.py). One
+    tumbling-window groupBy: partial+final agg, no Python."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.col("value").isNull().cast("long")).alias("n_value_null"),
+                 F.min("event_id").alias("min_event_id"),
+                 F.max("event_id").alias("max_event_id"),
+                 F.round(F.avg("value"), 4).alias("avg_value"))
+            .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("w_start"),
+                    "n_rows", "n_value_null", "min_event_id",
+                    "max_event_id", "avg_value")
+            .orderBy("w_start"))
+
+
+SQL_WINDOW_STATS = """
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+       count(*) AS n_rows,
+       count(*) - count(value) AS n_value_null,
+       min(event_id) AS min_event_id,
+       max(event_id) AS max_event_id,
+       round(avg(value), 4) AS avg_value
+FROM events
+GROUP BY 1
+ORDER BY w_start
+"""
+
+
 def q_null_rates(spark, sf_dir):
     """Per-column null counts over events — one pass, partial+final agg."""
     ev = _t(spark, sf_dir, "events")
@@ -396,6 +428,7 @@ ORDER BY r_name
 CORE_QUERIES: Dict[str, Callable] = {
     "stats_value": q_stats_value,
     "profile_stats": q_profile_stats,
+    "window_stats": q_window_stats,
     "null_rates": q_null_rates,
     "distinct_exact": q_distinct_exact,
     "distinct_hll": q_distinct_hll,
@@ -415,6 +448,7 @@ CORE_QUERIES: Dict[str, Callable] = {
 CORE_ORACLES: Dict[str, str] = {
     "stats_value": SQL_STATS_VALUE,
     "profile_stats": SQL_PROFILE_STATS,
+    "window_stats": SQL_WINDOW_STATS,
     "null_rates": SQL_NULL_RATES,
     "distinct_exact": SQL_DISTINCT_EXACT,
     # distinct_hll / quantiles_kll: sketch estimates, rows-only by design

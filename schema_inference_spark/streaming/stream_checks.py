@@ -1,0 +1,235 @@
+"""D20 — Structured Streaming validation of arriving transcript turns.
+
+The batch engine validates committed snapshots (D19 resume makes that
+incremental at partition grain). This module validates turns AS THEY
+ARRIVE, with the same violation-row contract (checks.VIOLATION_DDL), so a
+stream consumer sees the exact rows a later batch `validate()` of the same
+data would emit:
+
+- vocabulary checks (D11) are stateless per-row predicates — a plain
+  streaming select/filter, append-mode, no state at all;
+- uniqueness (D10) and ordering (D12) need cross-batch memory, keyed by
+  conv_id — implemented with ``applyInPandasWithState`` (Arrow-batched,
+  never per-row Python), state = the conversation's (turn_idx, ts, bucket)
+  arrays, output mode UPDATE: every micro-batch that touches a
+  conversation re-emits that conversation's CURRENT violation set, which
+  converges to the batch engine's rows once the conversation is fully
+  ingested (asserted row-for-row in tests/test_streaming.py);
+- per-window column stats (D7 in stream form) are a watermarked
+  window aggregation — built-in, incremental, no custom state.
+
+Scale notes (10^12 turns/day):
+- state per key is one conversation's turn keys — bounded by conversation
+  length, the same boundedness assumption the batch window check makes
+  (checks.py:150-157); eviction for abandoned conversations is the
+  ``GroupStateTimeout.ProcessingTimeTimeout`` knob (left NoTimeout here so
+  tests are deterministic; prod sets a TTL and flushes state as final).
+- the stateful operator shuffles once on conv_id — identical key
+  distribution to the batch window pass, so the same skew analysis holds
+  (a hot conversation is row-skew absorbed by Arrow batching).
+
+Reference seam: the reference is batch-only (schema-inference has no
+stream surface at all); the violation shape is its failure object
+(util.clj:153-155) unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, List, Tuple
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.checks import VIOLATION_DDL
+
+TURN_STREAM_SCHEMA = ("conv_id string, turn_idx int, role string, "
+                      "text string, tool string, ts timestamp, bucket int")
+
+# conversation state: the turn keys seen so far (sorted lazily at check
+# time), ts in epoch-microseconds so the state schema stays Arrow-plain
+CONV_STATE_SCHEMA = "turn_idx array<bigint>, ts_us array<bigint>, bucket array<int>"
+
+
+def read_turn_stream(spark: SparkSession, snapshot_dir: str,
+                     max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over a bucket-partitioned snapshot directory —
+    the sandbox stand-in for an Iceberg/ Kafka turn feed. New files
+    appearing under bucket=*/ become micro-batches."""
+    reader = (spark.readStream
+              .schema(TURN_STREAM_SCHEMA)
+              .option("basePath", snapshot_dir))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(os.path.join(snapshot_dir, "bucket=*"))
+
+
+# ---------------------------------------------------------------------------
+# stateless: vocabulary checks (D11) on a stream
+# ---------------------------------------------------------------------------
+
+def vocab_violations_stream(sdf: DataFrame, snapshot_id: str,
+                            role_vocab: List[str],
+                            tool_vocab: List[str]) -> DataFrame:
+    """Row-identical to the batch ``check_referential`` pair (asserted in
+    tests): vocab membership is a literal-enum predicate, so the streaming
+    plan is a stateless project+filter — append mode, zero state."""
+    vj = lambda vocab: json.dumps(  # noqa: E731
+        {"type": "enum", "values": sorted(vocab)},
+        sort_keys=True, separators=(",", ":"))
+    enum1 = lambda c: F.to_json(F.struct(  # noqa: E731
+        F.lit("enum").alias("type"), F.array(F.col(c)).alias("values")))
+
+    def mk(check_id, s1, s2, payload):
+        return F.struct(
+            F.lit(check_id).alias("check_id"),
+            F.lit("non_equal").cast("string").alias("mgu_failure"),
+            s1.cast("string").alias("schema_1"),
+            s2.cast("string").alias("schema_2"),
+            payload.cast("string").alias("payload"))
+
+    role_cond = F.col("role").isNull() | ~F.col("role").isin(role_vocab)
+    tool_cond = F.col("tool").isNotNull() & ~F.col("tool").isin(tool_vocab)
+    arr = F.array(
+        F.when(role_cond, mk("ref_role", enum1("role"), F.lit(vj(role_vocab)),
+                             F.to_json(F.struct(F.col("role").alias("value"))))),
+        F.when(tool_cond, mk("ref_tool", enum1("tool"), F.lit(vj(tool_vocab)),
+                             F.to_json(F.struct(F.col("tool").alias("value"))))),
+    )
+    return (sdf
+            .select("conv_id", "turn_idx", "bucket",
+                    F.explode(F.filter(arr, lambda x: x.isNotNull())).alias("_v"))
+            .select(F.lit(snapshot_id).alias("snapshot_id"),
+                    F.col("bucket").cast("int").alias("partition_id"),
+                    F.col("_v.check_id").alias("check_id"),
+                    F.col("_v.mgu_failure").alias("mgu_failure"),
+                    F.col("_v.schema_1").alias("schema_1"),
+                    F.col("_v.schema_2").alias("schema_2"),
+                    F.col("conv_id").cast("string").alias("conv_id"),
+                    F.col("turn_idx").cast("bigint").alias("turn_idx"),
+                    F.col("_v.payload").alias("payload")))
+
+
+# ---------------------------------------------------------------------------
+# stateful: uniqueness + ordering per conversation (D10 + D12)
+# ---------------------------------------------------------------------------
+
+def _conv_violations(snapshot_id: str, conv_id: str,
+                     turn: np.ndarray, ts_us: np.ndarray,
+                     bucket: np.ndarray) -> pd.DataFrame:
+    """Recompute a conversation's violation set from its full turn-key
+    arrays — the vectorized equivalent of the batch window pass
+    (checks.check_ordering / the per-key count in check_rowlevel_fused),
+    over one conversation's bounded rows."""
+    order = np.lexsort((bucket, ts_us, turn))
+    t, s, b = turn[order], ts_us[order], bucket[order]
+    rows: List[Tuple] = []
+
+    # uniqueness: first row of each duplicated key, n_copies + min-bucket
+    # attribution (mirrors fused: _krn==1 ordered by (ts, bucket))
+    uniq, first_pos, counts = np.unique(t, return_index=True,
+                                        return_counts=True)
+    for k in np.nonzero(counts > 1)[0]:
+        i0, n = first_pos[k], counts[k]
+        pid = int(b[i0:i0 + n].min())
+        rows.append((snapshot_id, pid, "unique_key", None, None, None,
+                     conv_id, int(uniq[k]),
+                     json.dumps({"n_copies": int(n)},
+                                separators=(",", ":"))))
+
+    # ordering: lag over the (turn_idx, ts)-sorted rows
+    if len(t) > 1:
+        prev_t, cur_t = t[:-1], t[1:]
+        prev_s, cur_s = s[:-1], s[1:]
+        cur_b = b[1:]
+        for i in np.nonzero(cur_t > prev_t + 1)[0]:
+            rows.append((snapshot_id, int(cur_b[i]), "turn_gap", None,
+                         None, None, conv_id, int(cur_t[i]),
+                         json.dumps({"prev_idx": int(prev_t[i]),
+                                     "missing": int(cur_t[i] - prev_t[i] - 1)},
+                                    separators=(",", ":"))))
+        for i in np.nonzero(cur_t == prev_t)[0]:
+            rows.append((snapshot_id, int(cur_b[i]), "turn_dup", None,
+                         None, None, conv_id, int(cur_t[i]),
+                         json.dumps({"prev_idx": int(prev_t[i])},
+                                    separators=(",", ":"))))
+        fmt = (lambda us: pd.Timestamp(us, unit="us", tz="UTC")
+               .strftime("%Y-%m-%dT%H:%M:%SZ"))
+        for i in np.nonzero(cur_s < prev_s)[0]:
+            rows.append((snapshot_id, int(cur_b[i]), "ts_order", None,
+                         None, None, conv_id, int(cur_t[i]),
+                         json.dumps({"prev_ts": fmt(prev_s[i]),
+                                     "ts": fmt(cur_s[i])},
+                                    separators=(",", ":"))))
+    return pd.DataFrame(
+        rows, columns=["snapshot_id", "partition_id", "check_id",
+                       "mgu_failure", "schema_1", "schema_2",
+                       "conv_id", "turn_idx", "payload"])
+
+
+def conv_state_checks(sdf: DataFrame, snapshot_id: str) -> DataFrame:
+    """Stateful uniqueness + ordering over a turn stream, keyed by conv_id
+    (``applyInPandasWithState``, Arrow-batched). UPDATE semantics: a
+    micro-batch that touches a conversation re-emits that conversation's
+    full current violation set; keep the latest set per conv_id downstream.
+    Once a conversation is fully ingested its emitted set equals the batch
+    engine's rows for that conversation exactly (tests/test_streaming.py).
+    """
+    def fn(key: Tuple[str], pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        conv_id = key[0]
+        if state.exists:
+            t_prev, s_prev, b_prev = state.get
+        else:
+            t_prev, s_prev, b_prev = [], [], []
+        t_new, s_new, b_new = [], [], []
+        for pdf in pdfs:
+            t_new.append(pdf["turn_idx"].to_numpy(dtype=np.int64))
+            s_new.append(pdf["ts"].astype("datetime64[us]")
+                         .to_numpy().astype(np.int64))
+            b_new.append(pdf["bucket"].to_numpy(dtype=np.int32))
+        turn = np.concatenate([np.asarray(t_prev, dtype=np.int64)] + t_new)
+        ts_us = np.concatenate([np.asarray(s_prev, dtype=np.int64)] + s_new)
+        bucket = np.concatenate([np.asarray(b_prev, dtype=np.int32)] + b_new)
+        state.update((turn.tolist(), ts_us.tolist(), bucket.tolist()))
+        yield _conv_violations(snapshot_id, conv_id, turn, ts_us, bucket)
+
+    return (sdf.select("conv_id", "turn_idx", "ts", "bucket")
+            .groupBy("conv_id")
+            .applyInPandasWithState(
+                fn,
+                outputStructType=VIOLATION_DDL,
+                stateStructType=CONV_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+# ---------------------------------------------------------------------------
+# windowed column stats on a stream (D7, stream form)
+# ---------------------------------------------------------------------------
+
+def window_stats_stream(sdf: DataFrame, window_duration: str = "1 hour",
+                        watermark: str | None = None) -> DataFrame:
+    """Per-event-time-window column stats — built-in incremental window
+    aggregation (complete/update mode without a watermark; append with
+    one). Matches the batch groupBy(window(ts)) on the same data exactly
+    (asserted in tests)."""
+    base = sdf
+    if watermark is not None:
+        base = base.withWatermark("ts", watermark)
+    return (base
+            .groupBy(F.window("ts", window_duration).alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.col("tool").isNull().cast("long")).alias("n_tool_null"),
+                 F.min("turn_idx").alias("min_turn"),
+                 F.max("turn_idx").alias("max_turn"),
+                 F.avg(F.length("text")).alias("avg_text_len"))
+            .select(F.col("w.start").alias("w_start"),
+                    F.col("w.end").alias("w_end"),
+                    "n_rows", "n_tool_null", "min_turn", "max_turn",
+                    "avg_text_len"))
