@@ -3,13 +3,13 @@
 All Spark-first, no Python in the hot path:
 
 - exact:        md5 hash-groupBy duplicate groups
-- set-sim:      inverted-index shingle join with exact Jaccard verify —
-                the standard distributed set-similarity join (explode
-                distinct shingles, equi-join on shingle). Skew guard:
-                shingles with document frequency > max_df are dropped
-                from CANDIDATE generation (drop_hot_tokens — the
-                stop-shingle / prefix-filter cap); verification computes
-                exact Jaccard over the FULL shingle sets.
+- set-sim:      inverted-index shingle join, the standard distributed
+                set-similarity join (explode distinct shingles, equi-join
+                on shingle, count intersections IN the aggregation). Skew
+                guard: shingles with document frequency > max_df are
+                dropped from the join (drop_hot_tokens — the stop-shingle
+                / prefix-filter cap) and re-enter exactly via tiny
+                per-doc hot-shingle sets, so scores stay exact.
 - MinHash+LSH:  per-doc signature via array_min over hashed shingles
                 (NO explode, narrow transform), banded bucket join for
                 candidates, exact-Jaccard verification of candidates.
@@ -90,40 +90,70 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                   threshold: float = 0.5,
                   max_df: int = 1024) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs: capped inverted-index
-    candidate generation + exact verification.
+    candidate generation with aggregation-side intersection counting.
 
-    Plan: shingles -> explode -> drop shingles with document frequency >
-    ``max_df`` (stop-shingle cap; see ``drop_hot_tokens``) -> self-equi-join
-    on shingle (id1 < id2) -> DISTINCT candidate pairs -> join the full
-    shingle sets back and compute EXACT Jaccard (array_intersect/union
-    over every shingle, including the hot ones) -> threshold filter.
+    Plan: shingles -> explode -> split hot (document frequency >
+    ``max_df``; the stop-shingle / prefix-filter cap, see
+    ``drop_hot_tokens``) from cold -> self-equi-join the COLD postings
+    (id1 < id2) -> groupBy(pair) count = |cold intersection| (map-side
+    partial agg absorbs the pair fan-out; no per-pair array work) ->
+    join per-doc stats (shingle count + the doc's tiny hot-shingle set)
+    and add |hot_1 ∩ hot_2| back -> EXACT Jaccard
+    n_inter / (n1 + n2 - n_inter) -> threshold filter.
 
-    The cap bounds each reducer's pair expansion at max_df^2/2 while the
-    verification step keeps emitted scores exact — a pair is only missed
-    if EVERY shingle it shares is hot, which at any sane cap means the
-    pair is wall-to-wall boilerplate (and exact-dedup territory).
+    The cap bounds each reducer's pair expansion at max_df^2/2; emitted
+    scores stay exact because the hot shingles re-enter through the
+    per-doc hot sets (bounded: a doc rarely holds many corpus-head
+    shingles, and the correction join is doc-level, not pair-explosion
+    level). A pair is only missed entirely if EVERY shingle it shares is
+    hot — wall-to-wall boilerplate, exact-dedup territory.
     ``max_df=None`` disables the cap.
+
+    Perf note: a previous version verified candidates by re-joining the
+    FULL shingle arrays and computing array_intersect per pair — per-pair
+    O(|shingles|) work over a candidate set that is quadratic in shingle
+    frequency, 9x slower at sf0.1. Counting intersections IN the join
+    aggregation keeps the work linear in posting-list pair rows.
     """
     docs = (with_shingles(df.select(id_col, text_col), text_col, k)
-            .select(F.col(id_col).alias("doc"), "shingles"))
+            .select(F.col(id_col).alias("doc"), "shingles",
+                    F.size("shingles").alias("n_sh")))
     sh = (docs.select("doc", F.explode("shingles").alias("sh"))
           .filter(F.col("sh") != ""))
+
     if max_df is not None:
-        sh = drop_hot_tokens(sh, "sh", max_df)
-    a, b = sh.alias("a"), sh.alias("b")
-    cand = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
-                   & (F.col("a.doc") < F.col("b.doc")))
-            .select(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
-            .distinct())
-    s1, s2 = docs.alias("s1"), docs.alias("s2")
-    return (cand
+        hot = (sh.groupBy("sh")
+               .agg(F.count(F.lit(1)).alias("_df"))
+               .filter(F.col("_df") > max_df)
+               .select("sh"))
+        cold = sh.join(F.broadcast(hot), "sh", "left_anti")
+        hot_per_doc = (sh.join(F.broadcast(hot), "sh", "left_semi")
+                       .groupBy("doc")
+                       .agg(F.collect_set("sh").alias("hot_sh")))
+        stats = (docs.select("doc", "n_sh")
+                 .join(hot_per_doc, "doc", "left")
+                 .select("doc", "n_sh",
+                         F.coalesce("hot_sh", F.array().cast("array<string>"))
+                         .alias("hot_sh")))
+    else:
+        cold = sh
+        stats = docs.select("doc", "n_sh",
+                            F.array().cast("array<string>").alias("hot_sh"))
+
+    a, b = cold.alias("a"), cold.alias("b")
+    inter = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
+                    & (F.col("a.doc") < F.col("b.doc")))
+             .groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+             .agg(F.count(F.lit(1)).alias("n_cold")))
+    s1, s2 = stats.alias("s1"), stats.alias("s2")
+    n_inter = (F.col("n_cold")
+               + F.size(F.array_intersect("s1.hot_sh", "s2.hot_sh")))
+    return (inter
             .join(s1, F.col("d1") == F.col("s1.doc"))
             .join(s2, F.col("d2") == F.col("s2.doc"))
             .select("d1", "d2",
-                    F.round(
-                        F.size(F.array_intersect("s1.shingles", "s2.shingles"))
-                        / F.size(F.array_union("s1.shingles", "s2.shingles")),
-                        4).alias("jaccard"))
+                    F.round(n_inter / (F.col("s1.n_sh") + F.col("s2.n_sh")
+                                       - n_inter), 4).alias("jaccard"))
             .filter(F.col("jaccard") >= threshold)
             .orderBy("d1", "d2"))
 
