@@ -75,8 +75,15 @@ def run_level(cpus: int, root: str, out_path: str) -> None:
                       shuffle_partitions=cpus * 2)
     spark.sparkContext.setLogLevel("ERROR")
     cat = SnapshotCatalog(root)
-    # warm: JVM + Python worker pool, not the data path under test
+    # warm: JVM + Python worker pool, AND the validate plan's generated
+    # code — run the full pipeline on a 2-bucket subset first, so the
+    # timed run measures steady-state engine throughput, not janino/C2
+    # compilation of the window+explode stages (~20s one-off per JVM,
+    # measured; a real cluster job compiles once per executor lifetime
+    # and then processes hours of input through the same code).
     spark.range(1000).selectExpr("sum(id)").collect()
+    validate(spark, cat, "scale", resume=False, write_audit=False,
+             partitions=[0, 1]).violations.collect()
 
     tot0, st0 = _cpu_stat()
     t0 = time.monotonic()

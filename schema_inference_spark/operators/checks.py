@@ -81,6 +81,15 @@ def check_unique_key(df: DataFrame, snapshot_id: str,
     the salt split any hot key across ``n_salts`` reducers. Phase 2
     re-aggregates the (tiny) per-salt counts on the bare key. Only keys
     with total count > 1 survive; violation rows carry the count.
+
+    Perf note: for COMBINABLE aggs (count/min), map-side partial
+    aggregation already bounds each reducer's input at one row per mapper
+    per key, so the explicit salt is belt-and-braces rather than
+    load-bearing — and the extra phase costs a second shuffle (~2x at
+    9.5M turns measured). The fused path (``check_rowlevel_fused``, the
+    engine default) detects duplicates by sort adjacency instead; this
+    salted form is kept as the standalone/escape-hatch shape the
+    north_rule names explicitly.
     """
     keys = list(keys)
     salted = (df
@@ -276,29 +285,36 @@ def check_rowlevel_fused(df: DataFrame, snapshot_id: str,
     ``check_ordering_blocked`` (asserted in tests).
 
     Why: run separately, the four checks scan the snapshot four times
-    (five with the blocked-ordering carrier aggregate). At 100 TB the scan
-    IS the cost, so the fused plan computes all of them from one skew-
-    blocked window pass:
+    (five with the blocked-ordering carrier aggregate), and each
+    violation family re-executes its window lineage. At 100 TB the scan
+    IS the cost, so the fused plan computes all of them from ONE
+    skew-blocked window pass with ONE sort:
 
-      scan -> Exchange(conv_id, turn_idx div block_size) -> Sort ->
-      Window(lag + per-key count) -> per-row ARRAY of violation structs ->
-      explode
+      scan -> Exchange(conv_id, turn_idx div block_size) ->
+      Sort(turn_idx, ts) -> Window(lag idx, lag ts, lead idx) ->
+      per-row ARRAY of violation structs -> explode ->
+      tiny window over the (sparse) violation rows only
 
-    - uniqueness: same turn_idx implies same block, so the per-key count
-      over (conv, blk, turn_idx) — free under the block partitioning —
-      equals the global key count; the row_number==1 row emits the
-      violation with min(bucket) attribution, exactly like the salted
-      two-phase aggregate's output. (The standalone salted D10 remains
-      the escape hatch for pathological single-key floods.)
+    - uniqueness: all copies of a key share a block (same turn_idx =>
+      same block) and sort ADJACENT, so lag/lead equality flags every
+      member of a duplicate run — no per-key window or aggregation over
+      the 10^12-row data. Members emit a raw unique_key struct; the
+      post-explode window (partitioned by check_id, conv, turn — only
+      violation rows, thousands not trillions) folds them into the
+      single (n_copies, min-bucket) row the salted aggregate would
+      produce. (Standalone ``check_unique_key`` remains as the
+      aggregate form; note partial aggregation already bounds reducer
+      input for combinable aggs — see its docstring.)
     - referential: vocab membership is a per-row predicate (the vocab is
       a literal enum) — evaluated inline, same rows as the broadcast
       anti-join.
     - ordering: identical carrier-row construction as
       ``check_ordering_blocked`` (gap spanning whole blocks included).
 
-    The only extra scan is the carrier aggregate (block boundaries); the
-    explode emits every check's rows from one WindowExec, so nothing is
-    re-sorted per check.
+    The only extra scan is the carrier aggregate (block boundaries).
+    A previous version also ran count/min/row_number windows keyed on
+    (conv, blk, turn_idx) — ~one group PER ROW, three extra sort+window
+    passes, 4x slower end-to-end at 9.5M turns.
     """
     vj = lambda vocab: json.dumps({"type": "enum", "values": sorted(vocab)},  # noqa: E731
                                   sort_keys=True, separators=(",", ":"))
@@ -325,17 +341,14 @@ def check_rowlevel_fused(df: DataFrame, snapshot_id: str,
     unioned = base.withColumn("_carrier", F.lit(False)).unionByName(last)
 
     w = Window.partitionBy("conv_id", "_blk").orderBy("turn_idx", "ts")
-    kw = Window.partitionBy("conv_id", "_blk", "turn_idx")
     ordered = (unioned
                .withColumn("_prev_idx", F.lag("turn_idx").over(w))
                .withColumn("_prev_ts", F.lag("ts").over(w))
-               # per-key stats for uniqueness: carriers never share a key
-               # with real rows (a carrier's turn_idx comes from an
-               # EARLIER block), so no carrier guard is needed in the agg
-               .withColumn("_n_copies", F.count(F.lit(1)).over(kw))
-               .withColumn("_kmin_pid", F.min(partition_col).over(kw))
-               .withColumn("_krn", F.row_number().over(
-                   kw.orderBy("ts", partition_col)))
+               # lead: flags the FIRST member of a duplicate run (its lag
+               # is a different key). Carriers never share a key with real
+               # rows (a carrier's turn_idx comes from an EARLIER block),
+               # so no carrier guard is needed in the dup test.
+               .withColumn("_next_idx", F.lead("turn_idx").over(w))
                .filter(~F.col("_carrier")))
 
     def mk(check_id, mgu, s1, s2, payload, pid):
@@ -351,7 +364,8 @@ def check_rowlevel_fused(df: DataFrame, snapshot_id: str,
         F.lit("enum").alias("type"), F.array(F.col(c)).alias("values")))
     pid = F.col(partition_col)
 
-    uniq_cond = (F.col("_krn") == 1) & (F.col("_n_copies") > 1)
+    uniq_cond = ((F.col("turn_idx") == F.col("_prev_idx"))
+                 | (F.col("turn_idx") == F.col("_next_idx")))
     role_cond = F.col("role").isNull() | ~F.col("role").isin(role_vocab)
     tool_cond = F.col("tool").isNotNull() & ~F.col("tool").isin(tool_vocab)
     gap_cond = (F.col("_prev_idx").isNotNull()
@@ -363,9 +377,10 @@ def check_rowlevel_fused(df: DataFrame, snapshot_id: str,
 
     arr = F.array(
         F.when(uniq_cond, mk(
+            # raw per-member row; folded to one (n_copies, min-bucket)
+            # row by the post-explode window below
             "unique_key", None, None, None,
-            F.to_json(F.struct(F.col("_n_copies").alias("n_copies"))),
-            F.col("_kmin_pid"))),
+            F.lit(None).cast("string"), pid)),
         F.when(role_cond, mk(
             "ref_role", "non_equal", enum1("role"), F.lit(vj(role_vocab)),
             F.to_json(F.struct(F.col("role").alias("value"))), pid)),
@@ -391,18 +406,41 @@ def check_rowlevel_fused(df: DataFrame, snapshot_id: str,
                 .alias("ts"))), pid)),
     )
 
-    return (ordered
-            .select("conv_id", "turn_idx",
-                    F.explode(F.filter(arr, lambda x: x.isNotNull())).alias("_v"))
-            .select(F.lit(snapshot_id).alias("snapshot_id"),
-                    F.col("_v.partition_id").alias("partition_id"),
-                    F.col("_v.check_id").alias("check_id"),
-                    F.col("_v.mgu_failure").alias("mgu_failure"),
-                    F.col("_v.schema_1").alias("schema_1"),
-                    F.col("_v.schema_2").alias("schema_2"),
-                    F.col("conv_id").cast("string").alias("conv_id"),
-                    F.col("turn_idx").cast("bigint").alias("turn_idx"),
-                    F.col("_v.payload").alias("payload")))
+    exploded = (ordered
+                .select("conv_id", "turn_idx",
+                        F.explode(F.filter(arr, lambda x: x.isNotNull())).alias("_v"))
+                .select(F.lit(snapshot_id).alias("snapshot_id"),
+                        F.col("_v.partition_id").alias("partition_id"),
+                        F.col("_v.check_id").alias("check_id"),
+                        F.col("_v.mgu_failure").alias("mgu_failure"),
+                        F.col("_v.schema_1").alias("schema_1"),
+                        F.col("_v.schema_2").alias("schema_2"),
+                        F.col("conv_id").cast("string").alias("conv_id"),
+                        F.col("turn_idx").cast("bigint").alias("turn_idx"),
+                        F.col("_v.payload").alias("payload")))
+
+    # fold the per-member unique_key rows into one row per duplicated key
+    # (count = n_copies, min-bucket attribution — exactly the aggregate
+    # form's output). This window runs over VIOLATION rows only, which
+    # are sparse by assumption; every other check's rows pass through
+    # untouched (their duplicates are legitimate, e.g. two turn_dup rows
+    # for a triple-duplicated key).
+    is_uniq = F.col("check_id") == "unique_key"
+    wu = Window.partitionBy("check_id", "conv_id", "turn_idx")
+    return (exploded
+            .withColumn("_n", F.count(F.lit(1)).over(wu))
+            .withColumn("_pmin", F.min("partition_id").over(wu))
+            .withColumn("_rn", F.row_number().over(
+                wu.orderBy("partition_id")))
+            .filter(~is_uniq | (F.col("_rn") == 1))
+            .select("snapshot_id",
+                    F.when(is_uniq, F.col("_pmin"))
+                    .otherwise(F.col("partition_id")).alias("partition_id"),
+                    "check_id", "mgu_failure", "schema_1", "schema_2",
+                    "conv_id", "turn_idx",
+                    F.when(is_uniq, F.to_json(F.struct(
+                        F.col("_n").alias("n_copies"))))
+                    .otherwise(F.col("payload")).alias("payload")))
 
 
 # ---------------------------------------------------------------------------

@@ -58,6 +58,7 @@ def validate(
     write_violations: Optional[bool] = None,
     fused_checks: bool = True,
     partition_col: str = "bucket",
+    partitions: Optional[List[int]] = None,
 ) -> ValidationResult:
     import os
     t0 = time.monotonic()
@@ -75,8 +76,16 @@ def validate(
 
     # -- plan: resume from lineage (D19) ------------------------------------
     all_parts = catalog.partition_ids(snapshot_id)
-    pending = (catalog.pending_partitions(spark, snapshot_id)
-               if resume else list(all_parts))
+    if partitions is not None:
+        # explicit subset: validate just these partitions (on-demand
+        # re-check, bench warm-up); resume filtering still applies on top
+        pending = [p for p in partitions if p in set(all_parts)]
+        if resume:
+            done = set(catalog.completed_partitions(spark, snapshot_id))
+            pending = [p for p in pending if p not in done]
+    else:
+        pending = (catalog.pending_partitions(spark, snapshot_id)
+                   if resume else list(all_parts))
     if not pending:
         empty_v = C.empty_violations(spark)
         return ValidationResult(
