@@ -76,14 +76,20 @@ def run_level(cpus: int, root: str, out_path: str) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     cat = SnapshotCatalog(root)
     # warm: JVM + Python worker pool, AND the validate plan's generated
-    # code — run the full pipeline on a 2-bucket subset first, so the
-    # timed run measures steady-state engine throughput, not janino/C2
-    # compilation of the window+explode stages (~20s one-off per JVM,
-    # measured; a real cluster job compiles once per executor lifetime
-    # and then processes hours of input through the same code).
+    # code — the first execution of a plan pays janino+C2 compilation
+    # (measured 5x: 29s first run vs 6s repeats of the identical query),
+    # so run the FULL job once discarded, then measure the second run.
+    # Steady state is the honest target: a real cluster job compiles once
+    # per executor lifetime and then processes hours of input through the
+    # same generated code.
     spark.range(1000).selectExpr("sum(id)").collect()
-    validate(spark, cat, "scale", resume=False, write_audit=False,
-             partitions=[0, 1]).violations.collect()
+    warm = validate(spark, cat, "scale", resume=False, write_audit=False)
+    warm.violations.collect()
+    # unpersist the warm run's cached violations: the measured run builds
+    # an IDENTICAL logical plan and Spark's cache manager would otherwise
+    # serve it from memory, measuring a cache read instead of the engine
+    warm.violations.unpersist(blocking=True)
+    spark.catalog.clearCache()
 
     tot0, st0 = _cpu_stat()
     t0 = time.monotonic()
