@@ -150,6 +150,30 @@ def check_referential(df: DataFrame, snapshot_id: str, column: str,
 # D12 — turn ordering: gaps, duplicates, ts regressions in ONE window pass
 # ---------------------------------------------------------------------------
 
+# 10^20: strictly above any unix_micros value, so (turn_idx, ts) packs into
+# one decimal(38,0) whose numeric order equals the lexicographic order the
+# blocked window sorts by. Why pack: max(struct(...)) cannot use the
+# mutable hash-aggregation buffer and falls back to SortAggregate — two
+# full sorts of the table just to find block boundaries; max(decimal)
+# hash-aggregates with map-side partials (verified: HashAggregate in plan,
+# decode byte-equal). Requires turn_idx >= 0 (reference invariant).
+_PACK = "100000000000000000000"
+
+
+def _pack_turn_ts():
+    return F.expr("cast(turn_idx as decimal(38,0))"
+                  f" * cast('{_PACK}' as decimal(38,0))"
+                  " + cast(unix_micros(ts) as decimal(38,0))")
+
+
+def _unpack_turn(col):
+    return (col / F.expr(f"cast('{_PACK}' as decimal(38,0))")).cast("long")
+
+
+def _unpack_ts(col):
+    return F.timestamp_micros(
+        (col % F.expr(f"cast('{_PACK}' as decimal(38,0))")).cast("long"))
+
 def check_ordering(df: DataFrame, snapshot_id: str,
                    partition_col: str = "bucket") -> DataFrame:
     """Window over (conv_id ORDER BY turn_idx, ts): a single shuffle on
@@ -219,21 +243,23 @@ def check_ordering_blocked(df: DataFrame, snapshot_id: str,
     base = (df.select(partition_col, "conv_id", "turn_idx", "ts")
             .withColumn("_blk", F.floor(F.col("turn_idx") / block_size)))
 
-    # last row of each (conv, block) by (turn_idx, ts): max on a struct
-    # ordered by the same keys the window sorts on. The carrier goes to
-    # the next NON-EMPTY block (a gap can span whole blocks), found with a
-    # lead() over the per-conv block list — rows there = #blocks per conv,
-    # so that window is tiny and skew-free by construction.
+    # last row of each (conv, block) by (turn_idx, ts): max of the packed
+    # decimal key (see _pack_turn_ts — hash-aggregable, unlike a struct
+    # max). The carrier goes to the next NON-EMPTY block (a gap can span
+    # whole blocks), found with a lead() over the per-conv block list —
+    # rows there = #blocks per conv, so that window is tiny and skew-free
+    # by construction. The carrier's partition id is never emitted
+    # (carriers are filtered before violation shaping), so it carries 0.
     blk_last = (base.groupBy("conv_id", "_blk")
-                .agg(F.max(F.struct("turn_idx", "ts", partition_col)).alias("_m")))
+                .agg(F.max(_pack_turn_ts()).alias("_o")))
     wb = Window.partitionBy("conv_id").orderBy("_blk")
     last = (blk_last
             .withColumn("_next_blk", F.lead("_blk").over(wb))
             .filter(F.col("_next_blk").isNotNull())
             .select("conv_id", F.col("_next_blk").alias("_blk"),
-                    F.col("_m.turn_idx").alias("turn_idx"),
-                    F.col("_m.ts").alias("ts"),
-                    F.col(f"_m.{partition_col}").alias(partition_col),
+                    _unpack_turn(F.col("_o")).alias("turn_idx"),
+                    _unpack_ts(F.col("_o")).alias("ts"),
+                    F.lit(0).alias(partition_col),
                     F.lit(True).alias("_carrier")))
 
     unioned = base.withColumn("_carrier", F.lit(False)).unionByName(last)
@@ -356,17 +382,18 @@ def check_rowlevel_fused(df: DataFrame, snapshot_id: str,
     empty_vv = F.array().cast(base.schema["_vv"].dataType.simpleString())
 
     # carrier rows: each block's last row injected into the next
-    # NON-EMPTY block (same construction as check_ordering_blocked)
+    # NON-EMPTY block (same construction as check_ordering_blocked,
+    # same packed-decimal hash aggregate — see _pack_turn_ts)
     blk_last = (base.groupBy("conv_id", "_blk")
-                .agg(F.max(F.struct("turn_idx", "ts", partition_col)).alias("_m")))
+                .agg(F.max(_pack_turn_ts()).alias("_o")))
     wb = Window.partitionBy("conv_id").orderBy("_blk")
     last = (blk_last
             .withColumn("_next_blk", F.lead("_blk").over(wb))
             .filter(F.col("_next_blk").isNotNull())
             .select("conv_id", F.col("_next_blk").alias("_blk"),
-                    F.col("_m.turn_idx").alias("turn_idx"),
-                    F.col("_m.ts").alias("ts"),
-                    F.col(f"_m.{partition_col}").alias(partition_col),
+                    _unpack_turn(F.col("_o")).alias("turn_idx"),
+                    _unpack_ts(F.col("_o")).alias("ts"),
+                    F.lit(0).alias(partition_col),
                     empty_vv.alias("_vv"),
                     F.lit(True).alias("_carrier")))
     unioned = base.withColumn("_carrier", F.lit(False)).unionByName(last)
