@@ -328,6 +328,73 @@ ORDER BY user_id
 """
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (operators/sessions.py): per-user session
+    assignment at a 1-hour inactivity gap, aggregated to per-session
+    stats. One shuffle on the key; lag + running-sum windows share the
+    same sort."""
+    from .operators.sessions import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev.select("user_id", "ts", "event_id"),
+                   "user_id", "ts", 3600.0, order_cols=["event_id"])
+    # NTZ needs the hop via TIMESTAMP before double (same as session_stats)
+    epoch = F.col("ts").cast("timestamp").cast("double")
+    return (s.groupBy("user_id", "sess_idx")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.max(epoch) - F.min(epoch), 3).alias("dur_s"))
+            .filter(F.col("n_events") >= 3)
+            .orderBy("user_id", "sess_idx"))
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 3600 THEN 1
+              ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sess_idx
+  FROM g
+)
+SELECT user_id, sess_idx, count(*) AS n_events,
+       round(epoch(max(ts)) - epoch(min(ts)), 3) AS dur_s
+FROM s GROUP BY user_id, sess_idx
+HAVING count(*) >= 3
+ORDER BY user_id, sess_idx
+"""
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic per-stratum sample (operators/sessions.py): 5 events
+    per event_type ranked by md5(event_id) — identical rows in any engine
+    with md5, i.e. a reproducible training-data sample."""
+    from .operators.sessions import stratified_sample
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    s = stratified_sample(ev.select("event_type", "event_id"),
+                          "event_type", "event_id", 5)
+    return (s.select("event_type", "event_id",
+                     F.col("sample_rank").cast("bigint").alias("sample_rank"))
+            .orderBy("event_type", "sample_rank"))
+
+
+SQL_SAMPLE_STRATIFIED = """
+SELECT event_type, event_id, sample_rank FROM (
+  SELECT event_type, event_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY md5(CAST(event_id AS VARCHAR)), event_id)
+           AS sample_rank
+  FROM events WHERE event_type IS NOT NULL
+) WHERE sample_rank <= 5
+ORDER BY event_type, sample_rank
+"""
+
+
 # ---------------------------------------------------------------------------
 # Relational core (D3/D15/D22): pruning, joins, top-k
 # ---------------------------------------------------------------------------
@@ -439,6 +506,8 @@ CORE_QUERIES: Dict[str, Callable] = {
     "vocab_diff": q_vocab_diff,
     "ordering": q_ordering,
     "session_stats": q_session_stats,
+    "sessionize": q_sessionize,
+    "sample_stratified": q_sample_stratified,
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
     "top_orders": q_top_orders,
@@ -458,6 +527,8 @@ CORE_ORACLES: Dict[str, str] = {
     "vocab_diff": SQL_VOCAB_DIFF,
     "ordering": SQL_ORDERING,
     "session_stats": SQL_SESSION_STATS,
+    "sessionize": SQL_SESSIONIZE,
+    "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "segment_revenue": SQL_SEGMENT_REVENUE,
     "top_orders": SQL_TOP_ORDERS,
