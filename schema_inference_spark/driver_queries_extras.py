@@ -76,6 +76,21 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return D.minhash_lsh_dedup(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
+def q_dedup_groups(spark, sf_dir):
+    """Duplicate GROUPS via connected components over the LSH near-dup
+    pair graph (operators/components.py): one row per group with the
+    canonical id and sorted members. Rows-only (iterative min-label
+    propagation is not SQL-expressible without recursion); the gate is
+    the union-find equivalence tests in tests/test_components.py."""
+    from .operators.components import dedup_groups
+
+    pairs = D.minhash_lsh_dedup(_t(spark, sf_dir, "documents"),
+                                threshold=0.5)
+    return dedup_groups(pairs).select(
+        "canonical_id", F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.concat_ws(",", "members").alias("members"))
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash fingerprints per doc. Rows-only (engine hash)."""
     return D.simhash(_t(spark, sf_dir, "documents"))
@@ -287,6 +302,7 @@ EXTRA_QUERIES: Dict[str, Callable] = {
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_groups": q_dedup_groups,
     "dedup_simhash": q_dedup_simhash,
     "simhash_near_pairs": q_simhash_near_pairs,
     "cosine_topk": q_cosine_topk,
