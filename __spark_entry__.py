@@ -30,15 +30,26 @@ SF0001 = "/root/testdata/sf0.001"
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the validation suite over the sf0.001 `events` table
     (the transcripts stand-in, FIXTURES.md F7) — one row per check with its
-    violation count, in the spirit of the per-partition verdicts."""
+    violation count, in the spirit of the per-partition verdicts.
+
+    Declared as ONE plan (union of per-check count aggregates) so the
+    driver's single collect runs all four checks in one Spark job with
+    concurrently scheduled sub-trees, instead of four serial actions."""
+    from pyspark.sql import functions as F
+
     checks = {
         "unique_key": CORE_QUERIES["unique_key"],
         "ref_vocab": CORE_QUERIES["ref_vocab"],
         "ordering": CORE_QUERIES["ordering"],
         "vocab_diff": CORE_QUERIES["vocab_diff"],
     }
-    rows = [(name, fn(spark, SF0001).count()) for name, fn in sorted(checks.items())]
-    return spark.createDataFrame(rows, "check_id string, n_violations bigint")
+    out = None
+    for name, fn in sorted(checks.items()):
+        one = (fn(spark, SF0001)
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+               .select(F.lit(name).alias("check_id"), "n_violations"))
+        out = one if out is None else out.unionByName(one)
+    return out.orderBy("check_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
