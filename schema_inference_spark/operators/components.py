@@ -36,14 +36,48 @@ from pyspark.sql import functions as F
 
 
 def connected_components(pairs: DataFrame, src: str = "d1",
-                         dst: str = "d2", max_iter: int = 25) -> DataFrame:
+                         dst: str = "d2", max_iter: int = 25,
+                         driver_max_edges: int = 2_000_000) -> DataFrame:
     """(node, component) for every node that appears in ``pairs``;
-    ``component`` is the minimum node id in the node's component."""
+    ``component`` is the minimum node id in the node's component.
+
+    Hybrid execution: the near-dup pair graph is metadata-sized relative
+    to the corpus (only near-duplicates appear), so up to
+    ``driver_max_edges`` edges the exact union-find runs on the driver —
+    one collect of the (already materialized) edge list, microseconds of
+    CPU, zero iterative Spark jobs (the distributed loop costs ~3 jobs
+    PER ROUND in scheduling alone, 18s for a 233-group graph at sf0.1).
+    Same shape as IVF's driver-side quantizer training: driver work on a
+    bounded, sub-sampled artifact, never on the data path. Larger graphs
+    take the distributed min-label loop below.
+    """
     edges = (pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
              .unionByName(pairs.select(F.col(dst).alias("a"),
                                        F.col(src).alias("b")))
              .distinct()
              .localCheckpoint(eager=True))
+
+    if driver_max_edges and edges.count() <= driver_max_edges:
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in edges.collect():
+            ra, rb = find(r.a), find(r.b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        rows = sorted((x, find(x)) for x in parent)
+        node_t = edges.schema["a"].dataType.simpleString()
+        return pairs.sparkSession.createDataFrame(
+            rows, f"node {node_t}, component {node_t}")
+
     labels = (edges.select(F.col("a").alias("node"))
               .distinct()
               .withColumn("label", F.col("node")))

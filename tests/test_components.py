@@ -41,9 +41,13 @@ def pair_df(spark):
     return spark.createDataFrame(pairs, "d1 string, d2 string"), pairs
 
 
-def test_components_match_union_find(pair_df):
+@pytest.mark.parametrize("driver_max_edges", [2_000_000, 0],
+                         ids=["driver-unionfind", "distributed-loop"])
+def test_components_match_union_find(pair_df, driver_max_edges):
     df, pairs = pair_df
-    got = {r.node: r.component for r in connected_components(df).collect()}
+    got = {r.node: r.component
+           for r in connected_components(
+               df, driver_max_edges=driver_max_edges).collect()}
     assert got == union_find(pairs)
 
 
