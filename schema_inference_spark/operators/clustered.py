@@ -1,0 +1,428 @@
+"""Layout-aware row-level checks: ZERO-shuffle validation over clustered
+snapshots.
+
+``check_rowlevel_fused`` (checks.py) pays one Exchange + one full sort —
+the memory-bandwidth-bound stage that caps its N->4N scaling at ~0.74
+(BENCH/BASELINE.md). But a transcripts table written the way an Iceberg
+pipeline would write it — bucket-partitioned by conv_id with a declared
+write sort order of (conv_id, turn_idx, ts) — already has every
+conversation's turns contiguous and sorted on disk. Validation then needs
+NO shuffle at all: every check is a sequential lag over rows in scan
+order, evaluated vectorized per input split, with conversations spanning
+split boundaries stitched by per-segment boundary rows (a few hundred
+rows, not 10^12).
+
+Plan shape:
+
+    scan (pruned cols + _metadata position)
+      -> mapInArrow (pyarrow/numpy lag logic; no per-row Python)
+           emits: violation rows          (sparse)
+                  unique-key candidates   (sparse: dup runs + split edges)
+                  one boundary row per contiguous file segment
+      -> tiny window over boundary rows   (cross-split pairs)
+      -> tiny agg over unique-key rows    (split-spanning dup runs)
+
+The scan is embarrassingly parallel (file splits), so scaling follows the
+scan, not a sort; a hot conv_id is handled by the same mechanism that
+handles big files — byte-range splitting + boundary stitching — instead
+of turn-block salting. Output is row-identical to
+``check_rowlevel_fused`` (asserted in tests).
+
+Trust model: the path is selected only when the snapshot manifest
+declares the write order (``write_order`` — the Iceberg sort-order
+contract). The UDF *verifies* the declaration per split (conv contiguity
+via a seen-set, (turn_idx, ts) monotonicity per conv) and raises on a
+layout lie — a metadata/infrastructure failure, which is the one thing
+the engine is allowed to throw on (SURVEY.md §2.B: data errors are rows,
+never exceptions).
+
+Reference semantics carried over: violations are the same failure-object
+rows (util.clj:153-155) the shuffle path emits.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator, List
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+ROLE_NULL_SCHEMA = '{"type":"enum","values":[null]}'
+
+_OUT_DDL = (
+    "kind int, partition_id int, check_id string, mgu_failure string, "
+    "schema_1 string, schema_2 string, conv_id string, turn_idx bigint, "
+    "payload string, cnt bigint, fid int, pos bigint, "
+    "f_conv string, f_turn bigint, f_ts bigint, f_bucket int, "
+    "l_conv string, l_turn bigint, l_ts bigint"
+)
+
+_TS_FMT = "yyyy-MM-dd'T'HH:mm:ssXXX"
+
+
+def _vocab_json(vocab: List[str]) -> str:
+    return json.dumps({"type": "enum", "values": sorted(vocab)},
+                      sort_keys=True, separators=(",", ":"))
+
+
+def _ts_str(us: int) -> str:
+    """Second-precision UTC render matching Spark's
+    date_format(ts, "yyyy-MM-dd'T'HH:mm:ssXXX") under a UTC session tz
+    (XXX prints 'Z' at zero offset). Asserted byte-equal in tests."""
+    import datetime as _dt
+    return _dt.datetime.fromtimestamp(us // 1_000_000,
+                                      _dt.timezone.utc
+                                      ).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def _jstr(v) -> str:
+    return json.dumps(v, ensure_ascii=False)
+
+
+def _segment_checker(fid_of: dict, role_schema2: str, tool_schema2: str):
+    """Build the mapInArrow function. All per-row work is pyarrow/numpy;
+    Python objects materialize only for violation rows (sparse)."""
+    import numpy as np
+
+    def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:  # noqa: F821
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        try:
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(1)
+        except Exception:
+            pass
+
+        out: list = []
+
+        def emit_v(bucket, check_id, mgu, s1, s2, conv, turn, payload):
+            out.append((0, int(bucket), check_id, mgu, s1, s2, conv,
+                        int(turn), payload, None, None, None,
+                        None, None, None, None, None, None, None))
+
+        def emit_uk(bucket, conv, turn, cnt):
+            out.append((2, int(bucket), None, None, None, None, conv,
+                        int(turn), None, int(cnt), None, None,
+                        None, None, None, None, None, None, None))
+
+        # segment state (a segment = maximal run of rows from one file
+        # split, in scan order)
+        seg = None  # dict: fid, pos0, first=(conv,turn,ts,bucket), prev=(...)
+        run = None  # dict: conv, turn, cnt, bucket, at_seg_start
+        seen_convs: set = set()
+
+        def close_run(at_seg_end: bool):
+            nonlocal run
+            if run is None:
+                return
+            if run["cnt"] >= 2 or run["at_seg_start"] or at_seg_end:
+                emit_uk(run["bucket"], run["conv"], run["turn"], run["cnt"])
+            run = None
+
+        def close_segment():
+            nonlocal seg, seen_convs
+            if seg is None:
+                return
+            close_run(at_seg_end=True)
+            f_conv, f_turn, f_ts, f_bucket = seg["first"]
+            l_conv, l_turn, l_ts, _ = seg["prev"]
+            out.append((1, None, None, None, None, None, None, None, None,
+                        None, seg["fid"], seg["pos0"],
+                        f_conv, int(f_turn), int(f_ts), int(f_bucket),
+                        l_conv, int(l_turn), int(l_ts)))
+            seg = None
+            seen_convs = set()
+
+        def flush() -> Iterator["pa.RecordBatch"]:
+            nonlocal out
+            if out:
+                cols = list(zip(*out))
+                names = [f.strip().split(" ")[0] for f in _OUT_DDL.split(",")]
+                types = [pa.int32(), pa.int32(), pa.string(), pa.string(),
+                         pa.string(), pa.string(), pa.string(), pa.int64(),
+                         pa.string(), pa.int64(), pa.int32(), pa.int64(),
+                         pa.string(), pa.int64(), pa.int64(), pa.int32(),
+                         pa.string(), pa.int64(), pa.int64()]
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(c, type=t) for c, t in zip(cols, types)],
+                    names=names)
+                out = []
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            col = {name: batch.column(i)
+                   for i, name in enumerate(batch.schema.names)}
+            fh = col["_fh"].to_numpy(zero_copy_only=False)
+            conv = col["conv_id"]  # stays an Arrow string array
+            turn = col["turn_idx"].to_numpy(zero_copy_only=False)
+            # timestamp[us] -> epoch-us int64 (zero-copy buffer view)
+            ts = col["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            bucket = col["bucket"].to_numpy(zero_copy_only=False)
+            pos = col["pos"].to_numpy(zero_copy_only=False)
+            rb = col["rb"].to_numpy(zero_copy_only=False)
+            tb = col["tb"].to_numpy(zero_copy_only=False)
+            rv, tv = col["rv"], col["tv"]
+
+            # vocab checks: flags computed JVM-side; only flagged rows
+            # materialize their string value here
+            for i in np.flatnonzero(rb):
+                v = rv[i].as_py()
+                emit_v(bucket[i], "ref_role", "non_equal",
+                       ('{"type":"enum","values":[' + _jstr(v) + "]}"
+                        if v is not None else ROLE_NULL_SCHEMA),
+                       role_schema2, conv[int(i)].as_py(), turn[i],
+                       '{"value":' + _jstr(v) + "}" if v is not None else "{}")
+            for i in np.flatnonzero(tb):
+                v = tv[i].as_py()
+                emit_v(bucket[i], "ref_tool", "non_equal",
+                       '{"type":"enum","values":[' + _jstr(v) + "]}",
+                       tool_schema2, conv[int(i)].as_py(), turn[i],
+                       '{"value":' + _jstr(v) + "}")
+
+            # split the batch at file-split changes (rare): each chunk is
+            # one contiguous piece of one segment
+            change = np.flatnonzero(fh[1:] != fh[:-1]) + 1
+            starts = np.concatenate(([0], change, [n]))
+            for s, e in zip(starts[:-1], starts[1:]):
+                s, e = int(s), int(e)
+                if seg is not None and seg["fh"] != fh[s]:
+                    close_segment()
+                seg_started_here = seg is None
+                if seg is None:
+                    fid = fid_of.get(int(fh[s]))
+                    if fid is None:
+                        raise ValueError(
+                            "clustered checks: scan produced a file not in "
+                            "the snapshot manifest")
+                    seg = {"fh": fh[s], "fid": fid, "pos0": int(pos[s]),
+                           "first": (conv[s].as_py(), turn[s], ts[s],
+                                     bucket[s]),
+                           "prev": None}
+
+                # lag arrays for the chunk; index 0 pairs with seg["prev"]
+                m = e - s
+                c_same = np.empty(m, dtype=bool)
+                if m > 1:
+                    c_same[1:] = np.asarray(
+                        pc.equal(conv.slice(s + 1, m - 1),
+                                 conv.slice(s, m - 1)).fill_null(False))
+                p_turn = np.empty(m, dtype=np.int64)
+                p_ts = np.empty(m, dtype=np.int64)
+                p_turn[1:] = turn[s:e - 1]
+                p_ts[1:] = ts[s:e - 1]
+                if seg["prev"] is not None:
+                    pv_conv, pv_turn, pv_ts, _ = seg["prev"]
+                    c_same[0] = (conv[s].as_py() == pv_conv)
+                    p_turn[0], p_ts[0] = pv_turn, pv_ts
+                else:
+                    c_same[0] = False
+                    p_turn[0], p_ts[0] = 0, 0
+                t_ = turn[s:e]
+                ts_ = ts[s:e]
+                b_ = bucket[s:e]
+
+                # layout verification: within a conv, (turn, ts) must be
+                # non-decreasing in scan order (the declared sort order)
+                bad_sort = c_same & ((t_ < p_turn)
+                                     | ((t_ == p_turn) & (ts_ < p_ts)))
+                if bad_sort.any():
+                    i = int(np.flatnonzero(bad_sort)[0])
+                    raise ValueError(
+                        "clustered checks: manifest declares sort order "
+                        "(conv_id, turn_idx, ts) but conv "
+                        f"{conv[s + i].as_py()!r} is out of order at scan "
+                        f"position {int(pos[s + i])} — falling back to the "
+                        "shuffle path (check_rowlevel_fused) is required")
+                # conv contiguity: a conv may not reappear after changing
+                chg = np.flatnonzero(~c_same)
+                for i in chg:
+                    cv = conv[s + int(i)].as_py()
+                    if cv in seen_convs:
+                        raise ValueError(
+                            "clustered checks: manifest declares clustering "
+                            f"by conv_id but conv {cv!r} is non-contiguous "
+                            "in scan order — shuffle path required")
+                    seen_convs.add(cv)
+
+                gap = c_same & (t_ > p_turn + 1)
+                dup = c_same & (t_ == p_turn)
+                tsb = c_same & (ts_ < p_ts)
+                for i in np.flatnonzero(gap):
+                    emit_v(bucket[s + i], "turn_gap", None, None, None,
+                           conv[s + int(i)].as_py(), t_[i],
+                           '{"prev_idx":%d,"missing":%d}'
+                           % (p_turn[i], t_[i] - p_turn[i] - 1))
+                for i in np.flatnonzero(dup):
+                    emit_v(bucket[s + i], "turn_dup", None, None, None,
+                           conv[s + int(i)].as_py(), t_[i],
+                           '{"prev_idx":%d}' % p_turn[i])
+                for i in np.flatnonzero(tsb):
+                    emit_v(bucket[s + i], "ts_order", None, None, None,
+                           conv[s + int(i)].as_py(), t_[i],
+                           '{"prev_ts":"%s","ts":"%s"}'
+                           % (_ts_str(int(p_ts[i])), _ts_str(int(ts_[i]))))
+
+                # unique-key runs: maximal runs of equal (conv, turn).
+                # dup[i] == row i has the same key as row i-1, so a new
+                # run starts exactly where ~dup.
+                run_starts = np.flatnonzero(~dup)
+                if len(run_starts) == 0:
+                    # whole chunk continues the carried run
+                    run["cnt"] += m
+                    run["bucket"] = min(run["bucket"], int(b_.min()))
+                else:
+                    first = int(run_starts[0])
+                    if first > 0:
+                        run["cnt"] += first
+                        run["bucket"] = min(run["bucket"],
+                                            int(b_[:first].min()))
+                    bounds = np.concatenate((run_starts, [m]))
+                    for ri in range(len(run_starts)):
+                        rs, re = int(bounds[ri]), int(bounds[ri + 1])
+                        close_run(at_seg_end=False)
+                        run = {"conv": conv[s + rs].as_py(),
+                               "turn": int(t_[rs]),
+                               "cnt": re - rs,
+                               "bucket": int(b_[rs:re].min()),
+                               "at_seg_start": rs == 0 and seg_started_here}
+                seg["prev"] = (conv[e - 1].as_py(), turn[e - 1], ts[e - 1],
+                               bucket[e - 1])
+            yield from flush()
+        close_segment()
+        yield from flush()
+
+    return fn
+
+
+def check_rowlevel_clustered(spark: SparkSession, catalog, snapshot_id: str,
+                             pending: List[int], role_vocab: List[str],
+                             tool_vocab: List[str],
+                             partition_col: str = "bucket") -> DataFrame:
+    """All row-level checks (uniqueness, role/tool vocab, ordering) with
+    zero shuffle over a snapshot whose manifest declares the clustered
+    write order. Row-identical to ``check_rowlevel_fused``."""
+    # manifest-ordered file ids, addressed by the Spark-side xxhash64 of
+    # the bucket-relative path ("bucket=3/part-0.parquet") — 8 bytes/row
+    # over the Arrow boundary instead of the full path string
+    rels = []
+    man = catalog.manifest(snapshot_id)
+    keep = set(pending)
+    for p in man["partitions"]:
+        if p["partition_id"] in keep:
+            for fname in p["files"]:
+                rels.append(f'{p["path"]}/{fname}')
+    if rels:
+        hrows = (spark.createDataFrame([(r,) for r in rels], "rel string")
+                 .select("rel", F.xxhash64("rel").alias("h")).collect())
+        fid_of = {r.h: i for i, r in enumerate(hrows)}
+        if len(fid_of) != len(rels):
+            raise ValueError("clustered checks: xxhash64 collision across "
+                             "snapshot files — use the shuffle path")
+    else:
+        fid_of = {}
+
+    df = catalog.read_snapshot(spark, snapshot_id, list(pending))
+    rel = F.concat_ws(
+        "/", F.slice(F.split(F.col("_metadata.file_path"), "/"), -2, 2))
+    role_bad = F.col("role").isNull() | ~F.col("role").isin(role_vocab)
+    tool_bad = F.col("tool").isNotNull() & ~F.col("tool").isin(tool_vocab)
+    scan = df.select(
+        F.col(partition_col).cast("int").alias("bucket"),
+        F.col("conv_id").cast("string").alias("conv_id"),
+        F.col("turn_idx").cast("bigint").alias("turn_idx"),
+        F.col("ts").alias("ts"),
+        role_bad.alias("rb"),
+        F.when(role_bad, F.col("role")).alias("rv"),
+        tool_bad.alias("tb"),
+        F.when(tool_bad, F.col("tool")).alias("tv"),
+        F.xxhash64(rel).alias("_fh"),
+        F.col("_metadata.row_index").alias("pos"),
+    )
+    out = scan.mapInArrow(
+        _segment_checker(fid_of, _vocab_json(role_vocab),
+                         _vocab_json(tool_vocab)),
+        _OUT_DDL)
+
+    snap = F.lit(snapshot_id).alias("snapshot_id")
+    vcols = ["partition_id", "check_id", "mgu_failure", "schema_1",
+             "schema_2", "conv_id", "turn_idx", "payload"]
+    direct = out.filter(F.col("kind") == 0).select(snap, *vcols)
+
+    # split-spanning duplicate runs: per-key partial counts -> one row per
+    # duplicated key (same (n_copies, min-bucket) row the fused window
+    # folds to). Input is candidates only — sparse by construction.
+    uk = (out.filter(F.col("kind") == 2)
+          .groupBy("conv_id", "turn_idx")
+          .agg(F.sum("cnt").alias("n"), F.min("partition_id").alias("pid"))
+          .filter(F.col("n") > 1)
+          .select(snap, F.col("pid").alias("partition_id"),
+                  F.lit("unique_key").alias("check_id"),
+                  F.lit(None).cast("string").alias("mgu_failure"),
+                  F.lit(None).cast("string").alias("schema_1"),
+                  F.lit(None).cast("string").alias("schema_2"),
+                  "conv_id", "turn_idx",
+                  F.to_json(F.struct(F.col("n").alias("n_copies")))
+                  .alias("payload")))
+
+    # cross-split pairs: boundary rows ordered by manifest file order +
+    # in-file position reconstruct global scan order; lag gives each
+    # segment its predecessor's last row (rows here = #segments, tiny)
+    wb = Window.orderBy("fid", "pos")
+    b = (out.filter(F.col("kind") == 1)
+         .select("fid", "pos", "f_conv", "f_turn", "f_ts", "f_bucket",
+                 F.lag("l_conv").over(wb).alias("p_conv"),
+                 F.lag("l_turn").over(wb).alias("p_turn"),
+                 F.lag("l_ts").over(wb).alias("p_ts"))
+         .filter(F.col("p_conv") == F.col("f_conv")))
+
+    def bshape(cond, check_id, payload):
+        return (b.filter(cond)
+                .select(snap, F.col("f_bucket").alias("partition_id"),
+                        F.lit(check_id).alias("check_id"),
+                        F.lit(None).cast("string").alias("mgu_failure"),
+                        F.lit(None).cast("string").alias("schema_1"),
+                        F.lit(None).cast("string").alias("schema_2"),
+                        F.col("f_conv").alias("conv_id"),
+                        F.col("f_turn").alias("turn_idx"),
+                        payload.alias("payload")))
+
+    gap_b = bshape(F.col("f_turn") > F.col("p_turn") + 1, "turn_gap",
+                   F.to_json(F.struct(
+                       F.col("p_turn").cast("bigint").alias("prev_idx"),
+                       (F.col("f_turn") - F.col("p_turn") - 1)
+                       .cast("bigint").alias("missing"))))
+    dup_b = bshape(F.col("f_turn") == F.col("p_turn"), "turn_dup",
+                   F.to_json(F.struct(
+                       F.col("p_turn").cast("bigint").alias("prev_idx"))))
+    ts_b = bshape(F.col("f_ts") < F.col("p_ts"), "ts_order",
+                  F.to_json(F.struct(
+                      F.date_format(F.timestamp_micros("p_ts"), _TS_FMT)
+                      .alias("prev_ts"),
+                      F.date_format(F.timestamp_micros("f_ts"), _TS_FMT)
+                      .alias("ts"))))
+
+    return (direct.unionByName(uk).unionByName(gap_b)
+            .unionByName(dup_b).unionByName(ts_b))
+
+
+def census_uniform(census: dict, pending: List[int]) -> bool:
+    """True when every pending partition's footer census agrees on physical
+    column types — the precondition for the plain (non-widening) scan the
+    clustered path reads with."""
+    sigs = set()
+    for pid in pending:
+        cols = census.get(pid, {})
+        sigs.add(tuple(sorted((c, json.dumps(v["ir"], sort_keys=True))
+                              for c, v in cols.items())))
+    return len(sigs) <= 1
+
+
+def manifest_declares_order(manifest: dict) -> bool:
+    """True when the snapshot's write order guarantees the clustered
+    path's layout contract (the Iceberg sort-order seam)."""
+    wo = manifest.get("write_order") or {}
+    return (wo.get("clustered_by") == ["conv_id"]
+            and wo.get("sorted_by") == ["conv_id", "turn_idx", "ts"])

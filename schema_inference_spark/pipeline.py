@@ -57,6 +57,7 @@ def validate(
     write_audit: bool = True,
     write_violations: Optional[bool] = None,
     fused_checks: bool = True,
+    clustered_checks: Optional[bool] = None,
     partition_col: str = "bucket",
     partitions: Optional[List[int]] = None,
 ) -> ValidationResult:
@@ -112,7 +113,24 @@ def validate(
     snapshot_stats = prof["snapshot"]
 
     # -- constraint checks (D10-D12), declarative plans ----------------------
-    if fused_checks:
+    # path selection: clustered (zero-shuffle, layout-aware) when the
+    # manifest declares the write order — the Iceberg sort-order contract —
+    # else fused (one scan + one skew-blocked shuffle). clustered_checks
+    # forces it either way. All three paths are row-identical (tested).
+    from .operators.clustered import (census_uniform,
+                                      check_rowlevel_clustered,
+                                      manifest_declares_order)
+    use_clustered = (clustered_checks if clustered_checks is not None
+                     else manifest_declares_order(catalog.manifest(snapshot_id)))
+    # a cross-partition physical-type conflict forces the widening scan
+    # (read_snapshot_tolerant), which the layout fast path cannot use —
+    # those snapshots take the shuffle path regardless
+    use_clustered = use_clustered and census_uniform(inf.census, pending)
+    if use_clustered:
+        violations = check_rowlevel_clustered(
+            spark, catalog, snapshot_id, pending, role_vocab, tool_vocab,
+            partition_col)
+    elif fused_checks:
         # one scan + one skew-blocked shuffle produces every row-level
         # check's violations (row-identical to the separate plans, which
         # would scan the snapshot 4x; asserted in tests)

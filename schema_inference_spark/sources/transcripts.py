@@ -151,6 +151,7 @@ def write_snapshot(
     table: pa.Table,
     n_buckets: int = 8,
     type_conflict_partition: Optional[int] = None,
+    row_group_size: Optional[int] = None,
 ) -> Dict:
     """Write one snapshot as bucket-partitioned parquet + manifest.json.
 
@@ -172,7 +173,9 @@ def write_snapshot(
         part_dir = os.path.join(snap_dir, f"bucket={b}")
         os.makedirs(part_dir, exist_ok=True)
         fpath = os.path.join(part_dir, "part-0.parquet")
-        pq.write_table(part, fpath)
+        pq.write_table(part, fpath,
+                       **({"row_group_size": row_group_size}
+                          if row_group_size else {}))
         partitions.append({
             "partition_id": b,
             "path": f"bucket={b}",
@@ -187,6 +190,13 @@ def write_snapshot(
         "partition_by": "bucket",
         "partitions": partitions,
         "n_rows": table.num_rows,
+        # the Iceberg write-spec contract (partition spec + sort order):
+        # rows are bucket-partitioned by conv_id and written clustered by
+        # conv_id, sorted by (turn_idx, ts) within each conversation —
+        # which the generator guarantees. Declaring it lets validate()
+        # take the zero-shuffle clustered check path (operators/clustered).
+        "write_order": {"clustered_by": ["conv_id"],
+                        "sorted_by": ["conv_id", "turn_idx", "ts"]},
     }
     with open(os.path.join(snap_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)

@@ -1,0 +1,161 @@
+"""Layout-aware (zero-shuffle) row-level checks: row-identity against the
+fused shuffle path, split-boundary stitching, and layout-lie detection.
+"""
+
+import datetime
+
+import pyarrow as pa
+import pytest
+
+from schema_inference_spark.operators import checks as C
+from schema_inference_spark.operators.clustered import (
+    check_rowlevel_clustered, manifest_declares_order)
+from schema_inference_spark.pipeline import ROLE_VOCAB, TOOL_VOCAB, validate
+from schema_inference_spark.sources.catalog import SnapshotCatalog
+from schema_inference_spark.sources.transcripts import write_snapshot
+
+
+def rows_of(df):
+    return [r.asDict() for r in C.stable_order(df).collect()]
+
+
+def _clustered(spark, cat, snap):
+    return rows_of(check_rowlevel_clustered(
+        spark, cat, snap, cat.partition_ids(snap), ROLE_VOCAB, TOOL_VOCAB))
+
+
+def _fused(spark, cat, snap):
+    df = cat.read_snapshot(spark, snap)
+    return rows_of(C.check_rowlevel_fused(df, snap, ROLE_VOCAB, TOOL_VOCAB))
+
+
+def test_clustered_matches_fused_on_fixtures(spark, catalog):
+    """Every planted anomaly (dup key, gap, ts regression, bad role/tool)
+    produces byte-identical violation rows on both paths."""
+    for snap in ("s1", "s4"):
+        assert _clustered(spark, catalog, snap) == _fused(
+            spark, catalog, snap), snap
+
+
+def _mk_table(rows):
+    """rows: (conv, turn, role, tool, ts_minutes)."""
+    base = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+    return pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows], pa.string()),
+        "text": pa.array([f"t{i}" for i in range(len(rows))], pa.string()),
+        "tool": pa.array([r[3] for r in rows], pa.string()),
+        "ts": pa.array([base + datetime.timedelta(minutes=r[4])
+                        for r in rows], pa.timestamp("us", tz="UTC")),
+    })
+
+
+@pytest.fixture(scope="module")
+def boundary_root(spark, tmp_path_factory):
+    """A snapshot engineered so anomalies SPAN split boundaries: tiny
+    parquet row groups + a tiny maxPartitionBytes make Spark split the one
+    file into many scan partitions, so the dup run, the gap pair, and the
+    ts-regression pair each cross a split — exercising the boundary-row
+    stitching and the split-spanning unique-key aggregation."""
+    rows = []
+    # conv a: 300 clean turns
+    rows += [("a", i, "user", None, i) for i in range(300)]
+    # conv b: turn 1 duplicated 7x (run will span row groups), then clean
+    rows += [("b", 0, "user", None, 1000)]
+    rows += [("b", 1, "assistant", "search", 1001 + i) for i in range(7)]
+    rows += [("b", i, "user", None, 1010 + i) for i in range(2, 200)]
+    # conv c: gap right at a row-group-sized offset + ts regression later
+    rows += [("c", i, "user", None, 2000 + i) for i in range(128)]
+    rows += [("c", i, "user", None, 2000 + i) for i in range(130, 250)]
+    rows += [("c", 250, "user", None, 1999)]          # ts regression
+    # conv d: bad role + bad tool
+    rows += [("d", 0, "moderator", "telepathy", 3000)]
+    root = str(tmp_path_factory.mktemp("boundary"))
+    write_snapshot(root, "b1", _mk_table(rows), n_buckets=2,
+                   row_group_size=64)
+    return root
+
+
+def test_boundary_spanning_anomalies(spark, boundary_root):
+    cat = SnapshotCatalog(boundary_root)
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_arb = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        # force many file splits AND many small Arrow batches so runs and
+        # lag pairs cross both kinds of boundary
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
+        clu = _clustered(spark, cat, "b1")
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       old_arb)
+    fus = _fused(spark, cat, "b1")
+    assert clu == fus
+    by = {}
+    for r in clu:
+        by.setdefault(r["check_id"], []).append(r)
+    import json
+    assert [json.loads(x["payload"]) for x in by["unique_key"]] == [
+        {"n_copies": 7}]
+    assert len(by["turn_dup"]) == 6
+    assert [json.loads(x["payload"]) for x in by["turn_gap"]] == [
+        {"prev_idx": 127, "missing": 2}]
+    assert len(by["ts_order"]) == 1
+    assert len(by["ref_role"]) == 1 and len(by["ref_tool"]) == 1
+
+
+def test_null_role_payload_matches_fused(spark, tmp_path):
+    rows = [("n", 0, "user", None, 0), ("n", 1, None, None, 1)]
+    root = str(tmp_path)
+    write_snapshot(root, "nn", _mk_table(rows), n_buckets=1)
+    cat = SnapshotCatalog(root)
+    clu = _clustered(spark, cat, "nn")
+    assert clu == _fused(spark, cat, "nn")
+    nr = [r for r in clu if r["check_id"] == "ref_role"]
+    assert len(nr) == 1
+    assert nr[0]["payload"] == "{}"                     # to_json omits nulls
+    assert nr[0]["schema_1"] == '{"type":"enum","values":[null]}'
+
+
+def test_layout_lie_raises(spark, tmp_path):
+    """The manifest declares the sort order but the data violates it —
+    the clustered path must refuse (metadata failure => throw), never
+    emit wrong rows."""
+    unsorted = [("z", 2, "user", None, 2), ("z", 0, "user", None, 0),
+                ("z", 1, "user", None, 1)]
+    root = str(tmp_path / "u")
+    write_snapshot(root, "u1", _mk_table(unsorted), n_buckets=1)
+    cat = SnapshotCatalog(root)
+    with pytest.raises(Exception, match="out of order"):
+        _clustered(spark, cat, "u1")
+
+    interleaved = [("x", 0, "user", None, 0), ("y", 0, "user", None, 1),
+                   ("x", 1, "user", None, 2)]
+    root2 = str(tmp_path / "i")
+    write_snapshot(root2, "i1", _mk_table(interleaved), n_buckets=1)
+    cat2 = SnapshotCatalog(root2)
+    with pytest.raises(Exception, match="non-contiguous"):
+        _clustered(spark, cat2, "i1")
+
+
+def test_validate_auto_selects_clustered_and_matches(spark, catalog):
+    """validate() picks the clustered path from the manifest's
+    write_order; forcing either path yields identical violations."""
+    assert manifest_declares_order(catalog.manifest("s1"))
+    auto = validate(spark, catalog, "s1", write_audit=False,
+                    clustered_checks=True)
+    fused = validate(spark, catalog, "s1", write_audit=False,
+                     clustered_checks=False)
+    assert ([r.asDict() for r in auto.violations.collect()]
+            == [r.asDict() for r in fused.violations.collect()])
+
+
+def test_validate_type_conflict_falls_back(spark, catalog):
+    """s2's physical-type conflict disables the layout fast path (the
+    scan must widen); validate() must still complete via the fused path
+    and report the planted schema_merge failure."""
+    r = validate(spark, catalog, "s2", write_audit=False)
+    kinds = {x.check_id for x in r.violations.collect()}
+    assert "schema_merge" in kinds
