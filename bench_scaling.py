@@ -202,10 +202,15 @@ which is why the 2->8 pair is the honest capacity-bounded proxy and the
 8->32 pair (BASELINE.md's prescribed levels) carries that caveat.
 
 Workload: full `validate()` — footer census, column-state inference with
-associative monoid merge, and the FUSED row-level check pass (one scan +
-one skew-blocked shuffle yields uniqueness, both vocab checks, and
-ordering; round-2 fix) — on the FIXTURES.md F1 transcripts shape with
-planted anomalies (incl. one hot conv_id holding ~10% of all turns).
+associative monoid merge, and the row-level checks on the CLUSTERED
+zero-shuffle path (the manifest declares the Iceberg-style write order,
+so uniqueness + both vocab checks + ordering run as one vectorized
+mapInArrow lag pass per file split with boundary-row stitching — no
+Exchange, no sort; `operators/clustered.py`, late round 2; row- and
+sha-identical to the fused shuffle path) — on the FIXTURES.md F1
+transcripts shape with planted anomalies (incl. one hot conv_id holding
+~10% of all turns, handled by byte-range file splitting + boundary
+stitching on this path).
 
 Protocol: each rep is a fresh JVM that runs the job TWICE and reports the
 second run (first run pays janino+C2 compilation of the generated
@@ -219,23 +224,16 @@ it (note: bandwidth-level co-tenancy does NOT show up as steal — a
 20-min window was observed where identical runs were 3-6x slower at
 ~0% steal, which is why best-of-reps is the estimator).
 
-Per-stage scaling, measured on the profiled 2-vs-8 pair
-(SPARK_GRAFT_PROFILE=1, same protocol):
-
-| stage | 2 cores | 8 cores | speedup | efficiency |
-|---|---|---|---|---|
-| infer (scan + Arrow/SQL state monoid + merge) | 20.1s | 6.0s | 3.35x | 0.84 |
-| row-level checks (Exchange+Sort window + explode) | 42.5s | 14.3s | 2.97x | 0.74 |
-| planning/census/verdicts (fixed) | ~2.4s | ~2.2s | — | O(1) |
-
-The check pass's 0.74 is the sort: memory-bandwidth-bound on this VM
-(the same reason local[32] loses to local[8] on ANY sort/shuffle-heavy
-job here — spin-process ALU scaling is 8p->8.3x, 32p->26.9x, so it is
-not a CPU-scheduling limit). On a real cluster each executor sorts its
-own partition with its own memory channels; the N->4N criterion there
-follows the per-key parallel structure of the plan (every shuffle in
-validate() is key-parallel: (conv, turn-block) windows, hash
-aggregations, no driver-side data path).
+Why the clustered path changes the scaling structure: the fused path's
+2->8 ceiling was its one full-table Exchange+Sort (per-stage efficiency
+0.74, memory-bandwidth-bound on this VM — spin-process ALU scaling is
+8p->8.3x / 32p->26.9x, so it was never a CPU-scheduling limit). The
+clustered path has NO shuffle in the check stage at all: wall time is
+scan + vectorized per-split lag compute, both embarrassingly parallel
+over file splits, so N->4N follows the scan. The tiny remaining
+shuffles (boundary-row window over ~#segments rows, sparse unique-key
+aggregate) move violation-sized data, not the corpus. See
+`BENCH/PLANS.md` for the plan audit of both paths.
 
 See `BENCH/AMORTIZATION.md` for the per-stage decomposition at two input
 sizes (evidence that the fixed driver overhead is O(1) and amortizes

@@ -252,6 +252,34 @@ ORDER BY doc_id
 """
 
 
+def q_repetition(spark, sf_dir):
+    return TS.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+SQL_REPETITION = f"""
+WITH b AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+     g AS (SELECT doc_id, w,
+                  CASE WHEN len(w) > 1
+                       THEN list_transform(generate_series(1, len(w) - 1),
+                                           i -> w[i] || ' ' || w[i + 1])
+                       ELSE CAST([] AS VARCHAR[]) END AS bi
+           FROM b)
+SELECT doc_id,
+       len(w) AS n_words,
+       len(list_distinct(w)) AS distinct_words,
+       greatest(len(w) - 1, 0) AS n_bigrams,
+       len(list_distinct(bi)) AS distinct_bigrams,
+       CASE WHEN len(w) > 0
+            THEN 10000 - (10000 * len(list_distinct(w))) // len(w)
+            ELSE 0 END AS word_rep_bp,
+       CASE WHEN len(w) > 1
+            THEN 10000 - (10000 * len(list_distinct(bi))) // (len(w) - 1)
+            ELSE 0 END AS bigram_rep_bp
+FROM g
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
@@ -313,6 +341,7 @@ EXTRA_QUERIES: Dict[str, Callable] = {
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
+    "repetition": q_repetition,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_similar_pairs": q_winnow_similar_pairs,
     "multimodal_meta": q_multimodal_meta,
@@ -328,6 +357,7 @@ EXTRA_ORACLES: Dict[str, str] = {
     "quality_score": SQL_QUALITY_SCORE,
     "lang_id": SQL_LANG_ID,
     "fingerprint": SQL_FINGERPRINT,
+    "repetition": SQL_REPETITION,
     "multimodal_meta": SQL_MULTIMODAL_META,
     # minhash/simhash/ann-lsh/features: engine-hash-seeded, rows-only
 }

@@ -369,7 +369,11 @@ def check_rowlevel_clustered(spark: SparkSession, catalog, snapshot_id: str,
 
     # cross-split pairs: boundary rows ordered by manifest file order +
     # in-file position reconstruct global scan order; lag gives each
-    # segment its predecessor's last row (rows here = #segments, tiny)
+    # segment its predecessor's last row. Rows here = #segments (one per
+    # file split) — at 100 TB that is ~millions of ~100-byte rows, so the
+    # single-partition window is one task over ~100s of MB, bounded and
+    # independent of row count; if it ever mattered, a two-level stitch
+    # (window per fid + file-edge pass) keeps the same semantics.
     wb = Window.orderBy("fid", "pos")
     b = (out.filter(F.col("kind") == 1)
          .select("fid", "pos", "f_conv", "f_turn", "f_ts", "f_bucket",

@@ -193,3 +193,45 @@ def winnow_similar_pairs(df: DataFrame, id_col: str = "doc_id",
             .agg(F.count(F.lit(1)).alias("n_shared"))
             .filter(F.col("n_shared") >= min_shared)
             .orderBy("d1", "d2"))
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Intra-document repetition: distinct/total ratios for words and word
+    bigrams, in exact integer basis points (10000 = fully repeated).
+
+    Looping agents and boilerplate-heavy crawl text score high and get
+    filtered before training. Pure JVM column expressions (codegen); the
+    bigram array comes from zip_with over shifted slices (O(len), the same
+    shape as dedup.shingles), and the ratios are floor-divided integers so
+    the score never flips between engines on a rounding boundary.
+    """
+    t = F.col(text_col)
+    toks = _tokens(t)
+    n_words = F.size(toks).cast("bigint")
+    d_words = F.size(F.array_distinct(toks)).cast("bigint")
+    grams = F.when(
+        F.size(toks) > 1,
+        F.zip_with(F.slice(toks, 1, F.size(toks) - 1),
+                   F.slice(toks, 2, F.size(toks) - 1),
+                   lambda a, b: F.concat(a, F.lit(" "), b))
+    ).otherwise(F.array().cast("array<string>"))
+    n_bi = F.greatest(n_words - 1, F.lit(0)).cast("bigint")
+    d_bi = F.size(F.array_distinct(grams)).cast("bigint")
+    word_rep = F.when(
+        n_words > 0,
+        F.lit(10000) - F.floor(F.lit(10000) * d_words / n_words)
+    ).otherwise(F.lit(0)).cast("bigint")
+    bi_rep = F.when(
+        n_bi > 0,
+        F.lit(10000) - F.floor(F.lit(10000) * d_bi / n_bi)
+    ).otherwise(F.lit(0)).cast("bigint")
+    return (df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        d_words.alias("distinct_words"),
+        n_bi.alias("n_bigrams"),
+        d_bi.alias("distinct_bigrams"),
+        word_rep.alias("word_rep_bp"),
+        bi_rep.alias("bigram_rep_bp"))
+        .orderBy(id_col))
