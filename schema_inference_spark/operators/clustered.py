@@ -345,6 +345,14 @@ def check_rowlevel_clustered(spark: SparkSession, catalog, snapshot_id: str,
         _segment_checker(fid_of, _vocab_json(role_vocab),
                          _vocab_json(tool_vocab)),
         _OUT_DDL)
+    # the five consumers below (direct violations, unique-key aggregate,
+    # three boundary-pair branches) would each re-execute the scan+UDF
+    # subtree — Spark reuses exchanges, not arbitrary subplans. The UDF
+    # output is violation-sized (sparse rows + one boundary row per
+    # segment), so materialize it ONCE: one pass over the corpus, every
+    # branch reads the stored result (same pattern as components.py).
+    # Eager also surfaces a layout-lie error at call time.
+    out = out.localCheckpoint(eager=True)
 
     snap = F.lit(snapshot_id).alias("snapshot_id")
     vcols = ["partition_id", "check_id", "mgu_failure", "schema_1",
