@@ -236,10 +236,12 @@ def _segment_checker(fid_of: dict, role_schema2: str, tool_schema2: str):
                         f"{conv[s + i].as_py()!r} is out of order at scan "
                         f"position {int(pos[s + i])} — falling back to the "
                         "shuffle path (check_rowlevel_fused) is required")
-                # conv contiguity: a conv may not reappear after changing
+                # conv contiguity: a conv may not reappear after changing.
+                # Batch-extract the changed conv values (take+to_pylist ~
+                # 10x per-index as_py) — one string per conversation, not
+                # per row.
                 chg = np.flatnonzero(~c_same)
-                for i in chg:
-                    cv = conv[s + int(i)].as_py()
+                for cv in conv.take(pa.array(chg + s)).to_pylist():
                     if cv in seen_convs:
                         raise ValueError(
                             "clustered checks: manifest declares clustering "
@@ -267,7 +269,11 @@ def _segment_checker(fid_of: dict, role_schema2: str, tool_schema2: str):
 
                 # unique-key runs: maximal runs of equal (conv, turn).
                 # dup[i] == row i has the same key as row i-1, so a new
-                # run starts exactly where ~dup.
+                # run starts exactly where ~dup. Python touches ONLY the
+                # runs that can matter — duplicate runs (sparse), the
+                # chunk's first run (may continue the carried run), and
+                # the chunk's last run (carried forward) — never one
+                # iteration per row.
                 run_starts = np.flatnonzero(~dup)
                 if len(run_starts) == 0:
                     # whole chunk continues the carried run
@@ -276,18 +282,33 @@ def _segment_checker(fid_of: dict, role_schema2: str, tool_schema2: str):
                 else:
                     first = int(run_starts[0])
                     if first > 0:
+                        # rows [0, first) extend the carried run
                         run["cnt"] += first
                         run["bucket"] = min(run["bucket"],
                                             int(b_[:first].min()))
-                    bounds = np.concatenate((run_starts, [m]))
-                    for ri in range(len(run_starts)):
-                        rs, re = int(bounds[ri]), int(bounds[ri + 1])
-                        close_run(at_seg_end=False)
-                        run = {"conv": conv[s + rs].as_py(),
-                               "turn": int(t_[rs]),
-                               "cnt": re - rs,
-                               "bucket": int(b_[rs:re].min()),
-                               "at_seg_start": rs == 0 and seg_started_here}
+                    close_run(at_seg_end=False)
+                    lens = np.diff(np.append(run_starts, m))
+                    nruns = len(run_starts)
+                    # complete runs (all but the last) that must emit:
+                    # cnt >= 2, or the segment-first run
+                    emit = np.flatnonzero(lens[:nruns - 1] >= 2)
+                    if (seg_started_here and run_starts[0] == 0
+                            and nruns > 1 and lens[0] < 2):
+                        emit = np.concatenate(([0], emit))
+                    if len(emit):
+                        convs = conv.take(
+                            pa.array(run_starts[emit] + s)).to_pylist()
+                        for cv, j in zip(convs, emit):
+                            rs, cnt = int(run_starts[j]), int(lens[j])
+                            emit_uk(b_[rs:rs + cnt].min(), cv,
+                                    t_[rs], cnt)
+                    # last run becomes the carried run
+                    rs, cnt = int(run_starts[-1]), int(lens[-1])
+                    run = {"conv": conv[s + rs].as_py(),
+                           "turn": int(t_[rs]),
+                           "cnt": cnt,
+                           "bucket": int(b_[rs:rs + cnt].min()),
+                           "at_seg_start": rs == 0 and seg_started_here}
                 seg["prev"] = (conv[e - 1].as_py(), turn[e - 1], ts[e - 1],
                                bucket[e - 1])
             yield from flush()
