@@ -48,8 +48,9 @@ def q_dedup_jaccard(spark, sf_dir):
     return D.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
-SQL_DEDUP_JACCARD = f"""
-WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
+# jaccard pair CTE chain, shared by the pair oracle and the
+# connected-components (dedup groups) oracle
+_JACCARD_CTES = f"""t AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
 sh AS (SELECT doc_id,
               unnest(list_distinct(list_transform(
                   range(1, len(ws) - 1),
@@ -58,13 +59,17 @@ sh AS (SELECT doc_id,
 cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-          GROUP BY 1, 2)
-SELECT d1, d2,
-       round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard
-FROM inter
-JOIN cnt ca ON d1 = ca.doc_id
-JOIN cnt cb ON d2 = cb.doc_id
-WHERE round(i * 1.0 / (ca.n + cb.n - i), 4) >= 0.5
+          GROUP BY 1, 2),
+jp AS (SELECT d1, d2,
+              round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard
+       FROM inter
+       JOIN cnt ca ON d1 = ca.doc_id
+       JOIN cnt cb ON d2 = cb.doc_id
+       WHERE round(i * 1.0 / (ca.n + cb.n - i), 4) >= 0.5)"""
+
+SQL_DEDUP_JACCARD = f"""
+WITH {_JACCARD_CTES}
+SELECT d1, d2, jaccard FROM jp
 ORDER BY d1, d2
 """
 
@@ -77,18 +82,40 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def q_dedup_groups(spark, sf_dir):
-    """Duplicate GROUPS via connected components over the LSH near-dup
-    pair graph (operators/components.py): one row per group with the
-    canonical id and sorted members. Rows-only (iterative min-label
-    propagation is not SQL-expressible without recursion); the gate is
-    the union-find equivalence tests in tests/test_components.py."""
+    """Duplicate GROUPS via connected components over the exact-Jaccard
+    near-dup pair graph (operators/components.py): one row per group with
+    the canonical id and sorted members — oracle-gated against a DuckDB
+    recursive-CTE transitive closure over the identical pair graph. (The
+    LSH-pair variant of the same operator is exercised in
+    tests/test_components.py; its pair graph is engine-hash-seeded so it
+    cannot be oracled.)"""
     from .operators.components import dedup_groups
 
-    pairs = D.minhash_lsh_dedup(_t(spark, sf_dir, "documents"),
-                                threshold=0.5)
+    pairs = D.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
     return dedup_groups(pairs).select(
         "canonical_id", F.col("n_docs").cast("bigint").alias("n_docs"),
-        F.concat_ws(",", "members").alias("members"))
+        F.concat_ws(",", F.transform("members",
+                                     lambda x: x.cast("string")))
+        .alias("members"))
+
+
+SQL_DEDUP_GROUPS = f"""
+WITH RECURSIVE {_JACCARD_CTES},
+edges AS (SELECT d1 AS a, d2 AS b FROM jp
+          UNION SELECT d2, d1 FROM jp),
+reach(node, other) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+    UNION
+    SELECT r.node, e.b FROM reach r JOIN edges e ON r.other = e.a
+),
+cc AS (SELECT node, min(other) AS comp FROM reach GROUP BY node)
+SELECT comp AS canonical_id,
+       count(*) AS n_docs,
+       string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
+FROM cc
+GROUP BY comp HAVING count(*) > 1
+ORDER BY canonical_id
+"""
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -351,6 +378,7 @@ EXTRA_QUERIES: Dict[str, Callable] = {
 EXTRA_ORACLES: Dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
+    "dedup_groups": SQL_DEDUP_GROUPS,
     "cosine_topk": SQL_COSINE_TOPK,
     "cosine_near_dup": SQL_COSINE_NEAR_DUP,
     "token_counts": SQL_TOKEN_COUNTS,
