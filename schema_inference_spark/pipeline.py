@@ -126,17 +126,27 @@ def validate(
     # (read_snapshot_tolerant), which the layout fast path cannot use —
     # those snapshots take the shuffle path regardless
     use_clustered = use_clustered and census_uniform(inf.census, pending)
+    violations = None
     if use_clustered:
-        violations = check_rowlevel_clustered(
-            spark, catalog, snapshot_id, pending, role_vocab, tool_vocab,
-            partition_col)
-    elif fused_checks:
+        try:
+            # eager: the one corpus pass runs here, so a layout lie
+            # (manifest declares an order the files don't honor)
+            # surfaces now — fall back to the shuffle path instead of
+            # failing the job. The declared order is metadata we verify,
+            # not trust.
+            violations = check_rowlevel_clustered(
+                spark, catalog, snapshot_id, pending, role_vocab,
+                tool_vocab, partition_col)
+        except Exception as exc:  # noqa: BLE001 — executor errors arrive
+            if "clustered checks:" not in str(exc):  # as Py4J wrappers
+                raise
+    if violations is None and fused_checks:
         # one scan + one skew-blocked shuffle produces every row-level
         # check's violations (row-identical to the separate plans, which
         # would scan the snapshot 4x; asserted in tests)
         violations = C.check_rowlevel_fused(
             df, snapshot_id, role_vocab, tool_vocab, partition_col)
-    else:
+    elif violations is None:
         v_parts = [
             C.check_unique_key(df, snapshot_id, partition_col=partition_col),
             C.check_referential(df, snapshot_id, "role", role_vocab,

@@ -139,6 +139,16 @@ def test_layout_lie_raises(spark, tmp_path):
     with pytest.raises(Exception, match="non-contiguous"):
         _clustered(spark, cat2, "i1")
 
+    # validate() self-heals: the auto-selected clustered path hits the
+    # layout lie and silently falls back to the fused shuffle path,
+    # producing the same rows a fused-only run would
+    healed = validate(spark, cat, "u1", write_audit=False)
+    fused_only = validate(spark, cat, "u1", write_audit=False,
+                          clustered_checks=False)
+    assert ([r.asDict() for r in healed.violations.collect()]
+            == [r.asDict() for r in fused_only.violations.collect()])
+    assert healed.violations.filter("check_id='turn_gap'").count() == 0
+
 
 def test_validate_auto_selects_clustered_and_matches(spark, catalog):
     """validate() picks the clustered path from the manifest's
