@@ -52,6 +52,14 @@ def main():
             time.sleep(90)
             continue
         for cpus in levels:
+            # windows shift within a multi-minute cycle: re-probe before
+            # every level and stall mid-cycle rather than record poison
+            while True:
+                bw = bandwidth_gbps()
+                if bw >= THRESH_GBPS:
+                    break
+                print(f"[gate] mid-cycle {bw:.1f} GB/s — stall", flush=True)
+                time.sleep(90)
             out = os.path.join(root, f"level_{cpus}_{r}.json")
             subprocess.run(
                 [sys.executable, os.path.join(REPO, "bench_scaling.py"),
@@ -61,7 +69,7 @@ def main():
             with open(out) as f:
                 rec = json.load(f)
             print(f"[gate] rep {r} local[{cpus}]: {rec['wall_s']}s "
-                  f"steal {rec['steal_pct']}%", flush=True)
+                  f"steal {rec['steal_pct']}% (bw {bw:.1f})", flush=True)
         r += 1
         done += 1
     with open(os.path.join(root, "probes.json"), "w") as f:
