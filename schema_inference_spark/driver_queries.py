@@ -349,7 +349,7 @@ def q_sessionize(spark, sf_dir):
 
 SQL_SESSIONIZE = """
 WITH g AS (
-  SELECT user_id, ts,
+  SELECT user_id, event_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR epoch(ts) - epoch(lag(ts) OVER w) > 3600 THEN 1
               ELSE 0 END AS brk
@@ -357,11 +357,12 @@ WITH g AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
   SELECT user_id, ts,
-         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS UNBOUNDED PRECEDING) AS sess_idx
   FROM g
 )
-SELECT user_id, sess_idx, count(*) AS n_events,
+SELECT user_id, CAST(sess_idx AS BIGINT) AS sess_idx,
+       count(*) AS n_events,
        round(epoch(max(ts)) - epoch(min(ts)), 3) AS dur_s
 FROM s GROUP BY user_id, sess_idx
 HAVING count(*) >= 3

@@ -150,29 +150,49 @@ def check_referential(df: DataFrame, snapshot_id: str, column: str,
 # D12 — turn ordering: gaps, duplicates, ts regressions in ONE window pass
 # ---------------------------------------------------------------------------
 
-# 10^20: strictly above any unix_micros value, so (turn_idx, ts) packs into
-# one decimal(38,0) whose numeric order equals the lexicographic order the
-# blocked window sorts by. Why pack: max(struct(...)) cannot use the
-# mutable hash-aggregation buffer and falls back to SortAggregate — two
-# full sorts of the table just to find block boundaries; max(decimal)
-# hash-aggregates with map-side partials (verified: HashAggregate in plan,
-# decode byte-equal). Requires turn_idx >= 0 (reference invariant).
-_PACK = "100000000000000000000"
+# (turn_idx, ts) packs into one decimal(38,0) whose numeric order equals
+# the lexicographic order the blocked window sorts by. Why pack:
+# max(struct(...)) cannot use the mutable hash-aggregation buffer and
+# falls back to SortAggregate — two full sorts of the table just to find
+# block boundaries; max(decimal) hash-aggregates with map-side partials
+# (verified: HashAggregate in plan, decode byte-equal).
+#
+# Both fields are BIASED into non-negative space before packing (and
+# un-biased in decimal space on unpack, BEFORE the long cast) so that
+# dirty data with pre-1970 timestamps (negative unix_micros) or negative
+# turn_idx round-trips exactly — these checks exist to validate dirty
+# data, so the carrier must not corrupt it:
+#   pack = (turn_idx + 2^40) * 10^20 + (unix_micros + 2^63)
+# - micros + 2^63 in [0, 2^64) < 10^20 for the FULL long range, so the
+#   block term never bleeds; the quotient's fraction stays <= 0.185, so
+#   the scale-6 decimal division never rounds the long cast off-by-one.
+# - valid turn_idx domain: (-2^40, 10^18 - 2^40) — far beyond the int32
+#   input contract (input_hint); outside it the decimal overflows (raises
+#   under ANSI, nulls otherwise).
+# The affine bias preserves ordering, so max(pack) is still the
+# lexicographic (turn_idx, ts) max.
+_PACK = "100000000000000000000"     # 10^20 block multiplier
+_BIAS_T = "1099511627776"           # 2^40 turn_idx bias
+_BIAS_M = "9223372036854775808"     # 2^63 unix_micros bias
 
 
 def _pack_turn_ts():
-    return F.expr("cast(turn_idx as decimal(38,0))"
-                  f" * cast('{_PACK}' as decimal(38,0))"
-                  " + cast(unix_micros(ts) as decimal(38,0))")
+    return F.expr(
+        f"(cast(turn_idx as decimal(38,0)) + {_BIAS_T})"
+        f" * cast('{_PACK}' as decimal(38,0))"
+        f" + (cast(unix_micros(ts) as decimal(38,0)) + {_BIAS_M})")
 
 
 def _unpack_turn(col):
-    return (col / F.expr(f"cast('{_PACK}' as decimal(38,0))")).cast("long")
+    return ((col / F.expr(f"cast('{_PACK}' as decimal(38,0))"))
+            .cast("decimal(38,0)") - F.expr(f"cast({_BIAS_T} as decimal(38,0))")
+            ).cast("long")
 
 
 def _unpack_ts(col):
     return F.timestamp_micros(
-        (col % F.expr(f"cast('{_PACK}' as decimal(38,0))")).cast("long"))
+        ((col % F.expr(f"cast('{_PACK}' as decimal(38,0))"))
+         - F.expr(f"cast({_BIAS_M} as decimal(38,0))")).cast("long"))
 
 def check_ordering(df: DataFrame, snapshot_id: str,
                    partition_col: str = "bucket") -> DataFrame:

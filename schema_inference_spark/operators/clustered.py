@@ -106,6 +106,18 @@ def _segment_checker(fid_of: dict, role_schema2: str, tool_schema2: str):
                         int(turn), None, int(cnt), None, None,
                         None, None, None, None, None, None, None))
 
+        def emit_c3(conv_v, fid, pos0, is_first, is_last):
+            # conv-extent row: one per (conv, segment), flags packed into
+            # cnt (1 = conv is the segment's first conv, 2 = its last).
+            # Feeds the GLOBAL contiguity verification — a conv
+            # reappearing in a NON-adjacent segment is invisible to both
+            # the per-split seen-set and the adjacent-boundary stitch.
+            out.append((3, None, None, None, None, None, conv_v,
+                        None, None,
+                        (1 if is_first else 0) | (2 if is_last else 0),
+                        fid, pos0,
+                        None, None, None, None, None, None, None))
+
         # segment state (a segment = maximal run of rows from one file
         # split, in scan order)
         seg = None  # dict: fid, pos0, first=(conv,turn,ts,bucket), prev=(...)
@@ -125,6 +137,9 @@ def _segment_checker(fid_of: dict, role_schema2: str, tool_schema2: str):
             if seg is None:
                 return
             close_run(at_seg_end=True)
+            if seg["open_conv"] is not None:
+                emit_c3(seg["open_conv"], seg["fid"], seg["pos0"],
+                        seg["open_is_first"], True)
             f_conv, f_turn, f_ts, f_bucket = seg["first"]
             l_conv, l_turn, l_ts, _ = seg["prev"]
             out.append((1, None, None, None, None, None, None, None, None,
@@ -155,6 +170,17 @@ def _segment_checker(fid_of: dict, role_schema2: str, tool_schema2: str):
                 continue
             col = {name: batch.column(i)
                    for i, name in enumerate(batch.schema.names)}
+            # nulls in the clustering/sort keys make the numpy lag
+            # comparisons garbage (NaN -> undefined int64), and the
+            # declared sort order cannot hold for null keys anyway —
+            # refuse and let validate() fall back to the fused path,
+            # whose SQL null semantics are well-defined (ADVICE r2).
+            for k in ("conv_id", "turn_idx", "ts"):
+                if col[k].null_count:
+                    raise ValueError(
+                        f"clustered checks: null {k} in scan batch — the "
+                        "declared write order cannot hold for null keys; "
+                        "shuffle path (check_rowlevel_fused) required")
             fh = col["_fh"].to_numpy(zero_copy_only=False)
             conv = col["conv_id"]  # stays an Arrow string array
             turn = col["turn_idx"].to_numpy(zero_copy_only=False)
@@ -200,7 +226,8 @@ def _segment_checker(fid_of: dict, role_schema2: str, tool_schema2: str):
                     seg = {"fh": fh[s], "fid": fid, "pos0": int(pos[s]),
                            "first": (conv[s].as_py(), turn[s], ts[s],
                                      bucket[s]),
-                           "prev": None}
+                           "prev": None,
+                           "open_conv": None, "open_is_first": False}
 
                 # lag arrays for the chunk; index 0 pairs with seg["prev"]
                 m = e - s
@@ -248,6 +275,13 @@ def _segment_checker(fid_of: dict, role_schema2: str, tool_schema2: str):
                             f"by conv_id but conv {cv!r} is non-contiguous "
                             "in scan order — shuffle path required")
                     seen_convs.add(cv)
+                    # close the previous conv's extent row, open this one
+                    is_first = seg["open_conv"] is None
+                    if not is_first:
+                        emit_c3(seg["open_conv"], seg["fid"], seg["pos0"],
+                                seg["open_is_first"], False)
+                    seg["open_conv"] = cv
+                    seg["open_is_first"] = is_first
 
                 gap = c_same & (t_ > p_turn + 1)
                 dup = c_same & (t_ == p_turn)
@@ -375,6 +409,43 @@ def check_rowlevel_clustered(spark: SparkSession, catalog, snapshot_id: str,
     # Eager also surfaces a layout-lie error at call time.
     out = out.localCheckpoint(eager=True)
 
+    # --- layout verification, part 2: GLOBAL conv contiguity ------------
+    # The UDF verifies contiguity within each split; the boundary stitch
+    # compares only ADJACENT segments. A cross-split-only lie — a conv
+    # reappearing in a non-adjacent segment — is invisible to both, so
+    # verify globally: each conv must occupy exactly one maximal run of
+    # consecutive segments, first-of-segment everywhere but its first
+    # segment and last-of-segment everywhere but its last. Inputs are the
+    # per-(conv, segment) extent rows (kind=3, ~one per conversation) and
+    # a segment-rank table (#segments rows of two ints — the rank window
+    # is a single tiny task, bounded by split count, not row count).
+    segr = (out.filter(F.col("kind") == 1).select("fid", "pos")
+            .withColumn("_seg_rank",
+                        F.row_number().over(Window.orderBy("fid", "pos"))))
+    c3 = out.filter(F.col("kind") == 3).select(
+        "conv_id", "fid", "pos", F.col("cnt").alias("_flags"))
+    ext = (c3.join(segr, ["fid", "pos"])
+           .groupBy("conv_id")
+           .agg(F.count(F.lit(1)).alias("_n"),
+                F.min("_seg_rank").alias("_rmin"),
+                F.max("_seg_rank").alias("_rmax"),
+                # any non-first-of-segment occurrence above rmin, or
+                # non-last-of-segment occurrence below rmax, is a lie
+                F.max(F.when(F.col("_flags").bitwiseAND(F.lit(1)) == 0,
+                             F.col("_seg_rank"))).alias("_bad_first"),
+                F.min(F.when(F.col("_flags").bitwiseAND(F.lit(2)) == 0,
+                             F.col("_seg_rank"))).alias("_bad_last")))
+    bad = (ext.filter(
+        (F.col("_n") != F.col("_rmax") - F.col("_rmin") + 1)
+        | (F.coalesce(F.col("_bad_first"), F.col("_rmin")) != F.col("_rmin"))
+        | (F.coalesce(F.col("_bad_last"), F.col("_rmax")) != F.col("_rmax")))
+        .select("conv_id").limit(1).collect())
+    if bad:
+        raise ValueError(
+            "clustered checks: manifest declares clustering by conv_id "
+            f"but conv {bad[0].conv_id!r} occupies non-adjacent segments "
+            "in scan order — shuffle path (check_rowlevel_fused) required")
+
     snap = F.lit(snapshot_id).alias("snapshot_id")
     vcols = ["partition_id", "check_id", "mgu_failure", "schema_1",
              "schema_2", "conv_id", "turn_idx", "payload"]
@@ -396,20 +467,60 @@ def check_rowlevel_clustered(spark: SparkSession, catalog, snapshot_id: str,
                   F.to_json(F.struct(F.col("n").alias("n_copies")))
                   .alias("payload")))
 
-    # cross-split pairs: boundary rows ordered by manifest file order +
-    # in-file position reconstruct global scan order; lag gives each
-    # segment its predecessor's last row. Rows here = #segments (one per
-    # file split) — at 100 TB that is ~millions of ~100-byte rows, so the
-    # single-partition window is one task over ~100s of MB, bounded and
-    # independent of row count; if it ever mattered, a two-level stitch
-    # (window per fid + file-edge pass) keeps the same semantics.
-    wb = Window.orderBy("fid", "pos")
-    b = (out.filter(F.col("kind") == 1)
-         .select("fid", "pos", "f_conv", "f_turn", "f_ts", "f_bucket",
-                 F.lag("l_conv").over(wb).alias("p_conv"),
-                 F.lag("l_turn").over(wb).alias("p_turn"),
-                 F.lag("l_ts").over(wb).alias("p_ts"))
+    # cross-split pairs, TWO-LEVEL stitch: boundary rows ordered by
+    # manifest file order + in-file position reconstruct global scan
+    # order. Level 1 pairs segments WITHIN each file (window per fid —
+    # parallel across files, so 10^5-10^6 byte-range splits of a few big
+    # files never funnel through one task). Level 2 pairs each file's
+    # first segment with the previous present file's last segment — the
+    # only driver-order pass, one row per FILE (manifest-sized, ~100
+    # bytes each), broadcast to the join.
+    bnd = out.filter(F.col("kind") == 1).select(
+        "fid", "pos", "f_conv", "f_turn", "f_ts", "f_bucket",
+        "l_conv", "l_turn", "l_ts")
+    wf = Window.partitionBy("fid").orderBy("pos")
+    ranked = (bnd
+              .withColumn("p_conv", F.lag("l_conv").over(wf))
+              .withColumn("p_turn", F.lag("l_turn").over(wf))
+              .withColumn("p_ts", F.lag("l_ts").over(wf))
+              .withColumn("_rn", F.row_number().over(wf)))
+    pair_cols = ["fid", "pos", "f_conv", "f_turn", "f_ts", "f_bucket",
+                 "p_conv", "p_turn", "p_ts"]
+    intra = ranked.filter(F.col("_rn") > 1).select(*pair_cols)
+    wfd = Window.partitionBy("fid").orderBy(F.desc("pos"))
+    lasts = (bnd.withColumn("_rn", F.row_number().over(wfd))
+             .filter(F.col("_rn") == 1)
+             .select(F.col("fid").alias("_pf"),
+                     F.col("l_conv").alias("p_conv"),
+                     F.col("l_turn").alias("p_turn"),
+                     F.col("l_ts").alias("p_ts")))
+    lasts = (lasts
+             .withColumn("_nf", F.lead("_pf").over(Window.orderBy("_pf")))
+             .filter(F.col("_nf").isNotNull()))
+    firsts = (ranked.filter(F.col("_rn") == 1)
+              .select("fid", "pos", "f_conv", "f_turn", "f_ts", "f_bucket"))
+    cross = (firsts.join(F.broadcast(lasts),
+                         firsts["fid"] == lasts["_nf"], "inner")
+             .select(*pair_cols))
+    b = (intra.unionByName(cross)
          .filter(F.col("p_conv") == F.col("f_conv")))
+
+    # --- layout verification, part 3: cross-split sort order ------------
+    # Each split verifies (turn_idx, ts) monotonicity internally; a lie
+    # that exists ONLY across a boundary (locally sorted splits, key
+    # regressing at the seam) must also refuse, not silently emit rows
+    # that diverge from the fused path (ADVICE r2). Equal (turn, ts) at
+    # the seam is a legitimate duplicate, not a lie.
+    lie = (b.filter((F.col("f_turn") < F.col("p_turn"))
+                    | ((F.col("f_turn") == F.col("p_turn"))
+                       & (F.col("f_ts") < F.col("p_ts"))))
+           .select("f_conv").limit(1).collect())
+    if lie:
+        raise ValueError(
+            "clustered checks: manifest declares sort order (conv_id, "
+            f"turn_idx, ts) but conv {lie[0].f_conv!r} regresses across "
+            "a split boundary — shuffle path (check_rowlevel_fused) "
+            "required")
 
     def bshape(cond, check_id, payload):
         return (b.filter(cond)

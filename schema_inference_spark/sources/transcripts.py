@@ -145,6 +145,33 @@ def generate_turns(
     })
 
 
+def _table_is_clustered(table: pa.Table) -> bool:
+    """Cheap vectorized verification of the clustered write contract on
+    the INPUT table: conv_id contiguous (one run per conv), (turn_idx, ts)
+    non-decreasing within each conv, no nulls in the keys. Row filtering
+    preserves relative order, so holding on the input implies holding in
+    every bucket file."""
+    import pyarrow.compute as pc
+    n = table.num_rows
+    if n == 0:
+        return True
+    conv = table.column("conv_id").combine_chunks()
+    turn = table.column("turn_idx")
+    ts = table.column("ts")
+    if conv.null_count or turn.null_count or ts.null_count:
+        return False
+    if n == 1:
+        return True
+    same = pc.equal(conv.slice(1), conv.slice(0, n - 1)) \
+        .to_numpy(zero_copy_only=False)
+    if 1 + int((~same).sum()) != pc.count_distinct(conv).as_py():
+        return False
+    t = turn.cast(pa.int64()).combine_chunks().to_numpy()
+    m = ts.cast(pa.int64()).combine_chunks().to_numpy()
+    bad = same & ((t[1:] < t[:-1]) | ((t[1:] == t[:-1]) & (m[1:] < m[:-1])))
+    return not bool(bad.any())
+
+
 def write_snapshot(
     root: str,
     snapshot_id: str,
@@ -152,11 +179,21 @@ def write_snapshot(
     n_buckets: int = 8,
     type_conflict_partition: Optional[int] = None,
     row_group_size: Optional[int] = None,
+    declare_write_order: Optional[bool] = None,
 ) -> Dict:
     """Write one snapshot as bucket-partitioned parquet + manifest.json.
 
     ``type_conflict_partition``: write that bucket's ``turn_idx`` as float64
     — the planted physical-type conflict for snapshot s2.
+
+    ``declare_write_order``: whether the manifest declares the Iceberg
+    write-spec contract (clustered by conv_id, sorted by (conv_id,
+    turn_idx, ts)) that lets validate() take the zero-shuffle clustered
+    path. Default (None) VERIFIES the input cheaply and declares only
+    when true — this generic writer must not stamp a guarantee that
+    belongs to the caller's data (ADVICE r2: a lying manifest costs the
+    reader a wasted corpus pass before the layout-lie fallback). Pass
+    True to force (tests that engineer lies), False to never declare.
     """
     snap_dir = os.path.join(root, snapshot_id)
     os.makedirs(snap_dir, exist_ok=True)
@@ -190,14 +227,12 @@ def write_snapshot(
         "partition_by": "bucket",
         "partitions": partitions,
         "n_rows": table.num_rows,
-        # the Iceberg write-spec contract (partition spec + sort order):
-        # rows are bucket-partitioned by conv_id and written clustered by
-        # conv_id, sorted by (turn_idx, ts) within each conversation —
-        # which the generator guarantees. Declaring it lets validate()
-        # take the zero-shuffle clustered check path (operators/clustered).
-        "write_order": {"clustered_by": ["conv_id"],
-                        "sorted_by": ["conv_id", "turn_idx", "ts"]},
     }
+    declare = (_table_is_clustered(table) if declare_write_order is None
+               else declare_write_order)
+    if declare:
+        manifest["write_order"] = {"clustered_by": ["conv_id"],
+                                   "sorted_by": ["conv_id", "turn_idx", "ts"]}
     with open(os.path.join(snap_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     return manifest

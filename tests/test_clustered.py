@@ -126,7 +126,8 @@ def test_layout_lie_raises(spark, tmp_path):
     unsorted = [("z", 2, "user", None, 2), ("z", 0, "user", None, 0),
                 ("z", 1, "user", None, 1)]
     root = str(tmp_path / "u")
-    write_snapshot(root, "u1", _mk_table(unsorted), n_buckets=1)
+    write_snapshot(root, "u1", _mk_table(unsorted), n_buckets=1,
+                   declare_write_order=True)
     cat = SnapshotCatalog(root)
     with pytest.raises(Exception, match="out of order"):
         _clustered(spark, cat, "u1")
@@ -134,10 +135,24 @@ def test_layout_lie_raises(spark, tmp_path):
     interleaved = [("x", 0, "user", None, 0), ("y", 0, "user", None, 1),
                    ("x", 1, "user", None, 2)]
     root2 = str(tmp_path / "i")
-    write_snapshot(root2, "i1", _mk_table(interleaved), n_buckets=1)
+    write_snapshot(root2, "i1", _mk_table(interleaved), n_buckets=1,
+                   declare_write_order=True)
     cat2 = SnapshotCatalog(root2)
     with pytest.raises(Exception, match="non-contiguous"):
         _clustered(spark, cat2, "i1")
+
+    # the writer itself refuses to DECLARE for non-clustered input (the
+    # declaration belongs to the data, not the writer — ADVICE r2): by
+    # default the same tables get no write_order and validate() goes
+    # straight to the fused path with no wasted corpus pass
+    root3 = str(tmp_path / "v")
+    m = write_snapshot(root3, "v1", _mk_table(unsorted), n_buckets=1)
+    assert not manifest_declares_order(m)
+    m2 = write_snapshot(root3, "v2", _mk_table(interleaved), n_buckets=1)
+    assert not manifest_declares_order(m2)
+    clean = [("w", 0, "user", None, 0), ("w", 1, "user", None, 1)]
+    m3 = write_snapshot(root3, "v3", _mk_table(clean), n_buckets=1)
+    assert manifest_declares_order(m3)
 
     # validate() self-heals: the auto-selected clustered path hits the
     # layout lie and silently falls back to the fused shuffle path,
@@ -148,6 +163,89 @@ def test_layout_lie_raises(spark, tmp_path):
     assert ([r.asDict() for r in healed.violations.collect()]
             == [r.asDict() for r in fused_only.violations.collect()])
     assert healed.violations.filter("check_id='turn_gap'").count() == 0
+
+
+def _write_two_file_snapshot(root, snap, t0, t1):
+    """One bucket, TWO parquet files listed in manifest order, manifest
+    declaring the clustered write order — for engineering lies that exist
+    only ACROSS a file boundary while each file is locally clean."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+    snap_dir = os.path.join(root, snap)
+    os.makedirs(os.path.join(snap_dir, "bucket=0"), exist_ok=True)
+    pq.write_table(t0, os.path.join(snap_dir, "bucket=0", "part-0.parquet"))
+    pq.write_table(t1, os.path.join(snap_dir, "bucket=0", "part-1.parquet"))
+    manifest = {
+        "snapshot_id": snap, "table": "transcripts", "format": "parquet",
+        "n_buckets": 1, "partition_by": "bucket",
+        "partitions": [{"partition_id": 0, "path": "bucket=0",
+                        "files": ["part-0.parquet", "part-1.parquet"],
+                        "n_rows": t0.num_rows + t1.num_rows}],
+        "n_rows": t0.num_rows + t1.num_rows,
+        "write_order": {"clustered_by": ["conv_id"],
+                        "sorted_by": ["conv_id", "turn_idx", "ts"]},
+    }
+    with open(os.path.join(snap_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+
+
+def test_cross_split_sort_lie_raises(spark, tmp_path):
+    """Each file is locally sorted, but the conv's key regresses at the
+    file seam — the stitch must refuse, not emit divergent rows
+    (regression: ADVICE r2 cross-split hole)."""
+    t0 = _mk_table([("z", i, "user", None, i) for i in range(6)])
+    t1 = _mk_table([("z", i, "user", None, 100 + i) for i in range(3, 7)])
+    root = str(tmp_path)
+    _write_two_file_snapshot(root, "xl", t0, t1)
+    cat = SnapshotCatalog(root)
+    with pytest.raises(Exception, match="regresses across a split"):
+        _clustered(spark, cat, "xl")
+    # validate() self-heals to the fused path, which emits the turn_dup /
+    # unique_key rows the data actually contains
+    healed = validate(spark, cat, "xl", write_audit=False)
+    fused_only = validate(spark, cat, "xl", write_audit=False,
+                          clustered_checks=False)
+    assert ([r.asDict() for r in healed.violations.collect()]
+            == [r.asDict() for r in fused_only.violations.collect()])
+    assert healed.violations.filter("check_id='unique_key'").count() > 0
+
+
+def test_nonadjacent_conv_reappearance_raises(spark, tmp_path):
+    """A conv that is NOT the last of its file reappears in the next file
+    — invisible to per-split seen-sets and to the adjacent-boundary
+    stitch; the global extent verification must catch it."""
+    t0 = _mk_table([("x", i, "user", None, i) for i in range(3)]
+                   + [("y", i, "user", None, 50 + i) for i in range(3)])
+    t1 = _mk_table([("x", i, "user", None, 100 + i) for i in range(3, 6)])
+    root = str(tmp_path)
+    _write_two_file_snapshot(root, "na", t0, t1)
+    cat = SnapshotCatalog(root)
+    with pytest.raises(Exception, match="non-adjacent segments"):
+        _clustered(spark, cat, "na")
+
+
+def test_null_sort_key_raises_and_heals(spark, tmp_path):
+    """Null conv_id/turn_idx/ts would turn the numpy lag comparisons into
+    NaN garbage — the UDF must refuse per batch; validate() falls back to
+    the fused path's SQL null semantics (regression: ADVICE r2)."""
+    import pyarrow as pa
+    rows = [("n", 0, "user", None, 0), ("n", 1, "user", None, 1)]
+    t = _mk_table(rows)
+    idx = t.schema.get_field_index("turn_idx")
+    t = t.set_column(idx, "turn_idx",
+                     pa.array([0, None], pa.int32()))
+    root = str(tmp_path)
+    write_snapshot(root, "nu", t, n_buckets=1, declare_write_order=True)
+    cat = SnapshotCatalog(root)
+    with pytest.raises(Exception, match="null turn_idx"):
+        _clustered(spark, cat, "nu")
+    healed = validate(spark, cat, "nu", write_audit=False)
+    fused_only = validate(spark, cat, "nu", write_audit=False,
+                          clustered_checks=False)
+    assert ([r.asDict() for r in healed.violations.collect()]
+            == [r.asDict() for r in fused_only.violations.collect()])
 
 
 def test_validate_auto_selects_clustered_and_matches(spark, catalog):

@@ -215,6 +215,57 @@ def test_fused_checks_match_separate_plans(spark, catalog):
                         "turn_gap": 1, "turn_dup": 1, "ts_order": 1}
 
 
+def test_blocked_carrier_survives_negative_ts_and_turn_idx(spark):
+    """The packed-decimal carrier key must round-trip dirty data exactly:
+    pre-1970 timestamps (negative unix_micros) and negative turn_idx —
+    these checks exist to VALIDATE dirty data, so block-boundary
+    violations on such rows must match the plain window check, not be
+    silently nulled by an unbiased pack (regression: ADVICE r2)."""
+    import datetime
+
+    from schema_inference_spark.operators import checks as C
+
+    d = datetime.datetime
+    # conv spans blocks at block_size=4 with negative turn_idx and
+    # pre-1970 ts; every anomaly crosses a block boundary so the carrier
+    # row itself carries negative values:
+    rows = [
+        (0, "c1", -5, d(1965, 3, 1, 12, 0), "user", None),
+        (0, "c1", -4, d(1966, 1, 1, 0, 0), "assistant", None),
+        # gap -4 -> 3 spans blocks -2..0 (carrier = the -4 row, negative
+        # turn_idx AND negative micros)
+        (1, "c1", 3, d(1967, 5, 5, 5, 5), "user", None),
+        # ts regression across the 3|4 boundary pair, both pre-1970
+        (1, "c1", 4, d(1967, 5, 5, 5, 4), "assistant", None),
+        # duplicate key straddling nothing (same block), pre-1970
+        (0, "c2", -1, d(1969, 12, 31, 23, 59, 59, 999999), "user", None),
+        (1, "c2", -1, d(1969, 12, 31, 23, 59, 59, 999999), "user", None),
+        (0, "c2", 0, d(1970, 1, 1, 0, 0, 0, 1), "assistant", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "bucket int, conv_id string, turn_idx long, ts timestamp, "
+              "role string, tool string")
+
+    plain = [r.asDict() for r in C.stable_order(
+        C.check_ordering(df, "neg")).collect()]
+    blocked = [r.asDict() for r in C.stable_order(
+        C.check_ordering_blocked(df, "neg", block_size=4)).collect()]
+    assert blocked == plain
+    kinds = sorted(r["check_id"] for r in plain)
+    assert kinds == ["ts_order", "turn_dup", "turn_gap"]
+
+    from schema_inference_spark.pipeline import ROLE_VOCAB, TOOL_VOCAB
+    fused = [r.asDict() for r in C.stable_order(
+        C.check_rowlevel_fused(df, "neg", ROLE_VOCAB, TOOL_VOCAB,
+                               block_size=4)).collect()]
+    sep = C.check_unique_key(df, "neg").unionByName(
+        C.check_ordering_blocked(df, "neg", block_size=4))
+    sep = [r.asDict() for r in C.stable_order(sep).collect()]
+    assert fused == sep
+    assert sorted(r["check_id"] for r in fused) == \
+        ["ts_order", "turn_dup", "turn_gap", "unique_key"]
+
+
 def test_violation_store_resume_safe(spark, fixture_root):
     """D2 second half: kill/resume — the union of persisted violations
     across a partial run + a resumed run is byte-identical to a single
