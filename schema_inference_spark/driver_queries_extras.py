@@ -44,8 +44,27 @@ ORDER BY content_hash
 """
 
 
+# the exact-Jaccard pair graph is consumed by BOTH dedup_jaccard and
+# dedup_groups; within one run (session) the shingle join — ~10s of the
+# 13.5s dedup_groups cost at sf0.1 — is computed once and the (sparse)
+# pair list materialized at the seam (VERDICT r2 #6). Keyed by session id
+# so a fresh session recomputes; lazy checkpoint so whichever query runs
+# first pays the materialization.
+_PAIRS_CACHE: Dict[tuple, object] = {}
+
+
+def _jaccard_pairs_cached(spark, sf_dir):
+    key = (id(spark), sf_dir)
+    df = _PAIRS_CACHE.get(key)
+    if df is None:
+        df = D.jaccard_pairs(_t(spark, sf_dir, "documents"),
+                             threshold=0.5).localCheckpoint(eager=False)
+        _PAIRS_CACHE[key] = df
+    return df
+
+
 def q_dedup_jaccard(spark, sf_dir):
-    return D.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return _jaccard_pairs_cached(spark, sf_dir)
 
 
 # jaccard pair CTE chain, shared by the pair oracle and the
@@ -91,7 +110,7 @@ def q_dedup_groups(spark, sf_dir):
     cannot be oracled.)"""
     from .operators.components import dedup_groups
 
-    pairs = D.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    pairs = _jaccard_pairs_cached(spark, sf_dir)
     return dedup_groups(pairs).select(
         "canonical_id", F.col("n_docs").cast("bigint").alias("n_docs"),
         F.concat_ws(",", F.transform("members",
@@ -123,9 +142,41 @@ def q_dedup_simhash(spark, sf_dir):
     return D.simhash(_t(spark, sf_dir, "documents"))
 
 
+# fingerprint export seam for the two-stage simhash oracle: fixed path
+# (the oracle SQL is a static string); the Spark query rewrites it
+# immediately before the oracle runs — both the driver and
+# tests/test_driver_queries run each query BEFORE its oracle.
+SIMHASH_FP_EXPORT = "/tmp/sgraft_simhash_fp.parquet"
+
+
 def q_simhash_near_pairs(spark, sf_dir):
-    """SimHash banded near-pairs within Hamming distance 3. Rows-only."""
-    return D.simhash_near_pairs(_t(spark, sf_dir, "documents"))
+    """SimHash banded near-pairs within Hamming distance 3 — two-stage
+    gated check (VERDICT r2 #8): the FINGERPRINTS are engine-hash-seeded
+    (xxhash64, no DuckDB twin), but the banding + Hamming verification is
+    pure integer arithmetic. The fingerprint table is exported to a
+    parquet seam and BOTH engines compute the pair/distance stage from
+    that identical input, upgrading the stage from rows-only to a full
+    rows+schema+hash gate."""
+    fp = D.simhash(_t(spark, sf_dir, "documents"))
+    fp.coalesce(1).write.mode("overwrite").parquet(SIMHASH_FP_EXPORT)
+    return D.simhash_pairs_from_fp(spark.read.parquet(SIMHASH_FP_EXPORT))
+
+
+SQL_SIMHASH_NEAR_PAIRS = f"""
+WITH fp AS (SELECT doc, simhash FROM '{SIMHASH_FP_EXPORT}/*.parquet'),
+bands AS (SELECT unnest(range(4)) AS band),
+b AS (SELECT doc, simhash, band,
+             (simhash >> (band * 8)) & 255 AS key
+      FROM fp CROSS JOIN bands),
+cand AS (SELECT DISTINCT l.doc AS d1, l.simhash AS f1,
+                         r.doc AS d2, r.simhash AS f2
+         FROM b l JOIN b r ON l.band = r.band AND l.key = r.key
+                          AND l.doc < r.doc)
+SELECT d1, d2, CAST(bit_count(xor(f1, f2)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(f1, f2)) <= 3
+ORDER BY d1, d2
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -387,5 +438,9 @@ EXTRA_ORACLES: Dict[str, str] = {
     "fingerprint": SQL_FINGERPRINT,
     "repetition": SQL_REPETITION,
     "multimodal_meta": SQL_MULTIMODAL_META,
-    # minhash/simhash/ann-lsh/features: engine-hash-seeded, rows-only
+    # two-stage: the fingerprint input is the engine-exported seam; the
+    # banding/Hamming stage itself is fully hash-gated
+    "simhash_near_pairs": SQL_SIMHASH_NEAR_PAIRS,
+    # minhash/ann-lsh/features/fingerprint-gen: engine-hash-seeded,
+    # rows-only
 }

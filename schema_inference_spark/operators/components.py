@@ -6,23 +6,26 @@ needs GROUPS — one canonical survivor per component of the pair graph
 (pairs are not transitive-closed: LSH chained pairing deliberately emits
 a path, not a clique, for oversized buckets; see dedup.py bucket_cap).
 
-Algorithm: iterative min-label propagation with lineage truncation —
-each round every node takes the minimum label among itself and its
-neighbors; converges in O(graph diameter) rounds, each round = one
-join + one aggregation (two shuffles on the node id). Duplicate
-components are near-cliques (diameter 1-2) except chained LSH buckets
-(diameter = bucket/chain); ``max_iter`` bounds the worst case and the
-loop early-stops on a converged round via a metadata-sized count.
+Algorithm (distributed path): the large-star / small-star alternation
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+public algorithm): each round rewires every node's larger neighbors to
+its local minimum (large-star), then contracts each node's smaller
+neighborhood onto that minimum (small-star). Converges in O(log^2 n)
+rounds worst-case — in practice a handful — INDEPENDENT of graph
+diameter, which matters precisely here: chained-LSH pairing
+deliberately emits path-shaped components whose diameter scales with
+bucket size, the one shape that makes per-round min-label propagation
+O(diameter). Each half-round is one aggregation + one join on node id.
 
 Scale notes:
-- the iterated DataFrames are EDGES + LABELS (pair-graph sized — orders
-  of magnitude smaller than the corpus; only near-duplicates appear);
+- the iterated DataFrames are EDGES (pair-graph sized — orders of
+  magnitude smaller than the corpus; only near-duplicates appear);
 - localCheckpoint per round truncates the logical plan, otherwise the
   lineage doubles each iteration and planning time explodes;
-- for adversarial diameters (10^6-node paths) swap the propagation for
-  the large-star/small-star alternation (Kiveris et al., "Connected
-  Components in MapReduce and Beyond"), which converges in O(log n)
-  rounds with the same join/agg primitives — the seam is this function.
+- non-convergence within ``max_iter`` RAISES (never a silently wrong
+  grouping): at the default max_iter=25 the alternation handles any
+  graph the pair generators can emit (2^25 nodes per component is far
+  beyond any bucket-cap bound).
 
 Not SQL-expressible without recursion, so no DuckDB oracle: the gate is
 a pytest equivalence against a driver-side union-find on the collected
@@ -78,26 +81,58 @@ def connected_components(pairs: DataFrame, src: str = "d1",
         return pairs.sparkSession.createDataFrame(
             rows, f"node {node_t}, component {node_t}")
 
-    labels = (edges.select(F.col("a").alias("node"))
-              .distinct()
-              .withColumn("label", F.col("node")))
+    # large-star/small-star alternation. Edge invariant between rounds:
+    # E holds directed edges (u, v) with v < u (pointing at the smaller
+    # id); the converged fixpoint is a star per component rooted at its
+    # minimum id.
+    E = (edges.filter(F.col("a") > F.col("b"))
+         .select(F.col("a").alias("u"), F.col("b").alias("v"))
+         .distinct()
+         .localCheckpoint(eager=True))
 
+    converged = False
     for _ in range(max_iter):
-        nbr_min = (edges.join(labels, edges["a"] == labels["node"])
-                   .groupBy(edges["b"].alias("node"))
-                   .agg(F.min("label").alias("nbr_label")))
-        new_labels = (labels.join(nbr_min, "node", "left")
-                      .select("node",
-                              F.least("label", F.coalesce("nbr_label", "label"))
-                              .alias("label"),
-                              (F.col("nbr_label") < F.col("label"))
-                              .alias("_changed"))
-                      .localCheckpoint(eager=True))
-        changed = new_labels.filter(F.col("_changed")).limit(1).count()
-        labels = new_labels.drop("_changed")
-        if changed == 0:
+        # LARGE-STAR: for each node u, m = min(neighbors ∪ {u}); every
+        # STRICTLY LARGER neighbor re-points at m.
+        sym = E.select("u", "v").unionByName(
+            E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (sym.groupBy("u").agg(F.min("v").alias("_mv"))
+                .select("u", F.least("u", "_mv").alias("m")))
+        large = (sym.filter(F.col("v") > F.col("u"))
+                 .join(mins, "u")
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .filter(F.col("u") != F.col("v"))
+                 .distinct())
+        # SMALL-STAR: for each node u over its SMALLER neighbors L(u),
+        # m = min(L(u)); u and every member of L(u) re-point at m.
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        e1 = mins2.select("u", F.col("m").alias("v"))
+        e2 = (large.join(mins2, "u")
+              .filter(F.col("v") != F.col("m"))
+              .select(F.col("v").alias("u"), F.col("m").alias("v")))
+        E2 = (e1.unionByName(e2)
+              .filter(F.col("u") != F.col("v"))
+              .distinct()
+              .localCheckpoint(eager=True))
+        # fixpoint test on the (pair-graph-sized) edge sets
+        if (E2.exceptAll(E).limit(1).count() == 0
+                and E.exceptAll(E2).limit(1).count() == 0):
+            E = E2
+            converged = True
             break
-    return labels.select("node", F.col("label").alias("component"))
+        E = E2
+    if not converged:
+        raise ValueError(
+            f"connected_components: star alternation did not converge in "
+            f"{max_iter} rounds — refusing to emit a possibly-split "
+            "grouping; raise max_iter")
+
+    roots = E.select(F.col("v").alias("node")).distinct() \
+        .withColumn("component", F.col("node"))
+    return (E.select(F.col("u").alias("node"),
+                     F.col("v").alias("component"))
+            .unionByName(roots)
+            .distinct())
 
 
 def dedup_groups(pairs: DataFrame, src: str = "d1", dst: str = "d2",

@@ -303,15 +303,15 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             .orderBy("doc"))
 
 
-def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text", bits: int = 32,
-                       max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, banded like LSH:
-    split the fingerprint into (max_hamming+1) bands — pairs within
-    distance d must agree on at least one band (pigeonhole)."""
+def simhash_pairs_from_fp(fp: DataFrame, bits: int = 32,
+                          max_hamming: int = 3) -> DataFrame:
+    """The banding + Hamming stage of ``simhash_near_pairs``, over an
+    already-computed fingerprint table (columns ``doc``, ``simhash``).
+    Split out so the stage can be oracle-gated over an exported
+    fingerprint seam: the fingerprints are engine-hash-seeded, but this
+    stage is pure integer arithmetic any engine reproduces exactly."""
     n_bands = max_hamming + 1
     band_bits = bits // n_bands
-    fp = simhash(df, id_col, text_col, bits)
     bandcols = F.array(*[
         F.struct(F.lit(b).alias("band"),
                  F.shiftright(F.col("simhash"), b * band_bits)
@@ -326,7 +326,17 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
             .select(F.col("l.doc").alias("d1"), F.col("l.simhash").alias("f1"),
                     F.col("r.doc").alias("d2"), F.col("r.simhash").alias("f2"))
             .distinct())
-    hamming = F.bit_count(F.col("f1").bitwiseXOR(F.col("f2")))
+    hamming = F.bit_count(F.col("f1").bitwiseXOR(F.col("f2"))).cast("bigint")
     return (cand.select("d1", "d2", hamming.alias("hamming"))
             .filter(F.col("hamming") <= max_hamming)
             .orderBy("d1", "d2"))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", bits: int = 32,
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, banded like LSH:
+    split the fingerprint into (max_hamming+1) bands — pairs within
+    distance d must agree on at least one band (pigeonhole)."""
+    return simhash_pairs_from_fp(simhash(df, id_col, text_col, bits),
+                                 bits, max_hamming)

@@ -21,9 +21,9 @@ data would emit:
 Scale notes (10^12 turns/day):
 - state per key is one conversation's turn keys — bounded by conversation
   length, the same boundedness assumption the batch window check makes
-  (checks.py:150-157); eviction for abandoned conversations is the
-  ``GroupStateTimeout.ProcessingTimeTimeout`` knob (left NoTimeout here so
-  tests are deterministic; prod sets a TTL and flushes state as final).
+  (checks.py:150-157); abandoned conversations are EVICTED via the
+  ``state_ttl_ms`` processing-time TTL (state dropped, last update-mode
+  emission stands as final; tested in tests/test_streaming.py).
 - the stateful operator shuffles once on conv_id — identical key
   distribution to the batch window pass, so the same skew analysis holds
   (a hot conversation is row-skew absorbed by Arrow batching).
@@ -172,17 +172,39 @@ def _conv_violations(snapshot_id: str, conv_id: str,
                        "conv_id", "turn_idx", "payload"])
 
 
-def conv_state_checks(sdf: DataFrame, snapshot_id: str) -> DataFrame:
+_VIOLATION_COLS = [f.strip().split(" ")[0] for f in VIOLATION_DDL.split(",")]
+
+
+def conv_state_checks(sdf: DataFrame, snapshot_id: str,
+                      state_ttl_ms: int | None = None) -> DataFrame:
     """Stateful uniqueness + ordering over a turn stream, keyed by conv_id
     (``applyInPandasWithState``, Arrow-batched). UPDATE semantics: a
     micro-batch that touches a conversation re-emits that conversation's
     full current violation set; keep the latest set per conv_id downstream.
     Once a conversation is fully ingested its emitted set equals the batch
     engine's rows for that conversation exactly (tests/test_streaming.py).
+
+    ``state_ttl_ms``: processing-time TTL for abandoned conversations —
+    at 10^12 turns/day, conversations that never finish would otherwise
+    grow state unboundedly. A conversation idle for the TTL is EVICTED:
+    its state is dropped and its last UPDATE emission stands as final
+    (eviction emits nothing — downstream keeps latest-per-conv, so a
+    re-emission would be pure write amplification). A turn arriving
+    AFTER eviction restarts the conversation from empty state; its
+    subsequent emissions cover post-eviction rows only — the standard
+    late-data tradeoff, same contract as a watermark (pick the TTL like
+    a watermark: longer than any legitimate conversation gap).
+    ``None`` = no eviction (deterministic tests / bounded backfills).
     """
     def fn(key: Tuple[str], pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
         conv_id = key[0]
+        if state.hasTimedOut:
+            # TTL eviction: no new rows for this conversation within the
+            # TTL. Flush-as-final = drop state, emit nothing new.
+            state.remove()
+            yield pd.DataFrame(columns=_VIOLATION_COLS)
+            return
         if state.exists:
             t_prev, s_prev, b_prev = state.get
         else:
@@ -197,8 +219,12 @@ def conv_state_checks(sdf: DataFrame, snapshot_id: str) -> DataFrame:
         ts_us = np.concatenate([np.asarray(s_prev, dtype=np.int64)] + s_new)
         bucket = np.concatenate([np.asarray(b_prev, dtype=np.int32)] + b_new)
         state.update((turn.tolist(), ts_us.tolist(), bucket.tolist()))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
         yield _conv_violations(snapshot_id, conv_id, turn, ts_us, bucket)
 
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if state_ttl_ms is not None else GroupStateTimeout.NoTimeout)
     return (sdf.select("conv_id", "turn_idx", "ts", "bucket")
             .groupBy("conv_id")
             .applyInPandasWithState(
@@ -206,7 +232,7 @@ def conv_state_checks(sdf: DataFrame, snapshot_id: str) -> DataFrame:
                 outputStructType=VIOLATION_DDL,
                 stateStructType=CONV_STATE_SCHEMA,
                 outputMode="update",
-                timeoutConf=GroupStateTimeout.NoTimeout))
+                timeoutConf=timeout))
 
 
 # ---------------------------------------------------------------------------

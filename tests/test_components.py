@@ -76,6 +76,34 @@ def test_components_from_real_lsh_pairs(spark, sf_dir):
     assert got == union_find(plist)
 
 
+def test_star_alternation_converges_on_long_path(spark):
+    """The adversarial shape for min-label propagation: a generated path
+    graph with diameter >> max_iter. The large-star/small-star
+    alternation must converge in O(log n) rounds (max_iter=15 covers
+    2^15 nodes; the path's diameter is 1500) and match union-find —
+    exactly the shape chained-LSH pairing emits for oversized buckets."""
+    n = 1500
+    ids = [f"p{i:05d}" for i in range(n + 1)]
+    pairs = list(zip(ids[:-1], ids[1:]))
+    df = spark.createDataFrame(pairs, "d1 string, d2 string")
+    got = {r.node: r.component
+           for r in connected_components(
+               df, driver_max_edges=0, max_iter=15).collect()}
+    assert got == union_find(pairs)
+    assert set(got.values()) == {ids[0]}
+
+
+def test_unconverged_raises_not_wrong(spark):
+    """Non-convergence must raise, never emit a silently split grouping
+    (regression: ADVICE r2)."""
+    n = 40
+    ids = [f"q{i:03d}" for i in range(n + 1)]
+    df = spark.createDataFrame(list(zip(ids[:-1], ids[1:])),
+                               "d1 string, d2 string")
+    with pytest.raises(ValueError, match="did not converge"):
+        connected_components(df, driver_max_edges=0, max_iter=1)
+
+
 def test_components_determinism(pair_df):
     df, _ = pair_df
     a = sorted(map(tuple, connected_components(df).collect()))

@@ -90,6 +90,88 @@ def test_conv_state_stream_converges_to_batch(spark, snap_dir,
     assert got == want
 
 
+def test_state_ttl_evicts_abandoned_conversations(spark, tmp_path):
+    """An idle conversation's state is dropped after the TTL: eviction
+    itself emits nothing (the last update-mode emission stands as final),
+    and a late duplicate arriving after eviction is counted against a
+    FRESH state (n_copies restarts at 2, not 4) — proving the evicted
+    arrays are gone, i.e. state is bounded.
+
+    Note on pacing: with processing-time timeouts registered, Spark
+    schedules micro-batches continuously even with no new data (timers
+    must be checked), so the test polls the emission log instead of
+    processAllAvailable() — which never settles on such a stream. Prod
+    paces the same loop with trigger(processingTime=...).
+    """
+    import datetime
+    import json
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    stream_dir = tmp_path / "ttl_stream"
+    (stream_dir / "bucket=0").mkdir(parents=True)
+    base = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+
+    def write_file(name, rows):
+        t = pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array(["user"] * len(rows), pa.string()),
+            "text": pa.array(["t"] * len(rows), pa.string()),
+            "tool": pa.array([None] * len(rows), pa.string()),
+            "ts": pa.array([base + datetime.timedelta(minutes=r[1])
+                            for r in rows], pa.timestamp("us", tz="UTC")),
+        })
+        pq.write_table(t, str(stream_dir / "bucket=0" / name))
+
+    sdf = read_turn_stream(spark, str(stream_dir))
+    out = conv_state_checks(sdf, "ttl", state_ttl_ms=300)
+    emissions = []  # (conv_id, check_id, payload) per emitted row
+
+    def collect(df, _epoch):
+        emissions.extend((r.conv_id, r.check_id, r.payload)
+                         for r in df.collect())
+
+    def wait_for(pred, timeout_s=90):
+        deadline = time.monotonic() + timeout_s
+        while time.monotonic() < deadline:
+            if pred():
+                return
+            time.sleep(0.2)
+        raise AssertionError("condition not reached within timeout")
+
+    # file 1: conv A with a duplicated turn -> unique_key(n_copies=2)
+    write_file("f1.parquet", [("A", 1), ("A", 1), ("A", 2)])
+    q = (out.writeStream.outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt_ttl"))
+         .foreachBatch(collect)
+         .start())
+    try:
+        wait_for(lambda: any(c == "unique_key" for (_, c, _) in emissions))
+        n_first = len(emissions)
+        assert {c for (cv, c, _) in emissions if cv == "A"} == \
+            {"unique_key", "turn_dup"}
+
+        # idle past the TTL: timer batches run, A is evicted — and the
+        # eviction emits NOTHING (no re-emission of A's violations)
+        time.sleep(1.5)
+        assert emissions[n_first:] == []
+
+        # a late duplicate of turn 1 arrives AFTER eviction: fresh state,
+        # so the duplicate count restarts at 2 — with retained state it
+        # would be 4 (documented late-data tradeoff; proves the evicted
+        # arrays are gone)
+        write_file("f3.parquet", [("A", 1), ("A", 1)])
+        wait_for(lambda: len(emissions) > n_first)
+        late = [(c, p) for (cv, c, p) in emissions[n_first:] if cv == "A"]
+        uk = [json.loads(p) for (c, p) in late if c == "unique_key"]
+        assert uk == [{"n_copies": 2}]
+    finally:
+        q.stop()
+
+
 def test_window_stats_stream_matches_batch(spark, snap_dir, batch_df,
                                            tmp_path):
     sdf = read_turn_stream(spark, snap_dir, max_files_per_trigger=4)
