@@ -91,15 +91,24 @@ def _real_decode(payload: bytes, kind: str, codecs: dict) -> np.ndarray:
 
 
 def decode_features(df: DataFrame, fake: bool = False,
+                    decoders: dict | None = None,
                     batch_size_hint: int = 1024) -> DataFrame:
     """Decode payloads into feature vectors via mapInPandas (Arrow batches;
     one Python worker per input split — the right shape for codec work:
     CPU-bound, per-record independent, no shuffle).
 
-    ``fake=True`` uses the deterministic hash stand-in. ``fake=False``
-    probes for real codec libraries on the worker and decodes with them;
-    with none installed (this container) it raises NotImplementedError —
-    a clearly-marked stub boundary, not silent wrong output.
+    ``decoders``: the PROD WIRING seam — a dict mapping ``kind`` to a
+    callable ``bytes -> array-like of FEATURE_DIM floats``. The callables
+    are cloudpickled into the UDF closure and run on the WORKERS, so prod
+    registers its codec stack here (PIL thumbnail, librosa frames, ffmpeg
+    frame sampling) without touching this module; docs/MULTIMODAL.md has
+    the recipes. Kinds not covered fall through to the built-in probe
+    (`_probe_codecs` / `_real_decode`).
+
+    ``fake=True`` uses the deterministic hash stand-in. With neither a
+    registered decoder nor a probed codec for a kind, the UDF raises
+    NotImplementedError — a clearly-marked stub boundary, not silent
+    wrong output.
     """
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         codecs = {} if fake else _probe_codecs()
@@ -108,9 +117,18 @@ def decode_features(df: DataFrame, fake: bool = False,
                 feats = [
                     _fake_decode(bytes(p)).tolist() for p in pdf["payload"]]
             else:
-                feats = [
-                    _real_decode(bytes(p), k, codecs).tolist()
-                    for p, k in zip(pdf["payload"], pdf["kind"])]
+                feats = []
+                for p, k in zip(pdf["payload"], pdf["kind"]):
+                    dec = (decoders or {}).get(k)
+                    if dec is not None:
+                        v = np.asarray(dec(bytes(p)), dtype=np.float32)
+                        if v.shape != (FEATURE_DIM,):
+                            raise ValueError(
+                                f"decoder for kind={k!r} returned shape "
+                                f"{v.shape}, expected ({FEATURE_DIM},)")
+                        feats.append(v.tolist())
+                    else:
+                        feats.append(_real_decode(bytes(p), k, codecs).tolist())
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "kind": pdf["kind"],

