@@ -435,16 +435,11 @@ def check_rowlevel_clustered(spark: SparkSession, catalog, snapshot_id: str,
                              F.col("_seg_rank"))).alias("_bad_first"),
                 F.min(F.when(F.col("_flags").bitwiseAND(F.lit(2)) == 0,
                              F.col("_seg_rank"))).alias("_bad_last")))
-    bad = (ext.filter(
+    bad_extent = ext.filter(
         (F.col("_n") != F.col("_rmax") - F.col("_rmin") + 1)
         | (F.coalesce(F.col("_bad_first"), F.col("_rmin")) != F.col("_rmin"))
-        | (F.coalesce(F.col("_bad_last"), F.col("_rmax")) != F.col("_rmax")))
-        .select("conv_id").limit(1).collect())
-    if bad:
-        raise ValueError(
-            "clustered checks: manifest declares clustering by conv_id "
-            f"but conv {bad[0].conv_id!r} occupies non-adjacent segments "
-            "in scan order — shuffle path (check_rowlevel_fused) required")
+        | (F.coalesce(F.col("_bad_last"), F.col("_rmax")) != F.col("_rmax"))
+    ).select("conv_id")
 
     snap = F.lit(snapshot_id).alias("snapshot_id")
     vcols = ["partition_id", "check_id", "mgu_failure", "schema_1",
@@ -510,17 +505,30 @@ def check_rowlevel_clustered(spark: SparkSession, catalog, snapshot_id: str,
     # that exists ONLY across a boundary (locally sorted splits, key
     # regressing at the seam) must also refuse, not silently emit rows
     # that diverge from the fused path (ADVICE r2). Equal (turn, ts) at
-    # the seam is a legitimate duplicate, not a lie.
-    lie = (b.filter((F.col("f_turn") < F.col("p_turn"))
-                    | ((F.col("f_turn") == F.col("p_turn"))
-                       & (F.col("f_ts") < F.col("p_ts"))))
-           .select("f_conv").limit(1).collect())
-    if lie:
+    # the seam is a legitimate duplicate, not a lie. Fused with the
+    # extent check (part 2) into ONE driver action — fixed per-snapshot
+    # cost is one small job, not two.
+    bad_seam = (b.filter((F.col("f_turn") < F.col("p_turn"))
+                         | ((F.col("f_turn") == F.col("p_turn"))
+                            & (F.col("f_ts") < F.col("p_ts"))))
+                .select(F.col("f_conv").alias("conv_id")))
+    probs = (bad_extent.select(F.lit("extent").alias("why"), "conv_id")
+             .limit(1)
+             .unionByName(bad_seam.select(F.lit("seam").alias("why"),
+                                          "conv_id").limit(1))
+             .collect())
+    if probs:
+        why, cv = probs[0].why, probs[0].conv_id
+        if why == "extent":
+            raise ValueError(
+                "clustered checks: manifest declares clustering by "
+                f"conv_id but conv {cv!r} occupies non-adjacent segments "
+                "in scan order — shuffle path (check_rowlevel_fused) "
+                "required")
         raise ValueError(
             "clustered checks: manifest declares sort order (conv_id, "
-            f"turn_idx, ts) but conv {lie[0].f_conv!r} regresses across "
-            "a split boundary — shuffle path (check_rowlevel_fused) "
-            "required")
+            f"turn_idx, ts) but conv {cv!r} regresses across a split "
+            "boundary — shuffle path (check_rowlevel_fused) required")
 
     def bshape(cond, check_id, payload):
         return (b.filter(cond)
