@@ -79,16 +79,17 @@ def boundary_root(spark, tmp_path_factory):
 
 def test_boundary_spanning_anomalies(spark, boundary_root):
     cat = SnapshotCatalog(boundary_root)
-    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
     old_arb = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
     try:
-        # force many file splits AND many small Arrow batches so runs and
-        # lag pairs cross both kinds of boundary
-        spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+        # force many scan splits (row-group-aligned, 64-row row groups in
+        # the fixture) AND many small Arrow batches so runs and lag pairs
+        # cross both kinds of boundary
+        spark.conf.set("spark.schema_inference.clustered.splitTargetRows",
+                       "64")
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
         clu = _clustered(spark, cat, "b1")
     finally:
-        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        spark.conf.unset("spark.schema_inference.clustered.splitTargetRows")
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
                        old_arb)
     fus = _fused(spark, cat, "b1")
