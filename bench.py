@@ -68,8 +68,28 @@ def bench_validation(spark) -> dict:
 def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # warm the JVM/Python-worker path once so timings measure the plans
+    # warm the JVM once so timings measure the plans, not one-time janino
+    # compilation: a cluster executor compiles each codegen shape once
+    # per lifetime, but a fresh local JVM would bill it all to whichever
+    # query runs first (alphabetically ann_ivf_topk — which is why it
+    # looked 2x slower in round 2). Touch each distinct machinery path:
+    # hash agg, window rank, broadcast join, and the Arrow/pandas_udf
+    # Python-worker pool.
     materialize(CORE_QUERIES["stats_value"](spark, SF_DIR))
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from schema_inference_spark.operators.similarity import with_ivf_cell
+
+    tiny = (spark.range(256).withColumn("k", F.col("id") % 8)
+            .withColumn("embedding",
+                        F.array(*[F.rand(seed=1) for _ in range(4)])))
+    dim = spark.range(8).withColumnRenamed("id", "k")
+    w = Window.partitionBy("k").orderBy("id")
+    materialize(with_ivf_cell(tiny.join(F.broadcast(dim), "k")
+                              .withColumn("r", F.row_number().over(w)),
+                              np.eye(4)))
 
     t0 = time.monotonic()
     queries = bench_queries(spark)

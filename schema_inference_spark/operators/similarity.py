@@ -190,7 +190,9 @@ def with_ivf_cell(df, centroids: np.ndarray,
 
     @pandas_udf("int")
     def cell_of(vecs: pd.Series) -> pd.Series:
-        x = np.array(vecs.tolist(), dtype=np.float64)
+        # vstack over the Series' ndarray items: one C-level copy per
+        # batch (np.array(tolist()) re-boxes every element via Python)
+        x = np.vstack(vecs.to_numpy()).astype(np.float64, copy=False)
         x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         return pd.Series((x @ cents.T).argmax(axis=1).astype(np.int32))
 
@@ -212,30 +214,35 @@ def ivf_topk(df, probe_ids: List[int], k: int = 5, n_centroids: int = 16,
         F.col(id_col).alias("nid"), vec.alias("nvec"),
         _norm(vec).alias("nnorm"), "ivf_cell")
 
-    # probe -> its nprobe nearest cells, computed driver-side (tiny)
+    # probe -> its nprobe nearest cells, computed driver-side (tiny);
+    # the probe side (vector + norm + cell fan-out) is then BUILT from
+    # these collected rows instead of re-scanning the corpus and joining
+    # against a cells table — the probe set is bounded by construction,
+    # so a local DataFrame broadcast is the right plan at any corpus size.
     probe_rows = (df.filter(F.col(id_col).isin(probe_ids))
                   .select(id_col, vec_col).collect())
     pc_rows = []
     for r in probe_rows:
         v = np.array(r[1], dtype=np.float64)
-        v /= max(np.linalg.norm(v), 1e-12)
-        cells = np.argsort(-(cents @ v))[:nprobe]
+        nrm = float(np.linalg.norm(v))
+        cells = np.argsort(-(cents @ (v / max(nrm, 1e-12))))[:nprobe]
         for c in cells:
-            pc_rows.append((int(r[0]), int(c)))
+            pc_rows.append((int(r[0]), [float(x) for x in r[1]],
+                            nrm, int(c)))
     spark = df.sparkSession
-    probe_cells = spark.createDataFrame(pc_rows, "pid bigint, ivf_cell int")
-    probes = (df.filter(F.col(id_col).isin(probe_ids))
-              .select(F.col(id_col).alias("pid"), vec.alias("pvec"),
-                      _norm(vec).alias("pnorm"))
-              .join(probe_cells, on="pid"))
+    probes = spark.createDataFrame(
+        pc_rows, "pid bigint, pvec array<double>, pnorm double, ivf_cell int")
 
+    # no distinct needed: each corpus vector lives in exactly ONE cell
+    # and (pid, cell) probe rows are unique, so a (pid, nid) pair can
+    # appear at most once — deduplicating would re-shuffle the candidate
+    # set for nothing.
     sims = (corpus.join(F.broadcast(probes),
                         (corpus.ivf_cell == probes.ivf_cell)
                         & (F.col("pid") != F.col("nid")))
             .select("pid", "nid",
                     F.round(_sim(F.col("pvec"), F.col("pnorm"),
-                                 F.col("nvec"), F.col("nnorm")), 4).alias("sim"))
-            .distinct())
+                                 F.col("nvec"), F.col("nnorm")), 4).alias("sim")))
     w = Window.partitionBy("pid").orderBy(F.desc("sim"), F.asc("nid"))
     return (sims.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
