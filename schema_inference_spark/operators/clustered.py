@@ -406,7 +406,8 @@ _SCAN_COLS = ["conv_id", "turn_idx", "role", "tool", "ts"]
 
 
 def _native_split_reader(checker, role_vocab: List[str],
-                         tool_vocab: List[str], batch_rows: int):
+                         tool_vocab: List[str], batch_rows: int,
+                         state_cols: List[str] | None = None):
     """mapInArrow over SPLIT rows: each task reads its parquet row-group
     range natively with pyarrow (C++ decode, zero JVM row->Arrow
     conversion) and streams checker-schema batches into
@@ -423,13 +424,29 @@ def _native_split_reader(checker, role_vocab: List[str],
     catalogs need worker-side filesystem access (pyarrow.fs handles
     s3://, hdfs://); a catalog that can't offer it keeps the JVM-scan
     shuffle path.
+
+    With ``state_cols`` the same decoded batches ALSO feed the inference
+    column-state monoid (infer._arrow_col_state — per-column null counts,
+    min/max, observed type): the one extra read is the columns the checks
+    prune (``text``), and it replaces the infer stage's ENTIRE second
+    corpus scan. States ride the same output schema as kind=4 rows
+    (partition_id + state JSON in ``payload``), one row per (split,
+    partition) — metadata-sized.
     """
     import numpy as np
 
     def fn(batches):
+        import json as _json
+
         import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
+
+        from schema_inference_spark.operators.infer import (
+            _arrow_col_state,
+            _json_safe,
+            merge_part_states,
+        )
         try:
             pa.set_cpu_count(1)
             pa.set_io_thread_count(1)
@@ -437,6 +454,9 @@ def _native_split_reader(checker, role_vocab: List[str],
             pass
         role_set = pa.array(role_vocab, pa.string())
         tool_set = pa.array(tool_vocab, pa.string())
+        read_cols = (_SCAN_COLS if state_cols is None else
+                     list(dict.fromkeys([*_SCAN_COLS, *state_cols])))
+        states: dict = {}  # pid -> PartState
 
         def checker_batches():
             for sp in batches:
@@ -445,10 +465,33 @@ def _native_split_reader(checker, role_vocab: List[str],
                     if row["rg_start"] >= row["rg_end"]:
                         continue
                     pos = row["pos0"]
-                    for b in pf.iter_batches(
+                    pid = row["partition_id"]
+                    if state_cols is not None:
+                        # physical truth comes from the footer schema:
+                        # pyarrow may decode e.g. string as large_string
+                        # in memory, but `phys` records what the FILE
+                        # stores (what the census and the Spark-feed
+                        # engine report)
+                        fsch = pf.schema_arrow
+                        phys_of = {c: str(fsch.field(c).type)
+                                   for c in state_cols}
+                    for full in pf.iter_batches(
                             batch_size=batch_rows,
                             row_groups=range(row["rg_start"], row["rg_end"]),
-                            columns=_SCAN_COLS):
+                            columns=read_cols):
+                        if state_cols is not None:
+                            st = {}
+                            for c in state_cols:
+                                cs = _arrow_col_state(
+                                    full.column(
+                                        full.schema.get_field_index(c)),
+                                    pid)
+                                if cs["phys"]:
+                                    cs["phys"] = [phys_of[c]]
+                                st[c] = cs
+                            states[pid] = (merge_part_states(states[pid], st)
+                                           if pid in states else st)
+                        b = full.select(_SCAN_COLS)
                         n = b.num_rows
                         ix = b.schema.get_field_index
                         role = b.column(ix("role"))
@@ -478,6 +521,23 @@ def _native_split_reader(checker, role_vocab: List[str],
                         pos += n
 
         yield from checker(checker_batches())
+        if states:
+            # checker() fully drains checker_batches before returning, so
+            # the accumulator is complete here. One row per (split,
+            # partition): kind=4, pid, state JSON in payload.
+            pids = sorted(states)
+            yield pa.RecordBatch.from_arrays([
+                pa.array([4] * len(pids), pa.int32()),
+                pa.array(pids, pa.int32()),
+                *[pa.nulls(len(pids), pa.string()) for _ in range(5)],
+                pa.nulls(len(pids), pa.int64()),
+                pa.array([_json.dumps(states[p], default=_json_safe)
+                          for p in pids], pa.string()),
+                *[pa.nulls(len(pids), t) for t in
+                  (pa.int64(), pa.int32(), pa.int64(), pa.string(),
+                   pa.int64(), pa.int64(), pa.int32(), pa.string(),
+                   pa.int64(), pa.int64())],
+            ], names=[f.strip().split(" ")[0] for f in _OUT_DDL.split(",")])
 
     return fn
 
@@ -486,14 +546,20 @@ def check_rowlevel_clustered(spark: SparkSession, catalog, snapshot_id: str,
                              pending: List[int], role_vocab: List[str],
                              tool_vocab: List[str],
                              partition_col: str = "bucket",
-                             split_target_rows: int | None = None) -> DataFrame:
+                             split_target_rows: int | None = None,
+                             collect_states: bool = False):
     """All row-level checks (uniqueness, role/tool vocab, ordering) with
     zero shuffle over a snapshot whose manifest declares the clustered
     write order. Row-identical to ``check_rowlevel_fused``.
 
     The corpus pass distributes manifest row-group splits and reads them
     natively in the workers (see ``_native_split_reader`` for why — the
-    JVM->Python Arrow feed was the whole cost of this stage)."""
+    JVM->Python Arrow feed was the whole cost of this stage).
+
+    ``collect_states=True`` fuses the inference column-state pass into
+    the SAME scan (every column, including the ones the checks prune) and
+    returns ``(violations, pstates)`` — the snapshot then needs ONE
+    corpus read total instead of a stats pass plus a check pass."""
     if split_target_rows is None:
         split_target_rows = int(spark.conf.get(
             "spark.schema_inference.clustered.splitTargetRows", "1000000"))
@@ -508,6 +574,14 @@ def check_rowlevel_clustered(spark: SparkSession, catalog, snapshot_id: str,
 
     checker = _segment_checker(fid_of, _vocab_json(role_vocab),
                                _vocab_json(tool_vocab))
+    state_cols = None
+    if collect_states and splits:
+        # census uniformity is a precondition of this path, so the first
+        # file's schema is every file's schema; the partition column is
+        # directory-derived, never in the files
+        import pyarrow.parquet as _pq
+        state_cols = [c for c in _pq.ParquetFile(splits[0][2])
+                      .schema_arrow.names if c != partition_col]
     splits_df = spark.createDataFrame(
         splits,
         "split_id long, fid int, path string, partition_id int, "
@@ -515,7 +589,8 @@ def check_rowlevel_clustered(spark: SparkSession, catalog, snapshot_id: str,
     if splits:
         splits_df = splits_df.repartition(len(splits))
     out = splits_df.mapInArrow(
-        _native_split_reader(checker, role_vocab, tool_vocab, batch_rows),
+        _native_split_reader(checker, role_vocab, tool_vocab, batch_rows,
+                             state_cols),
         _OUT_DDL)
     # the five consumers below (direct violations, unique-key aggregate,
     # three boundary-pair branches) would each re-execute the scan+UDF
@@ -673,8 +748,21 @@ def check_rowlevel_clustered(spark: SparkSession, catalog, snapshot_id: str,
                       F.date_format(F.timestamp_micros("f_ts"), _TS_FMT)
                       .alias("ts"))))
 
-    return (direct.unionByName(uk).unionByName(gap_b)
-            .unionByName(dup_b).unionByName(ts_b))
+    violations = (direct.unionByName(uk).unionByName(gap_b)
+                  .unionByName(dup_b).unionByName(ts_b))
+    if not collect_states:
+        return violations
+
+    # fused states: one kind=4 row per (split, partition), merged here
+    # with the same associative monoid the standalone engines use
+    from .infer import merge_part_states
+    by_pid: dict = {}
+    for r in (out.filter(F.col("kind") == 4)
+              .select("partition_id", "payload").collect()):
+        st = json.loads(r.payload)
+        by_pid[r.partition_id] = (merge_part_states(by_pid[r.partition_id], st)
+                                  if r.partition_id in by_pid else st)
+    return violations, sorted(by_pid.items())
 
 
 def census_uniform(census: dict, pending: List[int]) -> bool:

@@ -491,16 +491,13 @@ def finalize_schema(col: str, st: ColState) -> Dict[str, Any]:
     return sch
 
 
-def infer_snapshot(spark, catalog, snapshot_id: str,
-                   partitions: Optional[List[int]] = None,
-                   engine: str = "sql") -> InferResult:
-    """Full inference for one snapshot (optionally a partition subset).
-
-    engine="sql" (default): JVM aggregation computes the per-partition
-    states (scales with cores). engine="arrow": mapInArrow computes them
-    executor-side in pyarrow — semantically identical (asserted in tests),
-    the escape hatch for state shapes SQL can't express.
-    """
+def snapshot_census(spark, catalog, snapshot_id: str,
+                    partitions: Optional[List[int]] = None,
+                    ) -> Dict[int, Dict[str, Any]]:
+    """Metadata-only footer census for a snapshot (pass 1, standalone) —
+    exposed separately so the pipeline can pick the check path (which
+    needs census uniformity) BEFORE committing to a data scan, and so the
+    fused clustered pass can reuse it without a second footer read."""
     if partitions is None:
         partitions = catalog.partition_ids(snapshot_id)
     files = []
@@ -511,14 +508,43 @@ def infer_snapshot(spark, catalog, snapshot_id: str,
             for fname in p["files"]:
                 files.append((p["partition_id"],
                               f"{catalog.root}/{snapshot_id}/{p['path']}/{fname}"))
+    return physical_census(spark, files)
 
-    census = physical_census(spark, files)
+
+def infer_snapshot(spark, catalog, snapshot_id: str,
+                   partitions: Optional[List[int]] = None,
+                   engine: str = "sql",
+                   census: Optional[Dict[int, Dict[str, Any]]] = None,
+                   ) -> InferResult:
+    """Full inference for one snapshot (optionally a partition subset).
+
+    engine="sql" (default): JVM aggregation computes the per-partition
+    states (scales with cores). engine="arrow": mapInArrow computes them
+    executor-side in pyarrow — semantically identical (asserted in tests),
+    the escape hatch for state shapes SQL can't express. A precomputed
+    ``census`` skips the footer re-read (the pipeline does the census
+    first to select its check path).
+    """
+    if partitions is None:
+        partitions = catalog.partition_ids(snapshot_id)
+    if census is None:
+        census = snapshot_census(spark, catalog, snapshot_id, partitions)
 
     df = read_snapshot_tolerant(spark, catalog, snapshot_id, partitions, census)
     if engine == "arrow":
         pstates = partition_states(df)
     else:
         pstates = sql_partition_states(df, census)
+    return finalize_infer(spark, snapshot_id, census, pstates)
+
+
+def finalize_infer(spark, snapshot_id: str,
+                   census: Dict[int, Dict[str, Any]],
+                   pstates: List[Tuple[int, PartState]]) -> InferResult:
+    """Per-partition states + census -> InferResult (snapshot schema,
+    column stats, schema_merge violations). Shared by both state engines
+    and by the fused clustered pass, which computes the states inside the
+    same native scan that runs the row-level checks."""
     snap_state = tree_merge_states(spark, pstates)
 
     # overlay census conflicts: if physical types across partitions disagree,

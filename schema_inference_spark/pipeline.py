@@ -95,10 +95,53 @@ def validate(
             spark.createDataFrame([], "snapshot_id string, column string"),
             InferResult(snapshot_id, {}, {}, {}, {}, []))
 
-    # -- infer: census + column states + strict merge (D5/D6/D14) -----------
-    inf = infer_snapshot(spark, catalog, snapshot_id, pending)
-    _mark("infer")
-    df = read_snapshot_tolerant(spark, catalog, snapshot_id, pending, inf.census)
+    # -- census first (metadata-only): selects the check path ---------------
+    from .operators.clustered import (census_uniform,
+                                      check_rowlevel_clustered,
+                                      manifest_declares_order)
+    from .operators.infer import finalize_infer, snapshot_census
+    census = snapshot_census(spark, catalog, snapshot_id, pending)
+    _mark("census")
+
+    # path selection: clustered (zero-shuffle, layout-aware) when the
+    # manifest declares the write order — the Iceberg sort-order contract —
+    # else fused (one scan + one skew-blocked shuffle). clustered_checks
+    # forces it either way. All three paths are row-identical (tested).
+    use_clustered = (clustered_checks if clustered_checks is not None
+                     else manifest_declares_order(catalog.manifest(snapshot_id)))
+    # a cross-partition physical-type conflict forces the widening scan
+    # (read_snapshot_tolerant), which the layout fast path cannot use —
+    # those snapshots take the shuffle path regardless
+    use_clustered = use_clustered and census_uniform(census, pending)
+
+    # -- the corpus pass(es): checks + inference states ---------------------
+    # clustered path: ONE fused native scan computes the row-level checks
+    # AND the inference column states (collect_states) — the snapshot is
+    # read once, total. Fallback paths: JVM state aggregation (one scan)
+    # + fused shuffle checks (second scan).
+    inf = None
+    violations = None
+    if use_clustered:
+        try:
+            # eager: the one corpus pass runs here, so a layout lie
+            # (manifest declares an order the files don't honor)
+            # surfaces now — fall back to the shuffle path instead of
+            # failing the job. The declared order is metadata we verify,
+            # not trust.
+            violations, pstates = check_rowlevel_clustered(
+                spark, catalog, snapshot_id, pending, role_vocab,
+                tool_vocab, partition_col, collect_states=True)
+            inf = finalize_infer(spark, snapshot_id, census, pstates)
+            _mark("checks+infer (one fused scan)")
+        except Exception as exc:  # noqa: BLE001 — executor errors arrive
+            if "clustered checks:" not in str(exc):  # as Py4J wrappers
+                raise
+    if inf is None:
+        # -- infer: column states + strict merge (D5/D6/D14), own scan ------
+        inf = infer_snapshot(spark, catalog, snapshot_id, pending,
+                             census=census)
+        _mark("infer")
+    df = read_snapshot_tolerant(spark, catalog, snapshot_id, pending, census)
     _mark("read-plan")
 
     # -- stats + sketches (D7-D9), one scan, two agg levels ------------------
@@ -112,34 +155,6 @@ def validate(
     _mark("profile-plan")
     snapshot_stats = prof["snapshot"]
 
-    # -- constraint checks (D10-D12), declarative plans ----------------------
-    # path selection: clustered (zero-shuffle, layout-aware) when the
-    # manifest declares the write order — the Iceberg sort-order contract —
-    # else fused (one scan + one skew-blocked shuffle). clustered_checks
-    # forces it either way. All three paths are row-identical (tested).
-    from .operators.clustered import (census_uniform,
-                                      check_rowlevel_clustered,
-                                      manifest_declares_order)
-    use_clustered = (clustered_checks if clustered_checks is not None
-                     else manifest_declares_order(catalog.manifest(snapshot_id)))
-    # a cross-partition physical-type conflict forces the widening scan
-    # (read_snapshot_tolerant), which the layout fast path cannot use —
-    # those snapshots take the shuffle path regardless
-    use_clustered = use_clustered and census_uniform(inf.census, pending)
-    violations = None
-    if use_clustered:
-        try:
-            # eager: the one corpus pass runs here, so a layout lie
-            # (manifest declares an order the files don't honor)
-            # surfaces now — fall back to the shuffle path instead of
-            # failing the job. The declared order is metadata we verify,
-            # not trust.
-            violations = check_rowlevel_clustered(
-                spark, catalog, snapshot_id, pending, role_vocab,
-                tool_vocab, partition_col)
-        except Exception as exc:  # noqa: BLE001 — executor errors arrive
-            if "clustered checks:" not in str(exc):  # as Py4J wrappers
-                raise
     if violations is None and fused_checks:
         # one scan + one skew-blocked shuffle produces every row-level
         # check's violations (row-identical to the separate plans, which

@@ -268,3 +268,48 @@ def test_validate_type_conflict_falls_back(spark, catalog):
     r = validate(spark, catalog, "s2", write_audit=False)
     kinds = {x.check_id for x in r.violations.collect()}
     assert "schema_merge" in kinds
+
+
+def test_fused_scan_states_match_standalone_engines(spark, catalog):
+    """collect_states=True computes the inference column states inside the
+    check scan; the result must be the same monoid value the standalone
+    SQL and Arrow state engines produce — schema, stats, violations, and
+    the per-partition states themselves."""
+    from schema_inference_spark.operators.infer import (
+        finalize_infer,
+        infer_snapshot,
+        snapshot_census,
+    )
+
+    for snap in ("s1", "s4"):
+        parts = catalog.partition_ids(snap)
+        census = snapshot_census(spark, catalog, snap, parts)
+        _, pstates = check_rowlevel_clustered(
+            spark, catalog, snap, parts, ROLE_VOCAB, TOOL_VOCAB,
+            collect_states=True)
+        fused = finalize_infer(spark, snap, census, pstates)
+        sql = infer_snapshot(spark, catalog, snap, census=census)
+        assert fused.table_schema == sql.table_schema, snap
+        assert fused.column_stats == sql.column_stats, snap
+        assert fused.violations == sql.violations, snap
+        # per-partition states compare against the SQL engine: its `phys`
+        # comes from the footer census (the physical-truth source), which
+        # is also where the fused scan takes it — the Spark Arrow feed
+        # can rewrite e.g. large_string to string in memory
+        assert fused.partition_states == sql.partition_states, snap
+
+
+def test_validate_clustered_uses_one_fused_scan(spark, catalog):
+    """validate() on a clustered snapshot returns the same verdicts,
+    violations, and inferred schema whether the fused single-scan path or
+    the forced shuffle path computes them."""
+    a = validate(spark, catalog, "s1", resume=False, write_audit=False)
+    b = validate(spark, catalog, "s1", resume=False, write_audit=False,
+                 clustered_checks=False)
+    assert a.table_schema == b.table_schema
+    assert rows_of(a.violations) == rows_of(b.violations)
+    av = {(r.partition_id, r.verdict, r.n_violations)
+          for r in a.verdicts.collect()}
+    bv = {(r.partition_id, r.verdict, r.n_violations)
+          for r in b.verdicts.collect()}
+    assert av == bv
