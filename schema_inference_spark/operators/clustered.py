@@ -601,6 +601,14 @@ def check_rowlevel_clustered(spark: SparkSession, catalog, snapshot_id: str,
     # Eager also surfaces a layout-lie error at call time.
     out = out.localCheckpoint(eager=True)
 
+    # second-level checkpoint: the big store is dominated by the kind=3
+    # extent rows (one per conversation — they exist only for the global
+    # contiguity verification below, which reads them exactly once). The
+    # violation branches (direct/unique-key/three boundary pairs) would
+    # each rescan all of it; give them a violation-sized store instead —
+    # one filter pass here, ~#violations + #segments rows retained.
+    rowsrc = out.filter(F.col("kind") < 3).localCheckpoint(eager=True)
+
     # --- layout verification, part 2: GLOBAL conv contiguity ------------
     # The UDF verifies contiguity within each split; the boundary stitch
     # compares only ADJACENT segments. A cross-split-only lie — a conv
@@ -611,7 +619,7 @@ def check_rowlevel_clustered(spark: SparkSession, catalog, snapshot_id: str,
     # per-(conv, segment) extent rows (kind=3, ~one per conversation) and
     # a segment-rank table (#segments rows of two ints — the rank window
     # is a single tiny task, bounded by split count, not row count).
-    segr = (out.filter(F.col("kind") == 1).select("fid", "pos")
+    segr = (rowsrc.filter(F.col("kind") == 1).select("fid", "pos")
             .withColumn("_seg_rank",
                         F.row_number().over(Window.orderBy("fid", "pos"))))
     c3 = out.filter(F.col("kind") == 3).select(
@@ -636,12 +644,12 @@ def check_rowlevel_clustered(spark: SparkSession, catalog, snapshot_id: str,
     snap = F.lit(snapshot_id).alias("snapshot_id")
     vcols = ["partition_id", "check_id", "mgu_failure", "schema_1",
              "schema_2", "conv_id", "turn_idx", "payload"]
-    direct = out.filter(F.col("kind") == 0).select(snap, *vcols)
+    direct = rowsrc.filter(F.col("kind") == 0).select(snap, *vcols)
 
     # split-spanning duplicate runs: per-key partial counts -> one row per
     # duplicated key (same (n_copies, min-bucket) row the fused window
     # folds to). Input is candidates only — sparse by construction.
-    uk = (out.filter(F.col("kind") == 2)
+    uk = (rowsrc.filter(F.col("kind") == 2)
           .groupBy("conv_id", "turn_idx")
           .agg(F.sum("cnt").alias("n"), F.min("partition_id").alias("pid"))
           .filter(F.col("n") > 1)
@@ -662,7 +670,7 @@ def check_rowlevel_clustered(spark: SparkSession, catalog, snapshot_id: str,
     # first segment with the previous present file's last segment — the
     # only driver-order pass, one row per FILE (manifest-sized, ~100
     # bytes each), broadcast to the join.
-    bnd = out.filter(F.col("kind") == 1).select(
+    bnd = rowsrc.filter(F.col("kind") == 1).select(
         "fid", "pos", "f_conv", "f_turn", "f_ts", "f_bucket",
         "l_conv", "l_turn", "l_ts")
     wf = Window.partitionBy("fid").orderBy("pos")
@@ -722,34 +730,45 @@ def check_rowlevel_clustered(spark: SparkSession, catalog, snapshot_id: str,
             f"turn_idx, ts) but conv {cv!r} regresses across a split "
             "boundary — shuffle path (check_rowlevel_fused) required")
 
-    def bshape(cond, check_id, payload):
-        return (b.filter(cond)
-                .select(snap, F.col("f_bucket").alias("partition_id"),
-                        F.lit(check_id).alias("check_id"),
-                        F.lit(None).cast("string").alias("mgu_failure"),
-                        F.lit(None).cast("string").alias("schema_1"),
-                        F.lit(None).cast("string").alias("schema_2"),
-                        F.col("f_conv").alias("conv_id"),
-                        F.col("f_turn").alias("turn_idx"),
-                        payload.alias("payload")))
+    # the three boundary-pair checks share the whole stitch subtree; a
+    # union of three filtered branches would execute it three times
+    # (Spark reuses exchanges, not arbitrary subplans). One projection
+    # evaluates all three conditions per pair and explodes the matches —
+    # a pair failing several checks still emits one row per check, same
+    # rows as the former three-branch union.
+    def _hit(cond, check_id, payload):
+        return F.when(cond, F.struct(F.lit(check_id).alias("c"),
+                                     payload.alias("p")))
 
-    gap_b = bshape(F.col("f_turn") > F.col("p_turn") + 1, "turn_gap",
-                   F.to_json(F.struct(
-                       F.col("p_turn").cast("bigint").alias("prev_idx"),
-                       (F.col("f_turn") - F.col("p_turn") - 1)
-                       .cast("bigint").alias("missing"))))
-    dup_b = bshape(F.col("f_turn") == F.col("p_turn"), "turn_dup",
-                   F.to_json(F.struct(
-                       F.col("p_turn").cast("bigint").alias("prev_idx"))))
-    ts_b = bshape(F.col("f_ts") < F.col("p_ts"), "ts_order",
-                  F.to_json(F.struct(
-                      F.date_format(F.timestamp_micros("p_ts"), _TS_FMT)
-                      .alias("prev_ts"),
-                      F.date_format(F.timestamp_micros("f_ts"), _TS_FMT)
-                      .alias("ts"))))
+    hits = F.array(
+        _hit(F.col("f_turn") > F.col("p_turn") + 1, "turn_gap",
+             F.to_json(F.struct(
+                 F.col("p_turn").cast("bigint").alias("prev_idx"),
+                 (F.col("f_turn") - F.col("p_turn") - 1)
+                 .cast("bigint").alias("missing")))),
+        _hit(F.col("f_turn") == F.col("p_turn"), "turn_dup",
+             F.to_json(F.struct(
+                 F.col("p_turn").cast("bigint").alias("prev_idx")))),
+        _hit(F.col("f_ts") < F.col("p_ts"), "ts_order",
+             F.to_json(F.struct(
+                 F.date_format(F.timestamp_micros("p_ts"), _TS_FMT)
+                 .alias("prev_ts"),
+                 F.date_format(F.timestamp_micros("f_ts"), _TS_FMT)
+                 .alias("ts")))),
+    )
+    pair_b = (b.select("f_bucket", "f_conv", "f_turn",
+                       F.explode(F.filter(hits, lambda h: h.isNotNull()))
+                       .alias("_h"))
+              .select(snap, F.col("f_bucket").alias("partition_id"),
+                      F.col("_h.c").alias("check_id"),
+                      F.lit(None).cast("string").alias("mgu_failure"),
+                      F.lit(None).cast("string").alias("schema_1"),
+                      F.lit(None).cast("string").alias("schema_2"),
+                      F.col("f_conv").alias("conv_id"),
+                      F.col("f_turn").alias("turn_idx"),
+                      F.col("_h.p").alias("payload")))
 
-    violations = (direct.unionByName(uk).unionByName(gap_b)
-                  .unionByName(dup_b).unionByName(ts_b))
+    violations = direct.unionByName(uk).unionByName(pair_b)
     if not collect_states:
         return violations
 
