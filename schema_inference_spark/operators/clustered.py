@@ -563,8 +563,14 @@ def check_rowlevel_clustered(spark: SparkSession, catalog, snapshot_id: str,
     if split_target_rows is None:
         split_target_rows = int(spark.conf.get(
             "spark.schema_inference.clustered.splitTargetRows", "1000000"))
+    # native-read batch size is independent of the JVM<->Python Arrow
+    # transfer cap (arrow.maxRecordsPerBatch): these batches never cross
+    # the bridge, and per-batch Python/numpy setup amortizes with size —
+    # measured 9.8s -> 6.3s for the 19.1M-turn corpus pass going from
+    # 10k to 256k rows. 128k rows ~ 10-20 MB decoded per in-flight batch
+    # per core.
     batch_rows = int(spark.conf.get(
-        "spark.sql.execution.arrow.maxRecordsPerBatch", "10000"))
+        "spark.schema_inference.clustered.readBatchRows", "131072"))
     splits = _plan_splits(catalog, snapshot_id, list(pending),
                           split_target_rows)
     # _fh is the split id (unique per split: two splits of one file must
