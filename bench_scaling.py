@@ -326,8 +326,8 @@ def profile() -> None:
                      f"{lo['turns']:,} turns: **{eff:.3f}**")
     lines.append("")
     lines.append(
-        "Reading: the data-proportional stages (`infer`, "
-        "`materialize-violations`) grow ~linearly with turns and shrink "
+        "Reading: the data-proportional stage (the fused checks+infer "
+        "scan) grows ~linearly with turns and shrinks "
         "with cores; the remaining stages are size-independent seconds. "
         "Efficiency therefore rises with input size — at the 10^12-turn "
         "target the fixed seconds vanish against hours of scan.")

@@ -134,6 +134,96 @@ ORDER BY w_start
 """
 
 
+def q_window_drift(spark, sf_dir):
+    """Distribution drift per event-time window (the oracle-gated batch
+    twin of streaming.drift_stream, which swaps these exact edges for a
+    baseline KLL sketch): bin edges = exact interior deciles of `value`
+    over the whole table (the baseline), per-day windows count rows per
+    bin, PSI = sum (q-p)·ln(q/p) with the same 1e-6 clamp drift.py uses.
+    Plan: one decile agg broadcast as a 1-row dimension, two grouped
+    counts, and a windows-x-bins grid left-join so a window that misses
+    a bin still contributes that bin's clamped term — no Python, no
+    driver collect, scales as a pair of key-grouped aggregations."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").select("ts", "value")
+    probs = [i / 10 for i in range(1, 10)]
+    edges = ev.agg(*[F.expr(f"percentile(value, {p})").alias(f"e{i + 1}")
+                     for i, p in enumerate(probs)])
+    j = ev.join(F.broadcast(edges))
+    bin_col = F.lit(0)
+    for i in range(1, 10):
+        # wrap ascending so the final expression tests the HIGHEST edge
+        # outermost: v > e9 -> 9, else v > e8 -> 8, ... else 0
+        bin_col = F.when(F.col("value") > F.col(f"e{i}"),
+                         F.lit(i)).otherwise(bin_col)
+    b = j.select("ts", bin_col.alias("bin"))
+
+    tot = (b.groupBy("bin").agg(F.count(F.lit(1)).alias("nb"))
+           .withColumn("p", F.col("nb") / F.sum("nb").over(W.partitionBy())))
+    wins = (b.groupBy(F.window("ts", "1 day").alias("w"), "bin")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("nw", F.sum("c").over(
+                W.partitionBy("w"))))
+    # windows-x-bins grid (#windows·10 rows): a window missing a bin
+    # still contributes that bin's clamped (eps - p)·ln(eps/p) term
+    grid = (wins.select("w", "nw").distinct()
+            .crossJoin(tot.select("bin", "p")))
+    full = (grid.join(wins.select("w", "bin", "c"), ["w", "bin"], "left")
+            .fillna({"c": 0}))
+    eps = 1e-6
+    q = F.greatest(F.col("c") / F.col("nw"), F.lit(eps))
+    term = (q - F.col("p")) * F.log(q / F.col("p"))
+    return (full.groupBy("w", "nw")
+            .agg(F.round(F.sum(term), 4).alias("psi"))
+            .select(F.date_format("w.start", "yyyy-MM-dd").alias("w_start"),
+                    F.col("nw").cast("bigint").alias("n_rows"),
+                    "psi",
+                    (F.col("psi") > 0.25).cast("int").alias("drifted"))
+            .orderBy("w_start"))
+
+
+SQL_WINDOW_DRIFT = """
+WITH e AS (
+  SELECT quantile_cont(value, 0.1) AS e1, quantile_cont(value, 0.2) AS e2,
+         quantile_cont(value, 0.3) AS e3, quantile_cont(value, 0.4) AS e4,
+         quantile_cont(value, 0.5) AS e5, quantile_cont(value, 0.6) AS e6,
+         quantile_cont(value, 0.7) AS e7, quantile_cont(value, 0.8) AS e8,
+         quantile_cont(value, 0.9) AS e9
+  FROM events),
+b AS (
+  SELECT ts,
+         CASE WHEN value > e9 THEN 9 WHEN value > e8 THEN 8
+              WHEN value > e7 THEN 7 WHEN value > e6 THEN 6
+              WHEN value > e5 THEN 5 WHEN value > e4 THEN 4
+              WHEN value > e3 THEN 3 WHEN value > e2 THEN 2
+              WHEN value > e1 THEN 1 ELSE 0 END AS bin
+  FROM events, e),
+tot AS (
+  SELECT bin, count(*) AS nb,
+         count(*) * 1.0 / sum(count(*)) OVER () AS p
+  FROM b GROUP BY bin),
+wins AS (
+  SELECT time_bucket(INTERVAL 1 DAY, ts) AS w, bin, count(*) AS c
+  FROM b GROUP BY 1, 2),
+wn AS (SELECT w, sum(c) AS nw FROM wins GROUP BY w),
+grid AS (SELECT wn.w, wn.nw, tot.bin, tot.p FROM wn CROSS JOIN tot),
+full_g AS (
+  SELECT g.w, g.nw, g.p, coalesce(wins.c, 0) AS c
+  FROM grid g LEFT JOIN wins ON g.w = wins.w AND g.bin = wins.bin)
+SELECT strftime(w, '%Y-%m-%d') AS w_start,
+       CAST(nw AS BIGINT) AS n_rows,
+       round(sum((greatest(c * 1.0 / nw, 1e-6) - p)
+                 * ln(greatest(c * 1.0 / nw, 1e-6) / p)), 4) AS psi,
+       CAST(round(sum((greatest(c * 1.0 / nw, 1e-6) - p)
+                 * ln(greatest(c * 1.0 / nw, 1e-6) / p)), 4) > 0.25
+            AS INT) AS drifted
+FROM full_g
+GROUP BY w, nw
+ORDER BY w_start
+"""
+
+
 def q_null_rates(spark, sf_dir):
     """Per-column null counts over events — one pass, partial+final agg."""
     ev = _t(spark, sf_dir, "events")
@@ -497,6 +587,7 @@ CORE_QUERIES: Dict[str, Callable] = {
     "stats_value": q_stats_value,
     "profile_stats": q_profile_stats,
     "window_stats": q_window_stats,
+    "window_drift": q_window_drift,
     "null_rates": q_null_rates,
     "distinct_exact": q_distinct_exact,
     "distinct_hll": q_distinct_hll,
@@ -519,6 +610,7 @@ CORE_ORACLES: Dict[str, str] = {
     "stats_value": SQL_STATS_VALUE,
     "profile_stats": SQL_PROFILE_STATS,
     "window_stats": SQL_WINDOW_STATS,
+    "window_drift": SQL_WINDOW_DRIFT,
     "null_rates": SQL_NULL_RATES,
     "distinct_exact": SQL_DISTINCT_EXACT,
     # distinct_hll / quantiles_kll: sketch estimates, rows-only by design

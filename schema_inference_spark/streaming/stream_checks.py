@@ -239,6 +239,103 @@ def conv_state_checks(sdf: DataFrame, snapshot_id: str,
 # windowed column stats on a stream (D7, stream form)
 # ---------------------------------------------------------------------------
 
+def drift_stream(sdf: DataFrame, baseline_kll: bytes,
+                 value=None, window_duration: str = "1 hour",
+                 watermark: str | None = None, n_bins: int = 10,
+                 threshold: float = 0.25, min_rows: int = 100,
+                 prior_strength: float | None = None) -> DataFrame:
+    """D13 x D20: distribution drift per event-time window against a
+    BASELINE snapshot's KLL sketch, on a stream.
+
+    The batch drift check (operators/drift.py) rank-queries two merged
+    sketches; a stream has no finished sketch to query, but the baseline
+    side is fixed — so bin edges (baseline interior quantiles) and the
+    baseline bin masses are computed ONCE driver-side from the baseline
+    sketch, and the stream side reduces to counting rows per bin per
+    window: a plain built-in windowed aggregation (incremental, no custom
+    state), with PSI/KS assembled from the bin counts as column
+    expressions. Everything per-row is JVM-side; the sketch is touched
+    only at plan-build time.
+
+    Default ``value`` is length(text) — the FIXTURES.md F3 drift signal.
+    Output: one row per window with psi, ks, and drifted (psi > threshold
+    AND n_rows >= min_rows); equals the same binning computed in batch
+    over the same rows exactly (asserted in tests/test_streaming.py).
+
+    Small-sample handling — where this deliberately differs from the
+    batch sketch comparison (drift.py clamps near-zero CDF differences
+    with eps, fine at snapshot row counts): a window holds finitely many
+    rows, and with raw fractions one empty bin at n=20 contributes
+    ~(0-p)·ln(eps/p) — an enormous spurious PSI. Current bin mass is
+    therefore shrunk toward the baseline prior, q_i = (cnt_i + k·p_i) /
+    (n + k) with k = ``prior_strength`` (default n_bins pseudo-rows):
+    aligned data stays near zero at any n, real shifts still dominate as
+    n grows, and ``min_rows`` gates the drifted FLAG (psi/ks are always
+    emitted) so a near-empty window can't page anyone.
+    """
+    from ..operators.stats import kll_cdf, kll_quantiles
+
+    spark = sdf.sparkSession
+    if value is None:
+        value = F.length("text").cast("double")
+    eps = 1e-6
+
+    probs = [i / n_bins for i in range(1, n_bins)]
+    edges = kll_quantiles(spark, baseline_kll, probs)
+    uniq: List[float] = []
+    for e in edges:
+        if not uniq or e > uniq[-1]:
+            uniq.append(e)
+    base_cdf = [0.0] + kll_cdf(spark, baseline_kll, uniq) + [1.0]
+    p = [max(base_cdf[i] - base_cdf[i - 1], eps)
+         for i in range(1, len(base_cdf))]  # baseline bin masses, literals
+
+    base = sdf
+    if watermark is not None:
+        base = base.withWatermark("ts", watermark)
+    v = value
+    # bin i = (edge[i-1], edge[i]] with open outer bins — the same "<= e"
+    # convention as the sketch CDF rank query
+    conds = []
+    for i in range(len(p)):
+        lo = F.lit(True) if i == 0 else (v > F.lit(uniq[i - 1]))
+        hi = F.lit(True) if i == len(p) - 1 else (v <= F.lit(uniq[i]))
+        conds.append(lo & hi)
+    counts = (base
+              .groupBy(F.window("ts", window_duration).alias("w"))
+              .agg(F.count(F.lit(1)).alias("n_rows"),
+                   *[F.sum(c.cast("long")).alias(f"_b{i}")
+                     for i, c in enumerate(conds)]))
+
+    k = float(prior_strength if prior_strength is not None else len(p))
+    q = [(F.col(f"_b{i}") + F.lit(k * p[i]))
+         / (F.col("n_rows") + F.lit(k)) for i in range(len(p))]
+    psi = None
+    for i in range(len(p)):
+        term = (q[i] - F.lit(p[i])) * F.log(q[i] / F.lit(p[i]))
+        psi = term if psi is None else psi + term
+    # KS over the shared edges: max |cur_cdf - base_cdf| at each interior
+    # edge (cumulative sums of the raw bin fractions, unclamped)
+    ks_terms = []
+    run = None
+    for i in range(len(p) - 1):
+        frac = F.col(f"_b{i}") / F.col("n_rows")
+        run = frac if run is None else run + frac
+        ks_terms.append(F.abs(run - F.lit(base_cdf[i + 1])))
+    ks = F.greatest(*ks_terms) if len(ks_terms) > 1 else (
+        ks_terms[0] if ks_terms else F.lit(0.0))
+
+    return (counts
+            .select(F.col("w.start").alias("w_start"),
+                    F.col("w.end").alias("w_end"),
+                    "n_rows",
+                    F.round(psi, 6).alias("psi"),
+                    F.round(ks, 6).alias("ks"))
+            .withColumn("drifted",
+                        (F.col("psi") > F.lit(threshold))
+                        & (F.col("n_rows") >= F.lit(min_rows))))
+
+
 def window_stats_stream(sdf: DataFrame, window_duration: str = "1 hour",
                         watermark: str | None = None) -> DataFrame:
     """Per-event-time-window column stats — built-in incremental window

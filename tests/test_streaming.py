@@ -200,3 +200,52 @@ def window_stats_stream_batch_equiv(df):
                     F.col("w.end").alias("w_end"),
                     "n_rows", "n_tool_null", "min_turn", "max_turn",
                     "avg_text_len"))
+
+
+def test_drift_stream_matches_batch_twin_and_flags_shift(spark, snap_dir,
+                                                         batch_df, tmp_path):
+    """D13 x D20: windowed PSI against a baseline KLL. (1) the streaming
+    plan equals the identical plan run in batch over the same rows;
+    (2) a planted distribution shift (text length doubled) drifts every
+    window while the unshifted stream stays below it."""
+    from schema_inference_spark.streaming.stream_checks import drift_stream
+
+    kll = bytes(batch_df.select(
+        F.kll_sketch_agg_double(F.length("text").cast("double"))
+        .alias("k")).collect()[0]["k"])
+
+    def run_stream(transform, ckpt):
+        sdf = transform(read_turn_stream(spark, snap_dir,
+                                         max_files_per_trigger=3))
+        out = drift_stream(sdf, kll, window_duration="4 hours",
+                           min_rows=50)
+        rows = {}
+        q = (out.writeStream.outputMode("complete")
+             .option("checkpointLocation", str(tmp_path / ckpt))
+             .foreachBatch(lambda df, _eid: rows.update(
+                 {r["w_start"]: tuple(r) for r in df.collect()}))
+             .start())
+        q.processAllAvailable()
+        q.stop()
+        return rows
+
+    # (1) exactness vs the batch twin (same plan, static input)
+    got = run_stream(lambda s: s, "ckpt_drift")
+    want = {r["w_start"]: tuple(r)
+            for r in drift_stream(batch_df, kll, window_duration="4 hours",
+                                  min_rows=50).collect()}
+    assert got == want
+    assert len(want) > 1
+
+    # (2) planted shift: double every text -> length distribution moves.
+    # Compare on windows past the min_rows gate (partial edge windows
+    # are emitted but not flag-eligible).
+    shifted = run_stream(
+        lambda s: s.withColumn("text", F.concat("text", "text")),
+        "ckpt_drift_shift")
+    gated_shift = {k: r for k, r in shifted.items() if r[2] >= 50}
+    gated_base = {k: r for k, r in got.items() if r[2] >= 50}
+    assert gated_shift and gated_base
+    assert all(r[-1] for r in gated_shift.values())      # drifted everywhere
+    assert max(r[3] for r in gated_base.values()) < min(
+        r[3] for r in gated_shift.values())              # psi separation
