@@ -49,7 +49,11 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id",
 def with_shingles(df: DataFrame, text_col: str = "text",
                   k: int = 3) -> DataFrame:
     """Distinct word k-shingles per doc — narrow, JVM-side (higher-order
-    fns, no UDF)."""
+    fns, no UDF). Idempotent: a frame that already carries a `shingles`
+    column passes through, so callers can shingle (and persist) once and
+    feed the result to every consumer."""
+    if "shingles" in df.columns:
+        return df
     tokens = F.split(normalized(F.col(text_col)), " ")
     n_sh = F.size(tokens) - (k - 1)
     # zip_with over k shifted slices, NOT transform(sequence, i ->
@@ -120,6 +124,15 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                     F.size("shingles").alias("n_sh")))
     sh = (docs.select("doc", F.explode("shingles").alias("sh"))
           .filter(F.col("sh") != ""))
+    # materialize the posting table once: the hot-shingle aggregation,
+    # the cold anti-join, the hot-set semi-join, and the self-join each
+    # consume `sh`, and Spark re-runs the tokenize+shingle+explode
+    # lineage per consumer (it reuses exchanges, not narrow subplans) —
+    # measured ~4x the shingling cost at sf0.1. A production-scale dedup
+    # writes its posting/shingle table before the join phase for exactly
+    # this reason; persist() is that materialization at job scope
+    # (MEMORY_AND_DISK: postings spill rather than OOM).
+    sh = sh.persist()
 
     if max_df is not None:
         hot = (sh.groupBy("sh")
@@ -171,7 +184,9 @@ def minhash_signature(df: DataFrame, n_hashes: int = 64,
     hashes each shingle n_hashes times but builds it once, and the
     aggregation is a plain map-side-combined groupBy on the doc id.
     """
-    sh = (with_shingles(df.select(id_col, text_col), text_col, k)
+    keep = [id_col, text_col] + (["shingles"] if "shingles" in df.columns
+                                 else [])
+    sh = (with_shingles(df.select(*keep), text_col, k)
           .select(F.col(id_col),
                   F.explode("shingles").alias("sh"))
           .filter(F.col("sh") != ""))
@@ -262,10 +277,15 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id",
     """LSH candidates verified with exact Jaccard: join candidates back to
     shingle sets and keep pairs >= threshold. Verification touches only
     candidate docs — the LSH prefilter is what makes all-pairs tractable."""
-    cand = lsh_candidate_pairs(df, id_col, text_col, n_hashes, bands, k,
-                               bucket_cap, chain)
-    sh = (with_shingles(df.select(id_col, text_col), text_col, k)
-          .select(F.col(id_col).alias("doc"), "shingles"))
+    # shingle ONCE for both arms (with_shingles is idempotent on this):
+    # the banding path explodes these arrays for the signature agg, the
+    # verification path intersects them per candidate — without the
+    # persist each arm re-tokenizes the corpus from scratch
+    shingled = with_shingles(df.select(id_col, text_col),
+                             text_col, k).persist()
+    cand = lsh_candidate_pairs(shingled, id_col, text_col, n_hashes, bands,
+                               k, bucket_cap, chain)
+    sh = shingled.select(F.col(id_col).alias("doc"), "shingles")
     s1, s2 = sh.alias("s1"), sh.alias("s2")
     return (cand
             .join(s1, F.col("d1") == F.col("s1.doc"))
