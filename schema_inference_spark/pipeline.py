@@ -18,7 +18,7 @@ from __future__ import annotations
 import json
 import time
 from dataclasses import dataclass
-from typing import Dict, List, Optional
+from typing import Callable, Dict, List, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -40,8 +40,19 @@ class ValidationResult:
     table_schema: Dict
     violations: DataFrame          # stable-ordered, F5 shape
     verdicts: DataFrame            # per-partition pass/fail + metrics
-    snapshot_stats: DataFrame      # per-column merged stats + sketches
     infer: InferResult
+    # thunk for the per-column stats+sketch profile: building that
+    # DataFrame costs ~1s of driver-side Catalyst analysis (50+ agg
+    # expressions over every column), which most callers — the scaling
+    # bench, streaming twins, plain pass/fail consumers — never read.
+    # The property builds it on first access and memoizes.
+    stats_thunk: Optional[Callable[[], DataFrame]] = None
+
+    @property
+    def snapshot_stats(self) -> DataFrame:  # per-column stats + sketches
+        if not hasattr(self, "_stats_df"):
+            self._stats_df = self.stats_thunk()
+        return self._stats_df
 
 
 def validate(
@@ -92,8 +103,9 @@ def validate(
         return ValidationResult(
             snapshot_id, [], {}, empty_v,
             catalog.read_audit(spark, snapshot_id),
-            spark.createDataFrame([], "snapshot_id string, column string"),
-            InferResult(snapshot_id, {}, {}, {}, {}, []))
+            InferResult(snapshot_id, {}, {}, {}, {}, []),
+            stats_thunk=lambda: spark.createDataFrame(
+                [], "snapshot_id string, column string"))
 
     # -- census first (metadata-only): selects the check path ---------------
     from .operators.clustered import (census_uniform,
@@ -141,19 +153,31 @@ def validate(
         inf = infer_snapshot(spark, catalog, snapshot_id, pending,
                              census=census)
         _mark("infer")
-    df = read_snapshot_tolerant(spark, catalog, snapshot_id, pending, census)
-    _mark("read-plan")
 
-    # -- stats + sketches (D7-D9), one scan, two agg levels ------------------
+    # the tolerant-read plan is needed eagerly only by the shuffle check
+    # paths; on the fused clustered path it exists solely as the stats
+    # profile's input, and BUILDING those two plans costs ~1-1.5s of
+    # driver-side Catalyst analysis that pass/fail consumers never use —
+    # so both are deferred behind the snapshot_stats thunk.
+    df = None
+    if violations is None:
+        df = read_snapshot_tolerant(spark, catalog, snapshot_id, pending,
+                                    census)
+        _mark("read-plan")
+
+    # -- stats + sketches (D7-D9), one scan, two agg levels (lazy) -----------
     # text_len: derived numeric for the drift check (FIXTURES.md F3 —
     # "length(text) distribution" is the planted drift signal)
-    stats_df = df
-    if "text" in df.columns:
-        stats_df = df.withColumn("text_len",
-                                 F.length("text").cast("double"))
-    prof = S.profile_snapshot(stats_df, snapshot_id, partition_col=partition_col)
-    _mark("profile-plan")
-    snapshot_stats = prof["snapshot"]
+    def _build_stats() -> DataFrame:
+        d = (df if df is not None else
+             read_snapshot_tolerant(spark, catalog, snapshot_id, pending,
+                                    census))
+        if "text" in d.columns:
+            d = d.withColumn("text_len", F.length("text").cast("double"))
+        return S.profile_snapshot(
+            d, snapshot_id, partition_col=partition_col)["snapshot"]
+
+    snapshot_stats = None  # built on demand below / via the result thunk
 
     if violations is None and fused_checks:
         # one scan + one skew-blocked shuffle produces every row-level
@@ -186,6 +210,9 @@ def validate(
         driver_rows += CheckRegistry().conforms(
             inf.table_schema, contract, snapshot_id)
     if baseline_sketches:
+        if snapshot_stats is None:
+            snapshot_stats = _build_stats()
+            _mark("profile-plan")
         cur = {r["column"]: bytes(r["kll"]) if r["kll"] is not None else None
                for r in snapshot_stats.select("column", "kll").collect()}
         driver_rows += drift_violations(spark, snapshot_id,
@@ -259,14 +286,15 @@ def validate(
         catalog.append_audit(verdicts, snapshot_id)
         _mark("audit")
 
+    built = snapshot_stats
     return ValidationResult(
         snapshot_id=snapshot_id,
         partitions=sorted(pending),
         table_schema=inf.table_schema,
         violations=violations,
         verdicts=verdicts,
-        snapshot_stats=snapshot_stats,
         infer=inf,
+        stats_thunk=(lambda: built) if built is not None else _build_stats,
     )
 
 
