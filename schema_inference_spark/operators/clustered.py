@@ -359,7 +359,7 @@ def _segment_checker(fid_of: dict, role_schema2: str, tool_schema2: str):
 
 
 def _plan_splits(catalog, snapshot_id: str, pending: List[int],
-                 target_rows: int) -> List[tuple]:
+                 target_rows: int, spark=None) -> List[tuple]:
     """Manifest -> row-group-aligned scan splits:
     [(split_id, fid, path, partition_id, rg_start, rg_end, pos0)].
 
@@ -367,8 +367,12 @@ def _plan_splits(catalog, snapshot_id: str, pending: List[int],
     splits align to row-group boundaries too); files bigger than
     ``target_rows`` become several splits — the hot-conversation /
     giant-file escape hatch, same boundary-stitch semantics. Footer
-    reads here are metadata-only; at 10^5+ files distribute them like
-    ``infer.physical_census`` does.
+    reads are metadata-only (~1ms each) but NOT free at manifest scale:
+    they run in a driver thread pool, and above the same 512-file
+    threshold ``infer.physical_census`` uses they distribute as a Spark
+    job (a 10^5-file manifest must not serialize minutes of footer I/O
+    through one thread). Split/file ids stay manifest-ordered either
+    way — the boundary stitch depends on that order.
     """
     import os as _os
 
@@ -377,28 +381,49 @@ def _plan_splits(catalog, snapshot_id: str, pending: List[int],
     man = catalog.manifest(snapshot_id)
     keep = set(pending)
     snap_dir = _os.path.join(catalog.root, snapshot_id)
-    splits = []
-    fid = 0
+    files = []  # (fid, path, partition_id) in manifest order
     for p in man["partitions"]:
         if p["partition_id"] not in keep:
             continue
         for fname in p["files"]:
-            path = _os.path.abspath(_os.path.join(snap_dir, p["path"], fname))
-            md = pq.ParquetFile(path).metadata
-            rg_rows = [md.row_group(i).num_rows
-                       for i in range(md.num_row_groups)]
-            pos0, rg0, acc = 0, 0, 0
-            for i, n in enumerate(rg_rows):
-                acc += n
-                if acc >= target_rows and i + 1 < len(rg_rows):
-                    splits.append((len(splits), fid, path,
-                                   p["partition_id"], rg0, i + 1, pos0))
-                    pos0 += acc
-                    rg0, acc = i + 1, 0
-            if acc > 0 or rg0 < len(rg_rows) or not rg_rows:
-                splits.append((len(splits), fid, path, p["partition_id"],
-                               rg0, len(rg_rows), pos0))
-            fid += 1
+            files.append((len(files),
+                          _os.path.abspath(_os.path.join(snap_dir, p["path"],
+                                                         fname)),
+                          p["partition_id"]))
+
+    def rg_rows_of(path: str) -> List[int]:
+        md = pq.ParquetFile(path).metadata
+        return [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+
+    if not files:
+        rows_by_fid = {}
+    elif len(files) <= 512 or spark is None:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            rows_by_fid = dict(zip(
+                (f[0] for f in files),
+                pool.map(rg_rows_of, (f[1] for f in files))))
+    else:
+        rows_by_fid = dict(
+            spark.sparkContext
+            .parallelize([(f[0], f[1]) for f in files],
+                         min(len(files), 64))
+            .map(lambda t: (t[0], rg_rows_of(t[1])))
+            .collect())
+
+    splits = []
+    for fid, path, pid in files:
+        rg_rows = rows_by_fid[fid]
+        pos0, rg0, acc = 0, 0, 0
+        for i, n in enumerate(rg_rows):
+            acc += n
+            if acc >= target_rows and i + 1 < len(rg_rows):
+                splits.append((len(splits), fid, path, pid, rg0, i + 1, pos0))
+                pos0 += acc
+                rg0, acc = i + 1, 0
+        if acc > 0 or rg0 < len(rg_rows) or not rg_rows:
+            splits.append((len(splits), fid, path, pid, rg0, len(rg_rows),
+                           pos0))
     return splits
 
 
@@ -572,7 +597,7 @@ def check_rowlevel_clustered(spark: SparkSession, catalog, snapshot_id: str,
     batch_rows = int(spark.conf.get(
         "spark.schema_inference.clustered.readBatchRows", "131072"))
     splits = _plan_splits(catalog, snapshot_id, list(pending),
-                          split_target_rows)
+                          split_target_rows, spark=spark)
     # _fh is the split id (unique per split: two splits of one file must
     # open separate segments even if a task sees them back to back); fid
     # stays the FILE id so boundary ordering is (file, position in file)
