@@ -803,16 +803,28 @@ def check_rowlevel_clustered(spark: SparkSession, catalog, snapshot_id: str,
     if not collect_states:
         return violations
 
-    # fused states: one kind=4 row per (split, partition), merged here
-    # with the same associative monoid the standalone engines use
+    # fused states: one kind=4 row per (split, partition), merged with
+    # the same associative monoid the standalone engines use. Small
+    # manifests merge driver-side; above the tree_merge threshold the
+    # merge runs as a reduceByKey so the driver receives one
+    # already-merged row per PARTITION, not one per split — a 10^6
+    # byte-range-split manifest must not ship 10^6 state blobs through
+    # the driver.
     from .infer import merge_part_states
-    by_pid: dict = {}
-    for r in (out.filter(F.col("kind") == 4)
-              .select("partition_id", "payload").collect()):
-        st = json.loads(r.payload)
-        by_pid[r.partition_id] = (merge_part_states(by_pid[r.partition_id], st)
-                                  if r.partition_id in by_pid else st)
-    return violations, sorted(by_pid.items())
+    k4 = out.filter(F.col("kind") == 4).select("partition_id", "payload")
+    if len(splits) <= 256:
+        by_pid: dict = {}
+        for r in k4.collect():
+            st = json.loads(r.payload)
+            by_pid[r.partition_id] = (
+                merge_part_states(by_pid[r.partition_id], st)
+                if r.partition_id in by_pid else st)
+        return violations, sorted(by_pid.items())
+    merged = (k4.rdd
+              .map(lambda r: (r[0], json.loads(r[1])))
+              .reduceByKey(merge_part_states)
+              .collect())
+    return violations, sorted(merged)
 
 
 def census_uniform(census: dict, pending: List[int]) -> bool:

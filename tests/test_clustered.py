@@ -313,3 +313,37 @@ def test_validate_clustered_uses_one_fused_scan(spark, catalog):
     bv = {(r.partition_id, r.verdict, r.n_violations)
           for r in b.verdicts.collect()}
     assert av == bv
+
+
+def test_fused_states_reduce_path_many_splits(spark, tmp_path):
+    """Above 256 splits the fused states merge executor-side
+    (reduceByKey) so the driver receives one row per partition; the
+    result must equal the SQL state engine exactly, same as the
+    driver-merge path."""
+    from schema_inference_spark.operators.infer import (
+        finalize_infer,
+        infer_snapshot,
+        snapshot_census,
+    )
+    from schema_inference_spark.sources.transcripts import (
+        generate_turns,
+        write_snapshot,
+    )
+
+    table = generate_turns(n_conv=300, seed=7)
+    root = str(tmp_path / "many")
+    write_snapshot(root, "m", table, n_buckets=300)
+    cat = SnapshotCatalog(root)
+    parts = cat.partition_ids("m")
+    _, pstates = check_rowlevel_clustered(
+        spark, cat, "m", parts, ROLE_VOCAB, TOOL_VOCAB,
+        collect_states=True)
+    census = snapshot_census(spark, cat, "m", parts)
+    fused = finalize_infer(spark, "m", census, pstates)
+    sql = infer_snapshot(spark, cat, "m", census=census)
+    # empty buckets (hash collisions at 300 convs / 300 buckets) emit no
+    # state on either engine
+    assert len(pstates) == len(sql.partition_states)
+    assert fused.partition_states == sql.partition_states
+    assert fused.column_stats == sql.column_stats
+    assert fused.table_schema == sql.table_schema
