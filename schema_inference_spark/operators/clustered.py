@@ -391,25 +391,16 @@ def _plan_splits(catalog, snapshot_id: str, pending: List[int],
                                                          fname)),
                           p["partition_id"]))
 
-    def rg_rows_of(path: str) -> List[int]:
-        md = pq.ParquetFile(path).metadata
-        return [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+    from .infer import keyed_footer_map
 
-    if not files:
-        rows_by_fid = {}
-    elif len(files) <= 512 or spark is None:
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=16) as pool:
-            rows_by_fid = dict(zip(
-                (f[0] for f in files),
-                pool.map(rg_rows_of, (f[1] for f in files))))
-    else:
-        rows_by_fid = dict(
-            spark.sparkContext
-            .parallelize([(f[0], f[1]) for f in files],
-                         min(len(files), 64))
-            .map(lambda t: (t[0], rg_rows_of(t[1])))
-            .collect())
+    def rg_rows_of(item) -> tuple:
+        fid, path = item
+        md = pq.ParquetFile(path).metadata
+        return fid, [md.row_group(i).num_rows
+                     for i in range(md.num_row_groups)]
+
+    rows_by_fid = keyed_footer_map(spark, [(f[0], f[1]) for f in files],
+                                   rg_rows_of)
 
     splits = []
     for fid, path, pid in files:

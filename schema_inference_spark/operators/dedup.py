@@ -51,7 +51,11 @@ def with_shingles(df: DataFrame, text_col: str = "text",
     """Distinct word k-shingles per doc — narrow, JVM-side (higher-order
     fns, no UDF). Idempotent: a frame that already carries a `shingles`
     column passes through, so callers can shingle (and persist) once and
-    feed the result to every consumer."""
+    feed the result to every consumer. CAVEAT: the passthrough trusts
+    that the existing column was built with the SAME (text_col, k) —
+    there is nothing in the column to verify against, so only pre-shingle
+    when one call site controls both parameters (as minhash_lsh_dedup
+    does)."""
     if "shingles" in df.columns:
         return df
     tokens = F.split(normalized(F.col(text_col)), " ")
@@ -119,20 +123,24 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     frequency, 9x slower at sf0.1. Counting intersections IN the join
     aggregation keeps the work linear in posting-list pair rows.
     """
+    # materialize the shingled corpus once: the hot-shingle aggregation,
+    # the cold anti-join, the hot-set semi-join, the self-join, AND the
+    # per-doc stats branch all descend from it, and Spark re-runs the
+    # tokenize+shingle lineage per consumer (it reuses exchanges, not
+    # narrow subplans) — measured ~4x the shingling cost at sf0.1.
+    # Persisted PRE-explode (arrays, smaller than the posting rows) so
+    # one materialization covers every branch; a production-scale dedup
+    # writes this table to storage before its join phase for the same
+    # reason. MEMORY_AND_DISK: spills rather than OOMs. Storage scope is
+    # the Spark session — long-lived sessions running dedup over many
+    # corpora should spark.catalog.clearCache() between them (the
+    # returned DataFrame is lazy, so this function cannot unpersist).
     docs = (with_shingles(df.select(id_col, text_col), text_col, k)
             .select(F.col(id_col).alias("doc"), "shingles",
-                    F.size("shingles").alias("n_sh")))
+                    F.size("shingles").alias("n_sh"))
+            .persist())
     sh = (docs.select("doc", F.explode("shingles").alias("sh"))
           .filter(F.col("sh") != ""))
-    # materialize the posting table once: the hot-shingle aggregation,
-    # the cold anti-join, the hot-set semi-join, and the self-join each
-    # consume `sh`, and Spark re-runs the tokenize+shingle+explode
-    # lineage per consumer (it reuses exchanges, not narrow subplans) —
-    # measured ~4x the shingling cost at sf0.1. A production-scale dedup
-    # writes its posting/shingle table before the join phase for exactly
-    # this reason; persist() is that materialization at job scope
-    # (MEMORY_AND_DISK: postings spill rather than OOM).
-    sh = sh.persist()
 
     if max_df is not None:
         hot = (sh.groupBy("sh")
@@ -280,7 +288,8 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id",
     # shingle ONCE for both arms (with_shingles is idempotent on this):
     # the banding path explodes these arrays for the signature agg, the
     # verification path intersects them per candidate — without the
-    # persist each arm re-tokenizes the corpus from scratch
+    # persist each arm re-tokenizes the corpus from scratch. Storage
+    # scope is the session (lazy result — see jaccard_pairs note).
     shingled = with_shingles(df.select(id_col, text_col),
                              text_col, k).persist()
     cand = lsh_candidate_pairs(shingled, id_col, text_col, n_hashes, bands,

@@ -111,6 +111,38 @@ def merge_part_states(a: PartState, b: PartState) -> PartState:
 # Pass 1: physical-type census (metadata only)
 # ---------------------------------------------------------------------------
 
+FOOTER_DISPATCH_THRESHOLD = 512
+
+
+def keyed_footer_map(spark, items: List[tuple], fn, reduce_fn=None) -> Dict:
+    """Run a metadata-only per-file function over ``items`` (each a tuple
+    whose result is ``(key, value)``), returning {key: value} with
+    same-key values combined by ``reduce_fn``.
+
+    One policy for every footer-read site (census, split planning): a
+    footer read is ~1ms — far below Spark's per-task scheduling cost —
+    so small manifests run in a driver thread pool; above
+    ``FOOTER_DISPATCH_THRESHOLD`` files the reads distribute as a Spark
+    job (10^5 footers must not serialize through one thread), with the
+    combine running executor-side as reduceByKey when given.
+    """
+    n = len(items)
+    out: Dict = {}
+    if n == 0:
+        return out
+    if n <= FOOTER_DISPATCH_THRESHOLD or spark is None:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            for key, val in pool.map(fn, items):
+                out[key] = (reduce_fn(out[key], val)
+                            if reduce_fn is not None and key in out else val)
+        return out
+    rdd = spark.sparkContext.parallelize(items, min(n, 64)).map(fn)
+    if reduce_fn is not None:
+        rdd = rdd.reduceByKey(reduce_fn)
+    return dict(rdd.collect())
+
+
 def physical_census(spark, files_by_partition: List[Tuple[int, str]],
                     ) -> Dict[int, Dict[str, Dict[str, Any]]]:
     """Distributed parquet-footer read: [(partition_id, path)] ->
@@ -161,23 +193,8 @@ def physical_census(spark, files_by_partition: List[Tuple[int, str]],
                               "rg": rg.get(fld.name)}
         return pid, cols
 
-    n = max(len(files_by_partition), 1)
-
-    if n <= 512:
-        from concurrent.futures import ThreadPoolExecutor
-        out: Dict[int, Dict[str, Dict[str, Any]]] = {}
-        with ThreadPoolExecutor(max_workers=16) as pool:
-            for pid, cols in pool.map(read_footer, files_by_partition):
-                if pid in out:
-                    out[pid] = _merge_file_cols(out[pid], cols)
-                else:
-                    out[pid] = cols
-        return out
-
-    rdd = spark.sparkContext.parallelize(files_by_partition,
-                                         min(n, 64)).map(read_footer)
-
-    return dict(rdd.reduceByKey(_merge_file_cols).collect())
+    return keyed_footer_map(spark, files_by_partition, read_footer,
+                            reduce_fn=_merge_file_cols)
 
 
 def _merge_rg(a, b):

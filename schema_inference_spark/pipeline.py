@@ -51,6 +51,10 @@ class ValidationResult:
     @property
     def snapshot_stats(self) -> DataFrame:  # per-column stats + sketches
         if not hasattr(self, "_stats_df"):
+            if self.stats_thunk is None:
+                raise AttributeError(
+                    "ValidationResult was constructed without a "
+                    "stats_thunk — snapshot_stats is unavailable")
             self._stats_df = self.stats_thunk()
         return self._stats_df
 
@@ -169,9 +173,12 @@ def validate(
     # text_len: derived numeric for the drift check (FIXTURES.md F3 —
     # "length(text) distribution" is the planted drift signal)
     def _build_stats() -> DataFrame:
-        d = (df if df is not None else
-             read_snapshot_tolerant(spark, catalog, snapshot_id, pending,
-                                    census))
+        # always rebuilds the read plan instead of capturing `df`: the
+        # thunk outlives validate() on the returned result, and holding
+        # the analyzed plan of a snapshot most callers never profile is
+        # pure retention (plan analysis is the cost being deferred)
+        d = read_snapshot_tolerant(spark, catalog, snapshot_id, pending,
+                                   census)
         if "text" in d.columns:
             d = d.withColumn("text_len", F.length("text").cast("double"))
         return S.profile_snapshot(

@@ -294,6 +294,11 @@ def drift_stream(sdf: DataFrame, baseline_kll: bytes,
     if watermark is not None:
         base = base.withWatermark("ts", watermark)
     v = value
+    # the baseline KLL sketch never saw nulls (sketch aggs skip them), so
+    # null-valued rows must not enter n_rows either — otherwise a window
+    # with 50% nulls deflates every q_i and reads as drift with an
+    # unchanged value distribution
+    base = base.filter(v.isNotNull())
     # bin i = (edge[i-1], edge[i]] with open outer bins — the same "<= e"
     # convention as the sketch CDF rank query
     conds = []

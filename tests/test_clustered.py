@@ -86,10 +86,17 @@ def test_boundary_spanning_anomalies(spark, boundary_root):
         # cross both kinds of boundary
         spark.conf.set("spark.schema_inference.clustered.splitTargetRows",
                        "64")
+        # readBatchRows governs the native reader's batches (NOT
+        # maxRecordsPerBatch — those batches never cross the bridge);
+        # keep both small so lag pairs and dup runs cross batch
+        # boundaries inside a split too
+        spark.conf.set("spark.schema_inference.clustered.readBatchRows",
+                       "50")
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
         clu = _clustered(spark, cat, "b1")
     finally:
         spark.conf.unset("spark.schema_inference.clustered.splitTargetRows")
+        spark.conf.unset("spark.schema_inference.clustered.readBatchRows")
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
                        old_arb)
     fus = _fused(spark, cat, "b1")
