@@ -629,7 +629,10 @@ def check_rowlevel_clustered(spark: SparkSession, catalog, snapshot_id: str,
     # violation branches (direct/unique-key/three boundary pairs) would
     # each rescan all of it; give them a violation-sized store instead —
     # one filter pass here, ~#violations + #segments rows retained.
-    rowsrc = out.filter(F.col("kind") < 3).localCheckpoint(eager=True)
+    # kind=4 fused-state rows (split-count-sized) ride along so the
+    # state collection below reads this small store too — only the
+    # conversation-count-sized kind=3 extent rows stay behind
+    rowsrc = out.filter(F.col("kind") != 3).localCheckpoint(eager=True)
 
     # --- layout verification, part 2: GLOBAL conv contiguity ------------
     # The UDF verifies contiguity within each split; the boundary stitch
@@ -802,7 +805,7 @@ def check_rowlevel_clustered(spark: SparkSession, catalog, snapshot_id: str,
     # byte-range-split manifest must not ship 10^6 state blobs through
     # the driver.
     from .infer import merge_part_states
-    k4 = out.filter(F.col("kind") == 4).select("partition_id", "payload")
+    k4 = rowsrc.filter(F.col("kind") == 4).select("partition_id", "payload")
     if len(splits) <= 256:
         by_pid: dict = {}
         for r in k4.collect():
