@@ -146,7 +146,12 @@ def q_window_drift(spark, sf_dir):
     driver collect, scales as a pair of key-grouped aggregations."""
     from pyspark.sql import Window as W
 
-    ev = _t(spark, sf_dir, "events").select("ts", "value")
+    # null `value` rows are excluded outright (mirroring drift_stream):
+    # NULL > edge is NULL, so they would otherwise fall through every
+    # WHEN into bin 0 while the decile edges are computed null-excluded —
+    # inflating bin-0 mass and PSI relative to the streaming twin
+    ev = (_t(spark, sf_dir, "events").select("ts", "value")
+          .filter(F.col("value").isNotNull()))
     probs = [i / 10 for i in range(1, 10)]
     edges = ev.agg(*[F.expr(f"percentile(value, {p})").alias(f"e{i + 1}")
                      for i, p in enumerate(probs)])
@@ -198,7 +203,7 @@ b AS (
               WHEN value > e5 THEN 5 WHEN value > e4 THEN 4
               WHEN value > e3 THEN 3 WHEN value > e2 THEN 2
               WHEN value > e1 THEN 1 ELSE 0 END AS bin
-  FROM events, e),
+  FROM events, e WHERE value IS NOT NULL),
 tot AS (
   SELECT bin, count(*) AS nb,
          count(*) * 1.0 / sum(count(*)) OVER () AS p

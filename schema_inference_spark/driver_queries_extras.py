@@ -47,14 +47,16 @@ ORDER BY content_hash
 # the exact-Jaccard pair graph is consumed by BOTH dedup_jaccard and
 # dedup_groups; within one run (session) the shingle join — ~10s of the
 # 13.5s dedup_groups cost at sf0.1 — is computed once and the (sparse)
-# pair list materialized at the seam (VERDICT r2 #6). Keyed by session id
-# so a fresh session recomputes; lazy checkpoint so whichever query runs
+# pair list materialized at the seam (VERDICT r2 #6). Keyed by the Spark
+# applicationId (stable and unique per session — id(spark) can alias a
+# fresh session to a garbage-collected one's cached, unusable plan) so a
+# fresh session recomputes; lazy checkpoint so whichever query runs
 # first pays the materialization.
 _PAIRS_CACHE: Dict[tuple, object] = {}
 
 
 def _jaccard_pairs_cached(spark, sf_dir):
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     df = _PAIRS_CACHE.get(key)
     if df is None:
         df = D.jaccard_pairs(_t(spark, sf_dir, "documents"),
@@ -158,7 +160,9 @@ def q_simhash_near_pairs(spark, sf_dir):
     that identical input, upgrading the stage from rows-only to a full
     rows+schema+hash gate."""
     fp = D.simhash(_t(spark, sf_dir, "documents"))
-    fp.coalesce(1).write.mode("overwrite").parquet(SIMHASH_FP_EXPORT)
+    # partitioned write — no coalesce(1): the oracle globs /*.parquet, so
+    # funneling the export through one task would serialize for nothing
+    fp.write.mode("overwrite").parquet(SIMHASH_FP_EXPORT)
     return D.simhash_pairs_from_fp(spark.read.parquet(SIMHASH_FP_EXPORT))
 
 

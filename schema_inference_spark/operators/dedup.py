@@ -46,17 +46,31 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id",
             .orderBy("content_hash"))
 
 
+def has_shingles(df: DataFrame, text_col: str = "text",
+                 k: int = 3) -> bool:
+    """True iff ``df`` carries a `shingles` column that with_shingles
+    itself built with the SAME (text_col, k) — verified via the column's
+    schema metadata marker, so a user corpus that happens to contain a
+    column named 'shingles' (or a re-shingle at a different k) is never
+    silently trusted."""
+    if "shingles" not in df.columns:
+        return False
+    meta = df.schema["shingles"].metadata
+    return (meta.get("sg_shingles") is True
+            and meta.get("text_col") == text_col
+            and meta.get("k") == k)
+
+
 def with_shingles(df: DataFrame, text_col: str = "text",
                   k: int = 3) -> DataFrame:
     """Distinct word k-shingles per doc — narrow, JVM-side (higher-order
-    fns, no UDF). Idempotent: a frame that already carries a `shingles`
-    column passes through, so callers can shingle (and persist) once and
-    feed the result to every consumer. CAVEAT: the passthrough trusts
-    that the existing column was built with the SAME (text_col, k) —
-    there is nothing in the column to verify against, so only pre-shingle
-    when one call site controls both parameters (as minhash_lsh_dedup
-    does)."""
-    if "shingles" in df.columns:
+    fns, no UDF). Idempotent: a frame whose `shingles` column this
+    function built with the same (text_col, k) — attested by a schema
+    metadata marker, see ``has_shingles`` — passes through, so callers
+    can shingle (and persist) once and feed the result to every
+    consumer. Any other `shingles` column (user data, different k) is
+    REPLACED with a freshly computed one rather than trusted."""
+    if has_shingles(df, text_col, k):
         return df
     tokens = F.split(normalized(F.col(text_col)), " ")
     n_sh = F.size(tokens) - (k - 1)
@@ -70,10 +84,11 @@ def with_shingles(df: DataFrame, text_col: str = "text",
         nxt = F.slice(tokens, j + 1, n_sh)
         shingles = F.zip_with(shingles, nxt,
                               lambda a, b: F.concat(a, F.lit(" "), b))
-    return df.withColumn(
-        "shingles",
-        F.when(F.size(tokens) >= k, F.array_distinct(shingles))
-        .otherwise(F.array().cast("array<string>")))
+    built = (F.when(F.size(tokens) >= k, F.array_distinct(shingles))
+             .otherwise(F.array().cast("array<string>"))
+             .alias("shingles", metadata={"sg_shingles": True,
+                                          "text_col": text_col, "k": k}))
+    return df.drop("shingles").select("*", built)
 
 
 def drop_hot_tokens(exploded: DataFrame, token_col: str,
@@ -122,6 +137,11 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     O(|shingles|) work over a candidate set that is quadratic in shingle
     frequency, 9x slower at sf0.1. Counting intersections IN the join
     aggregation keeps the work linear in posting-list pair rows.
+
+    CACHE LIFETIME: the shingled corpus is persist()ed (MEMORY_AND_DISK)
+    and the lazy result cannot unpersist it — long-lived sessions that
+    dedup many corpora should call ``spark.catalog.clearCache()`` between
+    corpora or the caches accumulate unboundedly.
     """
     # materialize the shingled corpus once: the hot-shingle aggregation,
     # the cold anti-join, the hot-set semi-join, the self-join, AND the
@@ -192,8 +212,8 @@ def minhash_signature(df: DataFrame, n_hashes: int = 64,
     hashes each shingle n_hashes times but builds it once, and the
     aggregation is a plain map-side-combined groupBy on the doc id.
     """
-    keep = [id_col, text_col] + (["shingles"] if "shingles" in df.columns
-                                 else [])
+    keep = [id_col, text_col] + (["shingles"]
+                                 if has_shingles(df, text_col, k) else [])
     sh = (with_shingles(df.select(*keep), text_col, k)
           .select(F.col(id_col),
                   F.explode("shingles").alias("sh"))
@@ -284,7 +304,11 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id",
                       chain: int = 8) -> DataFrame:
     """LSH candidates verified with exact Jaccard: join candidates back to
     shingle sets and keep pairs >= threshold. Verification touches only
-    candidate docs — the LSH prefilter is what makes all-pairs tractable."""
+    candidate docs — the LSH prefilter is what makes all-pairs tractable.
+
+    CACHE LIFETIME: the shingled corpus is persist()ed and the lazy
+    result cannot unpersist it — long-lived sessions deduping many
+    corpora should ``spark.catalog.clearCache()`` between corpora."""
     # shingle ONCE for both arms (with_shingles is idempotent on this):
     # the banding path explodes these arrays for the signature agg, the
     # verification path intersects them per candidate — without the

@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import json
 import time
-from dataclasses import dataclass
 from typing import Callable, Dict, List, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,20 +32,32 @@ ROLE_VOCAB = ["system", "user", "assistant", "tool"]
 TOOL_VOCAB = ["search", "code", "browser", "none"]
 
 
-@dataclass
 class ValidationResult:
-    snapshot_id: str
-    partitions: List[int]
-    table_schema: Dict
-    violations: DataFrame          # stable-ordered, F5 shape
-    verdicts: DataFrame            # per-partition pass/fail + metrics
-    infer: InferResult
-    # thunk for the per-column stats+sketch profile: building that
-    # DataFrame costs ~1s of driver-side Catalyst analysis (50+ agg
-    # expressions over every column), which most callers — the scaling
-    # bench, streaming twins, plain pass/fail consumers — never read.
-    # The property builds it on first access and memoizes.
-    stats_thunk: Optional[Callable[[], DataFrame]] = None
+    """Result of one ``validate()`` run.
+
+    ``snapshot_stats`` is LAZY: it is built from ``stats_thunk`` on first
+    access (the first access triggers a Spark plan build — ~1s of
+    driver-side Catalyst analysis over 50+ agg expressions — which most
+    callers, e.g. the scaling bench and plain pass/fail consumers, never
+    pay) and memoized. Pre-round-3 callers that constructed the result
+    with an eager ``snapshot_stats=`` DataFrame keyword still work: the
+    kwarg is accepted as an alias that wraps into ``stats_thunk``.
+    """
+
+    def __init__(self, snapshot_id: str, partitions: List[int],
+                 table_schema: Dict, violations: DataFrame,
+                 verdicts: DataFrame, infer: InferResult,
+                 stats_thunk: Optional[Callable[[], DataFrame]] = None,
+                 snapshot_stats: Optional[DataFrame] = None):
+        self.snapshot_id = snapshot_id
+        self.partitions = partitions
+        self.table_schema = table_schema
+        self.violations = violations   # stable-ordered, F5 shape
+        self.verdicts = verdicts       # per-partition pass/fail/error + metrics
+        self.infer = infer
+        if stats_thunk is None and snapshot_stats is not None:
+            stats_thunk = lambda: snapshot_stats  # noqa: E731
+        self.stats_thunk = stats_thunk
 
     @property
     def snapshot_stats(self) -> DataFrame:  # per-column stats + sketches
