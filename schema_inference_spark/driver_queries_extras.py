@@ -69,15 +69,19 @@ def q_dedup_jaccard(spark, sf_dir):
     return _jaccard_pairs_cached(spark, sf_dir)
 
 
-# jaccard pair CTE chain, shared by the pair oracle and the
-# connected-components (dedup groups) oracle
-_JACCARD_CTES = f"""t AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
+# shingle CTE chain (distinct word 3-shingles + per-doc counts), shared
+# by the jaccard oracles and the minhash verification-stage oracle
+_SHINGLE_CTES = f"""t AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
 sh AS (SELECT doc_id,
               unnest(list_distinct(list_transform(
                   range(1, len(ws) - 1),
                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
        FROM t WHERE len(ws) >= 3),
-cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)"""
+
+# jaccard pair CTE chain, shared by the pair oracle and the
+# connected-components (dedup groups) oracle
+_JACCARD_CTES = f"""{_SHINGLE_CTES},
 inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
           GROUP BY 1, 2),
@@ -95,11 +99,44 @@ ORDER BY d1, d2
 """
 
 
+# candidate-pair export seam for the two-stage minhash oracle: the LSH
+# banding is engine-hash-seeded (xxhash64 signatures), but the
+# verification stage — exact Jaccard over the raw text, restricted to
+# the candidate pairs — is arithmetic both engines reproduce from the
+# identical exported candidate list.
+MINHASH_CAND_EXPORT = "/tmp/sgraft_minhash_cand.parquet"
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup pairs, exact-Jaccard verified. Rows-only
-    (xxhash64 seeds are engine-side); recall vs the exact jaccard query is
-    asserted in tests."""
-    return D.minhash_lsh_dedup(_t(spark, sf_dir, "documents"), threshold=0.5)
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified — two-stage
+    gated check: the banded candidate pairs export to a parquet seam and
+    BOTH engines run the verification stage (exact Jaccard from raw
+    text, >= threshold) from it; only the MinHash banding itself stays
+    engine-side (recall vs the exact jaccard query is asserted in
+    tests)."""
+    shingled = D.with_shingles(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")).persist()
+    cand = D.lsh_candidate_pairs(shingled)
+    cand.write.mode("overwrite").parquet(MINHASH_CAND_EXPORT)
+    seam = spark.read.parquet(MINHASH_CAND_EXPORT)
+    return D.verify_candidates(seam, shingled, threshold=0.5)
+
+
+SQL_DEDUP_MINHASH_LSH = f"""
+WITH cand AS (SELECT d1, d2 FROM '{MINHASH_CAND_EXPORT}/*.parquet'),
+{_SHINGLE_CTES},
+inter AS (SELECT c.d1, c.d2, count(*) AS i
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.d1
+          JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
+          GROUP BY 1, 2)
+SELECT d1, d2, round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard
+FROM inter
+JOIN cnt ca ON d1 = ca.doc_id
+JOIN cnt cb ON d2 = cb.doc_id
+WHERE round(i * 1.0 / (ca.n + cb.n - i), 4) >= 0.5
+ORDER BY d1, d2
+"""
 
 
 def q_dedup_groups(spark, sf_dir):
@@ -238,10 +275,48 @@ ORDER BY d1, d2
 """
 
 
+# ANN block-assignment export seams (same two-stage pattern as simhash /
+# winnow): the bucket/cell ASSIGNMENT is engine-seeded (hyperplane
+# hashes, k-means cells), but the rank stage — block equi-join + exact
+# cosine + per-probe top-k — is deterministic arithmetic, so both
+# engines consume the identical exported assignments and the stage is
+# fully rows+schema+hash gated.
+ANN_LSH_EXPORT = "/tmp/sgraft_ann_lsh.parquet"
+ANN_IVF_CORPUS_EXPORT = "/tmp/sgraft_ann_ivf_corpus.parquet"
+ANN_IVF_PROBES_EXPORT = "/tmp/sgraft_ann_ivf_probes.parquet"
+
+_PROBE_SQL = ",".join(str(p) for p in PROBE_IDS)
+
+
 def q_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN top-k (the scale path). Rows-only; recall vs the
-    brute-force baseline is asserted in tests."""
-    return SIM.lsh_topk(_t(spark, sf_dir, "embeddings"), PROBE_IDS, k=5)
+    """LSH-bucketed ANN top-k (the scale path) — two-stage gated check:
+    the (nid, lsh_bucket, vec) assignment exports to a parquet seam and
+    BOTH engines run the rank stage from it; only the hyperplane-hash
+    assignment itself stays engine-side (recall vs the brute-force
+    baseline is asserted in tests)."""
+    corpus, _ = SIM.lsh_blocks(_t(spark, sf_dir, "embeddings"), PROBE_IDS)
+    corpus.write.mode("overwrite").parquet(ANN_LSH_EXPORT)
+    seam = spark.read.parquet(ANN_LSH_EXPORT)
+    probes = (seam.filter(F.col("nid").isin(PROBE_IDS))
+              .select(F.col("nid").alias("pid"), "lsh_bucket",
+                      F.col("nvec").alias("pvec")))
+    return SIM.topk_from_blocks(seam, probes, "lsh_bucket", k=5)
+
+
+SQL_ANN_LSH_TOPK = f"""
+WITH e AS (SELECT nid, lsh_bucket, nvec FROM '{ANN_LSH_EXPORT}/*.parquet'),
+p AS (SELECT nid AS pid, lsh_bucket AS pbucket, nvec AS pvec
+      FROM e WHERE nid IN ({_PROBE_SQL})),
+sims AS (SELECT pid, nid,
+                round(list_cosine_similarity(pvec, nvec), 4) AS sim
+         FROM e JOIN p ON lsh_bucket = pbucket AND nid <> pid),
+ranked AS (SELECT pid, nid, sim,
+                  row_number() OVER (PARTITION BY pid
+                                     ORDER BY sim DESC, nid ASC) AS rank
+           FROM sims)
+SELECT pid, rank, nid, sim FROM ranked WHERE rank <= 5
+ORDER BY pid, rank
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -367,20 +442,83 @@ ORDER BY doc_id
 # ---------------------------------------------------------------------------
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF ANN top-k (coarse k-means quantizer + cell-blocked search).
-    Rows-only; recall/determinism asserted in tests."""
-    return SIM.ivf_topk(_t(spark, sf_dir, "embeddings"), PROBE_IDS, k=5)
+    """IVF ANN top-k (coarse k-means quantizer + cell-blocked search) —
+    two-stage gated check: the corpus (nid, ivf_cell, vec) and probe
+    (pid, ivf_cell, vec) assignments export to parquet seams and BOTH
+    engines run the rank stage from them; only the k-means quantizer
+    itself stays engine-side (recall/determinism asserted in tests)."""
+    corpus, probes = SIM.ivf_blocks(_t(spark, sf_dir, "embeddings"),
+                                    PROBE_IDS)
+    corpus.write.mode("overwrite").parquet(ANN_IVF_CORPUS_EXPORT)
+    probes.write.mode("overwrite").parquet(ANN_IVF_PROBES_EXPORT)
+    return SIM.topk_from_blocks(
+        spark.read.parquet(ANN_IVF_CORPUS_EXPORT),
+        spark.read.parquet(ANN_IVF_PROBES_EXPORT), "ivf_cell", k=5)
+
+
+SQL_ANN_IVF_TOPK = f"""
+WITH e AS (SELECT nid, ivf_cell, nvec
+           FROM '{ANN_IVF_CORPUS_EXPORT}/*.parquet'),
+p AS (SELECT pid, ivf_cell AS pcell, pvec
+      FROM '{ANN_IVF_PROBES_EXPORT}/*.parquet'),
+sims AS (SELECT pid, nid,
+                round(list_cosine_similarity(pvec, nvec), 4) AS sim
+         FROM e JOIN p ON ivf_cell = pcell AND nid <> pid),
+ranked AS (SELECT pid, nid, sim,
+                  row_number() OVER (PARTITION BY pid
+                                     ORDER BY sim DESC, nid ASC) AS rank
+           FROM sims)
+SELECT pid, rank, nid, sim FROM ranked WHERE rank <= 5
+ORDER BY pid, rank
+"""
+
+
+# winnowing fingerprint export seam (same pattern as SIMHASH_FP_EXPORT):
+# the fingerprints are engine-hash-seeded, but the pair-counting stage is
+# plain relational algebra, so both engines consume the identical
+# exported table and the stage is fully rows+schema+hash gated. The
+# export ALSO fixes the round-3 regression: the fingerprint frame is
+# computed once per (session, sf) and shared by both winnow queries
+# instead of each recomputing it from raw text.
+WINNOW_FP_EXPORT = "/tmp/sgraft_winnow_fp.parquet"
+
+_WINNOW_FP_CACHE: Dict[tuple, object] = {}
+
+
+def _winnow_fp_exported(spark, sf_dir):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _WINNOW_FP_CACHE.get(key)
+    if df is None:
+        fp = TS.winnow_fingerprints(_t(spark, sf_dir, "documents"))
+        fp.write.mode("overwrite").parquet(WINNOW_FP_EXPORT)
+        df = spark.read.parquet(WINNOW_FP_EXPORT)
+        _WINNOW_FP_CACHE[key] = df
+    return df
 
 
 def q_winnow_fingerprints(spark, sf_dir):
     """Rolling-hash winnowing fingerprints (MOSS scheme). Rows-only
     (engine hash); guarantees + identity properties are unit-tested."""
-    return TS.winnow_fingerprints(_t(spark, sf_dir, "documents"))
+    return _winnow_fp_exported(spark, sf_dir).orderBy("doc", "fp")
 
 
 def q_winnow_similar_pairs(spark, sf_dir):
-    """Doc pairs sharing winnowing fingerprints. Rows-only."""
-    return TS.winnow_similar_pairs(_t(spark, sf_dir, "documents"))
+    """Doc pairs sharing winnowing fingerprints — two-stage gated check:
+    the pair-counting stage runs over the exported fingerprint seam in
+    BOTH engines (rows+schema+hash), only the fingerprint generation
+    itself stays rows-only."""
+    return TS.winnow_pairs_from_fp(_winnow_fp_exported(spark, sf_dir))
+
+
+SQL_WINNOW_SIMILAR_PAIRS = f"""
+WITH fp AS (SELECT doc, fp FROM '{WINNOW_FP_EXPORT}/*.parquet'),
+hot AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) > 1024),
+cold AS (SELECT doc, fp FROM fp WHERE fp NOT IN (SELECT fp FROM hot))
+SELECT a.doc AS d1, b.doc AS d2, count(*) AS n_shared
+FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc < b.doc
+GROUP BY 1, 2 HAVING count(*) >= 3
+ORDER BY d1, d2
+"""
 
 
 def q_multimodal_meta(spark, sf_dir):
@@ -442,9 +580,15 @@ EXTRA_ORACLES: Dict[str, str] = {
     "fingerprint": SQL_FINGERPRINT,
     "repetition": SQL_REPETITION,
     "multimodal_meta": SQL_MULTIMODAL_META,
-    # two-stage: the fingerprint input is the engine-exported seam; the
-    # banding/Hamming stage itself is fully hash-gated
+    # two-stage: the engine-hashed artifact (fingerprints, candidate
+    # pairs, block assignments) is exported to a parquet seam; the
+    # downstream stage itself is fully rows+schema+hash gated
     "simhash_near_pairs": SQL_SIMHASH_NEAR_PAIRS,
-    # minhash/ann-lsh/features/fingerprint-gen: engine-hash-seeded,
-    # rows-only
+    "winnow_similar_pairs": SQL_WINNOW_SIMILAR_PAIRS,
+    "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+    "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+    "ann_ivf_topk": SQL_ANN_IVF_TOPK,
+    # irreducibly rows-only: sketch/fingerprint GENERATION itself
+    # (dedup_simhash, winnow_fingerprints, multimodal_features,
+    # distinct_hll, quantiles_kll) — engine-hash/RNG-seeded by design
 }

@@ -318,7 +318,21 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id",
                              text_col, k).persist()
     cand = lsh_candidate_pairs(shingled, id_col, text_col, n_hashes, bands,
                                k, bucket_cap, chain)
-    sh = shingled.select(F.col(id_col).alias("doc"), "shingles")
+    return verify_candidates(cand, shingled, id_col, text_col, k, threshold)
+
+
+def verify_candidates(cand: DataFrame, df: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      k: int = 3, threshold: float = 0.5) -> DataFrame:
+    """The exact-Jaccard verification stage of ``minhash_lsh_dedup``,
+    over an already-computed candidate-pair table (columns ``d1``,
+    ``d2``). Split out so the stage can be oracle-gated over an exported
+    candidate seam: the LSH banding is engine-hash-seeded, but exact
+    Jaccard over the raw text is arithmetic any engine reproduces.
+    ``df`` is the corpus (pre-shingled frames pass through untouched —
+    see ``with_shingles``); verification touches only candidate docs."""
+    sh = (with_shingles(df, text_col, k)
+          .select(F.col(id_col).alias("doc"), "shingles"))
     s1, s2 = sh.alias("s1"), sh.alias("s2")
     return (cand
             .join(s1, F.col("d1") == F.col("s1.doc"))

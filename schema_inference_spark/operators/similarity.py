@@ -97,26 +97,25 @@ def with_lsh_bucket(df: DataFrame, dim: int, n_planes: int = 8,
     return df.withColumn("lsh_bucket", bucket.cast("int"))
 
 
-def lsh_topk(df: DataFrame, probe_ids: List[int], k: int = 5,
-             dim: int = 64, n_planes: int = 8, seed: int = 42,
-             id_col: str = "vec_id", vec_col: str = "embedding",
-             ) -> DataFrame:
-    """ANN top-k within the probe's LSH bucket — the scale path: the
-    probe-corpus join is an equi-join on bucket, not a cross join.
-    Recall < 1 by construction; calibrate bucket bits against the
-    brute-force baseline."""
-    vec = as_double(F.col(vec_col))
-    bucketed = with_lsh_bucket(df, dim, n_planes, seed, vec_col).select(
-        F.col(id_col).alias("nid"), vec.alias("nvec"),
-        _norm(vec).alias("nnorm"), "lsh_bucket")
-    probes = (bucketed.filter(F.col("nid").isin(probe_ids))
-              .select(F.col("nid").alias("pid"),
-                      F.col("nvec").alias("pvec"),
-                      F.col("nnorm").alias("pnorm"),
-                      F.col("lsh_bucket").alias("pbucket")))
-    sims = (bucketed.join(F.broadcast(probes),
-                          (F.col("pbucket") == F.col("lsh_bucket"))
-                          & (F.col("pid") != F.col("nid")))
+def topk_from_blocks(corpus: DataFrame, probes: DataFrame, key: str,
+                     k: int = 5) -> DataFrame:
+    """The rank stage of blocked ANN (LSH buckets or IVF cells), split
+    out so it can be oracle-gated over exported block-assignment seams:
+    the block assignment is engine-seeded (hyperplane hashes / k-means
+    cells), but this stage — equi-join on the block key, exact cosine,
+    per-probe top-k — is deterministic arithmetic any engine reproduces.
+
+    ``corpus``: (nid, <key>, nvec array<double>);
+    ``probes``: (pid, <key>, pvec array<double>) — one row per (probe,
+    block) the probe searches. Probes broadcast; the corpus never
+    shuffles. Norms are recomputed per ROW before the join (cheap,
+    linear) so the per-pair work inside the join is one dot product."""
+    c = corpus.select("nid", F.col(key).alias("_ckey"), "nvec",
+                      _norm(F.col("nvec")).alias("nnorm"))
+    p = probes.select("pid", F.col(key).alias("_pkey"), "pvec",
+                      _norm(F.col("pvec")).alias("pnorm"))
+    sims = (c.join(F.broadcast(p), (F.col("_pkey") == F.col("_ckey"))
+                   & (F.col("pid") != F.col("nid")))
             .select("pid", "nid",
                     F.round(_sim(F.col("pvec"), F.col("pnorm"),
                                  F.col("nvec"), F.col("nnorm")), 4).alias("sim")))
@@ -125,6 +124,34 @@ def lsh_topk(df: DataFrame, probe_ids: List[int], k: int = 5,
             .filter(F.col("rank") <= k)
             .select("pid", "rank", "nid", "sim")
             .orderBy("pid", "rank"))
+
+
+def lsh_blocks(df: DataFrame, probe_ids: List[int],
+               dim: int = 64, n_planes: int = 8, seed: int = 42,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               ) -> tuple:
+    """Block-assignment stage of LSH ANN: (corpus, probes) frames keyed
+    by ``lsh_bucket``, ready for ``topk_from_blocks`` (or export)."""
+    vec = as_double(F.col(vec_col))
+    corpus = with_lsh_bucket(df, dim, n_planes, seed, vec_col).select(
+        F.col(id_col).alias("nid"), F.col("lsh_bucket"), vec.alias("nvec"))
+    probes = (corpus.filter(F.col("nid").isin(probe_ids))
+              .select(F.col("nid").alias("pid"), "lsh_bucket",
+                      F.col("nvec").alias("pvec")))
+    return corpus, probes
+
+
+def lsh_topk(df: DataFrame, probe_ids: List[int], k: int = 5,
+             dim: int = 64, n_planes: int = 8, seed: int = 42,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             ) -> DataFrame:
+    """ANN top-k within the probe's LSH bucket — the scale path: the
+    probe-corpus join is an equi-join on bucket, not a cross join.
+    Recall < 1 by construction; calibrate bucket bits against the
+    brute-force baseline."""
+    corpus, probes = lsh_blocks(df, probe_ids, dim, n_planes, seed,
+                                id_col, vec_col)
+    return topk_from_blocks(corpus, probes, "lsh_bucket", k)
 
 
 def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
@@ -199,26 +226,25 @@ def with_ivf_cell(df, centroids: np.ndarray,
     return df.withColumn("ivf_cell", cell_of(F.col(vec_col)))
 
 
-def ivf_topk(df, probe_ids: List[int], k: int = 5, n_centroids: int = 16,
-             nprobe: int = 2, seed: int = 42,
-             id_col: str = "vec_id", vec_col: str = "embedding"):
-    """IVF ANN top-k: probes search only their nprobe nearest cells.
+def ivf_blocks(df, probe_ids: List[int], n_centroids: int = 16,
+               nprobe: int = 2, seed: int = 42,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> tuple:
+    """Block-assignment stage of IVF ANN: (corpus, probes) frames keyed
+    by ``ivf_cell``, ready for ``topk_from_blocks`` (or export).
 
-    The corpus-side join key is the cell id — an equi-join, no cross
-    join; recall grows with nprobe (calibrate against cosine_topk).
-    """
+    Probe cells are computed driver-side (tiny); the probe side is BUILT
+    from the collected rows instead of re-scanning the corpus and
+    joining against a cells table — the probe set is bounded by
+    construction, so a local DataFrame broadcast is the right plan at
+    any corpus size. No distinct needed downstream: each corpus vector
+    lives in exactly ONE cell and (pid, cell) probe rows are unique, so
+    a (pid, nid) pair can appear at most once."""
     cents = train_ivf_centroids(df, n_centroids, seed=seed,
                                 id_col=id_col, vec_col=vec_col)
     vec = as_double(F.col(vec_col))
     corpus = with_ivf_cell(df, cents, vec_col).select(
-        F.col(id_col).alias("nid"), vec.alias("nvec"),
-        _norm(vec).alias("nnorm"), "ivf_cell")
+        F.col(id_col).alias("nid"), F.col("ivf_cell"), vec.alias("nvec"))
 
-    # probe -> its nprobe nearest cells, computed driver-side (tiny);
-    # the probe side (vector + norm + cell fan-out) is then BUILT from
-    # these collected rows instead of re-scanning the corpus and joining
-    # against a cells table — the probe set is bounded by construction,
-    # so a local DataFrame broadcast is the right plan at any corpus size.
     probe_rows = (df.filter(F.col(id_col).isin(probe_ids))
                   .select(id_col, vec_col).collect())
     pc_rows = []
@@ -227,24 +253,21 @@ def ivf_topk(df, probe_ids: List[int], k: int = 5, n_centroids: int = 16,
         nrm = float(np.linalg.norm(v))
         cells = np.argsort(-(cents @ (v / max(nrm, 1e-12))))[:nprobe]
         for c in cells:
-            pc_rows.append((int(r[0]), [float(x) for x in r[1]],
-                            nrm, int(c)))
+            pc_rows.append((int(r[0]), int(c), [float(x) for x in r[1]]))
     spark = df.sparkSession
     probes = spark.createDataFrame(
-        pc_rows, "pid bigint, pvec array<double>, pnorm double, ivf_cell int")
+        pc_rows, "pid bigint, ivf_cell int, pvec array<double>")
+    return corpus, probes
 
-    # no distinct needed: each corpus vector lives in exactly ONE cell
-    # and (pid, cell) probe rows are unique, so a (pid, nid) pair can
-    # appear at most once — deduplicating would re-shuffle the candidate
-    # set for nothing.
-    sims = (corpus.join(F.broadcast(probes),
-                        (corpus.ivf_cell == probes.ivf_cell)
-                        & (F.col("pid") != F.col("nid")))
-            .select("pid", "nid",
-                    F.round(_sim(F.col("pvec"), F.col("pnorm"),
-                                 F.col("nvec"), F.col("nnorm")), 4).alias("sim")))
-    w = Window.partitionBy("pid").orderBy(F.desc("sim"), F.asc("nid"))
-    return (sims.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("pid", "rank", "nid", "sim")
-            .orderBy("pid", "rank"))
+
+def ivf_topk(df, probe_ids: List[int], k: int = 5, n_centroids: int = 16,
+             nprobe: int = 2, seed: int = 42,
+             id_col: str = "vec_id", vec_col: str = "embedding"):
+    """IVF ANN top-k: probes search only their nprobe nearest cells.
+
+    The corpus-side join key is the cell id — an equi-join, no cross
+    join; recall grows with nprobe (calibrate against cosine_topk).
+    """
+    corpus, probes = ivf_blocks(df, probe_ids, n_centroids, nprobe, seed,
+                                id_col, vec_col)
+    return topk_from_blocks(corpus, probes, "ivf_cell", k)

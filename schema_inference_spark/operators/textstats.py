@@ -166,14 +166,14 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
             .orderBy("doc", "fp"))
 
 
-def winnow_similar_pairs(df: DataFrame, id_col: str = "doc_id",
-                         text_col: str = "text", k: int = 4,
-                         window: int = 4,
-                         min_shared: int = 3,
+def winnow_pairs_from_fp(fp: DataFrame, min_shared: int = 3,
                          max_df: int = 1024) -> DataFrame:
-    """Doc pairs sharing >= min_shared winnowing fingerprints — the
-    plagiarism/boilerplate detector: inverted-index equi-join on the
-    fingerprint (same shape and skew profile as the shingle join).
+    """The pair-counting stage of ``winnow_similar_pairs``, over an
+    already-computed fingerprint table (columns ``doc``, ``fp``). Split
+    out so the stage can be oracle-gated over an exported fingerprint
+    seam: the fingerprints are engine-hash-seeded (xxhash64), but the
+    hot-fingerprint cap + self-join + count is plain relational algebra
+    any engine reproduces exactly.
 
     Fingerprints appearing in more than ``max_df`` documents are dropped
     before the self-join (the ``drop_hot_tokens`` skew guard): a
@@ -183,7 +183,6 @@ def winnow_similar_pairs(df: DataFrame, id_col: str = "doc_id",
     doesn't make two documents "similar". ``max_df=None`` disables."""
     from .dedup import drop_hot_tokens
 
-    fp = winnow_fingerprints(df, id_col, text_col, k, window)
     if max_df is not None:
         fp = drop_hot_tokens(fp, "fp", max_df)
     a, b = fp.alias("a"), fp.alias("b")
@@ -193,6 +192,20 @@ def winnow_similar_pairs(df: DataFrame, id_col: str = "doc_id",
             .agg(F.count(F.lit(1)).alias("n_shared"))
             .filter(F.col("n_shared") >= min_shared)
             .orderBy("d1", "d2"))
+
+
+def winnow_similar_pairs(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", k: int = 4,
+                         window: int = 4,
+                         min_shared: int = 3,
+                         max_df: int = 1024) -> DataFrame:
+    """Doc pairs sharing >= min_shared winnowing fingerprints — the
+    plagiarism/boilerplate detector: inverted-index equi-join on the
+    fingerprint (same shape and skew profile as the shingle join); see
+    ``winnow_pairs_from_fp`` for the skew-cap semantics."""
+    return winnow_pairs_from_fp(
+        winnow_fingerprints(df, id_col, text_col, k, window),
+        min_shared, max_df)
 
 
 def repetition_stats(df: DataFrame, id_col: str = "doc_id",
