@@ -473,70 +473,100 @@ def _native_split_reader(checker, role_vocab: List[str],
         read_cols = (_SCAN_COLS if state_cols is None else
                      list(dict.fromkeys([*_SCAN_COLS, *state_cols])))
         states: dict = {}  # pid -> PartState
+        errors: dict = {}  # pid -> read-error message (by-value :throw)
+
+        def one_split(row):
+            pf = pq.ParquetFile(row["path"])
+            if row["rg_start"] >= row["rg_end"]:
+                return
+            pos = row["pos0"]
+            pid = row["partition_id"]
+            if state_cols is not None:
+                # physical truth comes from the footer schema:
+                # pyarrow may decode e.g. string as large_string
+                # in memory, but `phys` records what the FILE
+                # stores (what the census and the Spark-feed
+                # engine report)
+                fsch = pf.schema_arrow
+                phys_of = {c: str(fsch.field(c).type)
+                           for c in state_cols}
+            for full in pf.iter_batches(
+                    batch_size=batch_rows,
+                    row_groups=range(row["rg_start"], row["rg_end"]),
+                    columns=read_cols):
+                if state_cols is not None:
+                    st = {}
+                    for c in state_cols:
+                        cs = _arrow_col_state(
+                            full.column(
+                                full.schema.get_field_index(c)),
+                            pid)
+                        if cs["phys"]:
+                            cs["phys"] = [phys_of[c]]
+                        st[c] = cs
+                    states[pid] = (merge_part_states(states[pid], st)
+                                   if pid in states else st)
+                b = full.select(_SCAN_COLS)
+                n = b.num_rows
+                ix = b.schema.get_field_index
+                role = b.column(ix("role"))
+                tool = b.column(ix("tool"))
+                rb = pc.or_kleene(
+                    role.is_null(),
+                    pc.invert(pc.is_in(role, value_set=role_set))
+                    .fill_null(True))
+                tb = pc.and_(
+                    tool.is_valid(),
+                    pc.invert(pc.is_in(tool, value_set=tool_set))
+                    .fill_null(False))
+                yield pa.RecordBatch.from_arrays([
+                    pa.array(np.full(n, row["partition_id"],
+                                     np.int32)),
+                    b.column(ix("conv_id")).cast(pa.string()),
+                    b.column(ix("turn_idx")).cast(pa.int64()),
+                    b.column(ix("ts")),
+                    rb,
+                    pc.if_else(rb, role, pa.nulls(n, pa.string())),
+                    tb,
+                    pc.if_else(tb, tool, pa.nulls(n, pa.string())),
+                    pa.array(np.full(n, row["split_id"], np.int64)),
+                    pa.array(np.arange(pos, pos + n, dtype=np.int64)),
+                ], names=["bucket", "conv_id", "turn_idx", "ts",
+                          "rb", "rv", "tb", "tv", "_fh", "pos"])
+                pos += n
 
         def checker_batches():
             for sp in batches:
                 for row in sp.to_pylist():
-                    pf = pq.ParquetFile(row["path"])
-                    if row["rg_start"] >= row["rg_end"]:
-                        continue
-                    pos = row["pos0"]
-                    pid = row["partition_id"]
-                    if state_cols is not None:
-                        # physical truth comes from the footer schema:
-                        # pyarrow may decode e.g. string as large_string
-                        # in memory, but `phys` records what the FILE
-                        # stores (what the census and the Spark-feed
-                        # engine report)
-                        fsch = pf.schema_arrow
-                        phys_of = {c: str(fsch.field(c).type)
-                                   for c in state_cols}
-                    for full in pf.iter_batches(
-                            batch_size=batch_rows,
-                            row_groups=range(row["rg_start"], row["rg_end"]),
-                            columns=read_cols):
-                        if state_cols is not None:
-                            st = {}
-                            for c in state_cols:
-                                cs = _arrow_col_state(
-                                    full.column(
-                                        full.schema.get_field_index(c)),
-                                    pid)
-                                if cs["phys"]:
-                                    cs["phys"] = [phys_of[c]]
-                                st[c] = cs
-                            states[pid] = (merge_part_states(states[pid], st)
-                                           if pid in states else st)
-                        b = full.select(_SCAN_COLS)
-                        n = b.num_rows
-                        ix = b.schema.get_field_index
-                        role = b.column(ix("role"))
-                        tool = b.column(ix("tool"))
-                        rb = pc.or_kleene(
-                            role.is_null(),
-                            pc.invert(pc.is_in(role, value_set=role_set))
-                            .fill_null(True))
-                        tb = pc.and_(
-                            tool.is_valid(),
-                            pc.invert(pc.is_in(tool, value_set=tool_set))
-                            .fill_null(False))
-                        yield pa.RecordBatch.from_arrays([
-                            pa.array(np.full(n, row["partition_id"],
-                                             np.int32)),
-                            b.column(ix("conv_id")).cast(pa.string()),
-                            b.column(ix("turn_idx")).cast(pa.int64()),
-                            b.column(ix("ts")),
-                            rb,
-                            pc.if_else(rb, role, pa.nulls(n, pa.string())),
-                            tb,
-                            pc.if_else(tb, tool, pa.nulls(n, pa.string())),
-                            pa.array(np.full(n, row["split_id"], np.int64)),
-                            pa.array(np.arange(pos, pos + n, dtype=np.int64)),
-                        ], names=["bucket", "conv_id", "turn_idx", "ts",
-                                  "rb", "rv", "tb", "tv", "_fh", "pos"])
-                        pos += n
+                    try:
+                        yield from one_split(row)
+                    except Exception as exc:  # noqa: BLE001 — by-value
+                        # :throw at partition granularity: a corrupt data
+                        # page / unreadable file errors its PARTITION (a
+                        # kind=5 row), never the job. Rows this split (or
+                        # its partition's other splits) already emitted
+                        # are discarded by the pid filter downstream —
+                        # check_rowlevel_clustered drops every row of an
+                        # errored partition before any check consumes it.
+                        errors[row["partition_id"]] = (
+                            f"{row['path']}: rg[{row['rg_start']}:"
+                            f"{row['rg_end']}]: "
+                            f"{type(exc).__name__}: {exc}")
 
         yield from checker(checker_batches())
+        if errors:
+            pids = sorted(errors)
+            yield pa.RecordBatch.from_arrays([
+                pa.array([5] * len(pids), pa.int32()),
+                pa.array(pids, pa.int32()),
+                *[pa.nulls(len(pids), pa.string()) for _ in range(5)],
+                pa.nulls(len(pids), pa.int64()),
+                pa.array([errors[p] for p in pids], pa.string()),
+                *[pa.nulls(len(pids), t) for t in
+                  (pa.int64(), pa.int32(), pa.int64(), pa.string(),
+                   pa.int64(), pa.int64(), pa.int32(), pa.string(),
+                   pa.int64(), pa.int64())],
+            ], names=[f.strip().split(" ")[0] for f in _OUT_DDL.split(",")])
         if states:
             # checker() fully drains checker_batches before returning, so
             # the accumulator is complete here. One row per (split,
@@ -563,7 +593,8 @@ def check_rowlevel_clustered(spark: SparkSession, catalog, snapshot_id: str,
                              tool_vocab: List[str],
                              partition_col: str = "bucket",
                              split_target_rows: int | None = None,
-                             collect_states: bool = False):
+                             collect_states: bool = False,
+                             with_errors: bool = False):
     """All row-level checks (uniqueness, role/tool vocab, ordering) with
     zero shuffle over a snapshot whose manifest declares the clustered
     write order. Row-identical to ``check_rowlevel_fused``.
@@ -575,7 +606,17 @@ def check_rowlevel_clustered(spark: SparkSession, catalog, snapshot_id: str,
     ``collect_states=True`` fuses the inference column-state pass into
     the SAME scan (every column, including the ones the checks prune) and
     returns ``(violations, pstates)`` — the snapshot then needs ONE
-    corpus read total instead of a stats pass plus a check pass."""
+    corpus read total instead of a stats pass plus a check pass.
+
+    ``with_errors=True`` appends an ``{partition_id: message}`` dict of
+    partitions whose native read failed (corrupt data page, unreadable
+    file) to the return tuple — the reference's by-value ``:throw``
+    (algo_w.clj:286-289) at partition granularity: the failing split
+    emits an error row instead of aborting the job, every row of an
+    errored partition is dropped before any check consumes it, and the
+    caller emits a verdict='error' for it (resume re-validates after
+    repair). With the default ``with_errors=False`` a read error raises,
+    preserving fail-fast semantics for direct callers."""
     if split_target_rows is None:
         split_target_rows = int(spark.conf.get(
             "spark.schema_inference.clustered.splitTargetRows", "1000000"))
@@ -633,6 +674,26 @@ def check_rowlevel_clustered(spark: SparkSession, catalog, snapshot_id: str,
     # state collection below reads this small store too — only the
     # conversation-count-sized kind=3 extent rows stay behind
     rowsrc = out.filter(F.col("kind") != 3).localCheckpoint(eager=True)
+
+    # read errors (kind=5, sparse): the per-partition by-value :throw.
+    # Collected from the SMALL checkpointed store (metadata-sized read);
+    # every row of an errored partition — including rows good splits of
+    # it already produced — is dropped before any check or the extent
+    # verification consumes it, so no branch reports on a partition whose
+    # scan was incomplete. Convs never span partitions (bucketed by
+    # conv), so dropping whole partitions cannot fabricate extent lies.
+    read_errors = {r.partition_id: r.payload for r in
+                   rowsrc.filter(F.col("kind") == 5)
+                   .select("partition_id", "payload").collect()}
+    if read_errors:
+        if not with_errors:
+            raise RuntimeError(
+                "clustered scan read errors: "
+                + "; ".join(f"partition {p}: {m}"
+                            for p, m in sorted(read_errors.items())))
+        bad = list(read_errors)
+        out = out.filter(~F.col("partition_id").isin(bad))
+        rowsrc = rowsrc.filter(~F.col("partition_id").isin(bad))
 
     # --- layout verification, part 2: GLOBAL conv contiguity ------------
     # The UDF verifies contiguity within each split; the boundary stitch
@@ -795,7 +856,7 @@ def check_rowlevel_clustered(spark: SparkSession, catalog, snapshot_id: str,
 
     violations = direct.unionByName(uk).unionByName(pair_b)
     if not collect_states:
-        return violations
+        return (violations, read_errors) if with_errors else violations
 
     # fused states: one kind=4 row per (split, partition), merged with
     # the same associative monoid the standalone engines use. Small
@@ -813,12 +874,15 @@ def check_rowlevel_clustered(spark: SparkSession, catalog, snapshot_id: str,
             by_pid[r.partition_id] = (
                 merge_part_states(by_pid[r.partition_id], st)
                 if r.partition_id in by_pid else st)
-        return violations, sorted(by_pid.items())
-    merged = (k4.rdd
-              .map(lambda r: (r[0], json.loads(r[1])))
-              .reduceByKey(merge_part_states)
-              .collect())
-    return violations, sorted(merged)
+        pstates = sorted(by_pid.items())
+    else:
+        pstates = sorted(
+            k4.rdd
+            .map(lambda r: (r[0], json.loads(r[1])))
+            .reduceByKey(merge_part_states)
+            .collect())
+    return ((violations, pstates, read_errors) if with_errors
+            else (violations, pstates))
 
 
 def census_uniform(census: dict, pending: List[int]) -> bool:

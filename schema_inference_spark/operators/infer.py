@@ -113,6 +113,10 @@ def merge_part_states(a: PartState, b: PartState) -> PartState:
 
 FOOTER_DISPATCH_THRESHOLD = 512
 
+# by-value census-failure sentinel: a partition whose footer read failed
+# maps to {CENSUS_ERROR_KEY: "<path>: <error>"} instead of its column dict
+CENSUS_ERROR_KEY = "__census_error__"
+
 
 def keyed_footer_map(spark, items: List[tuple], fn, reduce_fn=None) -> Dict:
     """Run a metadata-only per-file function over ``items`` (each a tuple
@@ -155,6 +159,17 @@ def physical_census(spark, files_by_partition: List[Tuple[int, str]],
     """
     def read_footer(item: Tuple[int, str]):
         pid, path = item
+        try:
+            return pid, _read_footer_cols(path)
+        except Exception as exc:  # noqa: BLE001 — by-value, not by-throw:
+            # a corrupt/unreadable footer marks the PARTITION errored (the
+            # reference's :throw analog at partition granularity); the
+            # validate() lifecycle emits a verdict='error' row for it and
+            # the run continues over the healthy partitions.
+            return pid, {CENSUS_ERROR_KEY:
+                         f"{path}: {type(exc).__name__}: {exc}"}
+
+    def _read_footer_cols(path: str):
         pf = pq.ParquetFile(path)
         sch = pf.schema_arrow
         md = pf.metadata
@@ -191,10 +206,19 @@ def physical_census(spark, files_by_partition: List[Tuple[int, str]],
             cols[fld.name] = {"ir": arrow_type_to_ir(fld.type),
                               "phys": str(fld.type),
                               "rg": rg.get(fld.name)}
-        return pid, cols
+        return cols
 
     return keyed_footer_map(spark, files_by_partition, read_footer,
                             reduce_fn=_merge_file_cols)
+
+
+def census_errors(census: Dict[int, Dict[str, Any]]) -> Dict[int, str]:
+    """Partitions whose census failed (unreadable/corrupt footer):
+    {partition_id: error message}. The error is a by-value sentinel in
+    the census map, never an exception — one bad footer must not abort a
+    10^6-partition validation."""
+    return {pid: cols[CENSUS_ERROR_KEY] for pid, cols in census.items()
+            if CENSUS_ERROR_KEY in cols}
 
 
 def _merge_rg(a, b):
@@ -219,6 +243,12 @@ def _merge_rg(a, b):
 
 
 def _merge_file_cols(a, b):
+    # a census error in ANY of a partition's files errors the partition:
+    # its schema/stats cannot be trusted until the file is repaired
+    if CENSUS_ERROR_KEY in a:
+        return a
+    if CENSUS_ERROR_KEY in b:
+        return b
     out = {}
     for col in sorted(set(a) | set(b)):
         if col not in a:

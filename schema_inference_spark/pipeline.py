@@ -48,13 +48,17 @@ class ValidationResult:
                  table_schema: Dict, violations: DataFrame,
                  verdicts: DataFrame, infer: InferResult,
                  stats_thunk: Optional[Callable[[], DataFrame]] = None,
-                 snapshot_stats: Optional[DataFrame] = None):
+                 snapshot_stats: Optional[DataFrame] = None,
+                 errors: Optional[Dict[int, str]] = None):
         self.snapshot_id = snapshot_id
         self.partitions = partitions
         self.table_schema = table_schema
         self.violations = violations   # stable-ordered, F5 shape
         self.verdicts = verdicts       # per-partition pass/fail/error + metrics
         self.infer = infer
+        # partitions whose scan/census failed -> error message; they got
+        # verdict='error' rows (not completed: resume retries after repair)
+        self.errors = errors or {}
         if stats_thunk is None and snapshot_stats is not None:
             stats_thunk = lambda: snapshot_stats  # noqa: E731
         self.stats_thunk = stats_thunk
@@ -126,9 +130,19 @@ def validate(
     from .operators.clustered import (census_uniform,
                                       check_rowlevel_clustered,
                                       manifest_declares_order)
-    from .operators.infer import finalize_infer, snapshot_census
+    from .operators.infer import census_errors, finalize_infer, snapshot_census
     census = snapshot_census(spark, catalog, snapshot_id, pending)
     _mark("census")
+
+    # by-value error isolation (the reference's :throw at partition
+    # granularity): a partition whose footer is corrupt/unreadable gets a
+    # verdict='error' row instead of aborting the run; it is excluded
+    # from every downstream pass and NOT marked completed, so resume
+    # re-validates exactly the errored partitions after repair.
+    errors: Dict[int, str] = census_errors(census)
+    if errors:
+        census = {p: c for p, c in census.items() if p not in errors}
+        pending = [p for p in pending if p not in errors]
 
     # path selection: clustered (zero-shuffle, layout-aware) when the
     # manifest declares the write order — the Iceberg sort-order contract —
@@ -148,16 +162,29 @@ def validate(
     # + fused shuffle checks (second scan).
     inf = None
     violations = None
-    if use_clustered:
+    if not pending:
+        # every pending partition errored at census: nothing left to
+        # scan — emit only the error verdicts below
+        violations = C.empty_violations(spark)
+        inf = InferResult(snapshot_id, {}, {}, {}, {}, [])
+    elif use_clustered:
         try:
             # eager: the one corpus pass runs here, so a layout lie
             # (manifest declares an order the files don't honor)
             # surfaces now — fall back to the shuffle path instead of
             # failing the job. The declared order is metadata we verify,
             # not trust.
-            violations, pstates = check_rowlevel_clustered(
+            violations, pstates, scan_errors = check_rowlevel_clustered(
                 spark, catalog, snapshot_id, pending, role_vocab,
-                tool_vocab, partition_col, collect_states=True)
+                tool_vocab, partition_col, collect_states=True,
+                with_errors=True)
+            if scan_errors:
+                # same by-value isolation as the census probe, one level
+                # deeper: the footer was fine but a data page wasn't
+                errors.update(scan_errors)
+                census = {p: c for p, c in census.items()
+                          if p not in scan_errors}
+                pending = [p for p in pending if p not in scan_errors]
             inf = finalize_infer(spark, snapshot_id, census, pstates)
             _mark("checks+infer (one fused scan)")
         except Exception as exc:  # noqa: BLE001 — executor errors arrive
@@ -287,6 +314,13 @@ def validate(
             json.dumps(inf.partition_states.get(pid, {}), sort_keys=True,
                        default=str),
         ))
+    for pid in sorted(errors):
+        # infrastructure failure (corrupt footer/page, unreadable file):
+        # verdict='error' — by-value, the job continued; NOT counted as
+        # completed, so resume re-validates exactly these after repair
+        verdict_rows.append((
+            snapshot_id, pid, "error", int(man[pid]["n_rows"]), 0, wall_ms,
+            json.dumps({"error": errors[pid]})))
     if snapshot_level:
         # snapshot-scoped failures (drift, cross-partition schema merge)
         # get their own verdict row instead of being folded into every
@@ -313,6 +347,7 @@ def validate(
         verdicts=verdicts,
         infer=inf,
         stats_thunk=(lambda: built) if built is not None else _build_stats,
+        errors=errors,
     )
 
 
