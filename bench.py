@@ -57,11 +57,14 @@ def bench_validation(spark) -> dict:
     write_snapshot(root, "bench", table, n_buckets=32)
     cat = SnapshotCatalog(root)
 
+    path = {}
+
     def one_run() -> float:
         t0 = time.monotonic()
         res = validate(spark, cat, "bench", resume=False, write_audit=False)
         res.violations.count()  # force
         res.violations.unpersist(blocking=True)
+        path["check_path"] = res.check_path
         return time.monotonic() - t0
 
     # steady state is the headline (same protocol as bench_scaling.py: a
@@ -75,7 +78,16 @@ def bench_validation(spark) -> dict:
     n_turns = int(table.num_rows)
     return {"turns": n_turns, "sec": round(wall, 3),
             "sec_cold": round(cold, 3),
-            "turns_per_sec": round(n_turns / wall, 1)}
+            "turns_per_sec": round(n_turns / wall, 1),
+            # protocol flag (ADVICE r3): `sec` is the warm second run
+            # (steady state — a cluster executor compiles each codegen
+            # shape once per lifetime), `sec_cold` the first run. The
+            # check path is auto-selected by validate(): at this corpus
+            # size (72k turns, below clustered.minRows) that is the
+            # fused shuffle path; the clustered native path's fixed
+            # cost only amortizes above ~2M rows (see pipeline.py).
+            "protocol": "steady-state",
+            "check_path": path.get("check_path")}
 
 
 def main() -> None:

@@ -617,6 +617,17 @@ def check_rowlevel_clustered(spark: SparkSession, catalog, snapshot_id: str,
     caller emits a verdict='error' for it (resume re-validates after
     repair). With the default ``with_errors=False`` a read error raises,
     preserving fail-fast semantics for direct callers."""
+    import os as _os
+    import time as _time
+    _prof = _os.environ.get("SPARK_GRAFT_PROFILE") == "1"
+    _last = [_time.monotonic()]
+
+    def _tmark(label: str) -> None:
+        if _prof:
+            now = _time.monotonic()
+            print(f"[clustered] {label}: {now - _last[0]:.2f}s", flush=True)
+            _last[0] = now
+
     if split_target_rows is None:
         split_target_rows = int(spark.conf.get(
             "spark.schema_inference.clustered.splitTargetRows", "1000000"))
@@ -630,6 +641,7 @@ def check_rowlevel_clustered(spark: SparkSession, catalog, snapshot_id: str,
         "spark.schema_inference.clustered.readBatchRows", "131072"))
     splits = _plan_splits(catalog, snapshot_id, list(pending),
                           split_target_rows, spark=spark)
+    _tmark(f"plan-splits ({len(splits)} splits)")
     # _fh is the split id (unique per split: two splits of one file must
     # open separate segments even if a task sees them back to back); fid
     # stays the FILE id so boundary ordering is (file, position in file)
@@ -663,6 +675,7 @@ def check_rowlevel_clustered(spark: SparkSession, catalog, snapshot_id: str,
     # branch reads the stored result (same pattern as components.py).
     # Eager also surfaces a layout-lie error at call time.
     out = out.localCheckpoint(eager=True)
+    _tmark("scan (localCheckpoint out)")
 
     # second-level checkpoint: the big store is dominated by the kind=3
     # extent rows (one per conversation — they exist only for the global
@@ -674,6 +687,7 @@ def check_rowlevel_clustered(spark: SparkSession, catalog, snapshot_id: str,
     # state collection below reads this small store too — only the
     # conversation-count-sized kind=3 extent rows stay behind
     rowsrc = out.filter(F.col("kind") != 3).localCheckpoint(eager=True)
+    _tmark("rowsrc checkpoint")
 
     # read errors (kind=5, sparse): the per-partition by-value :throw.
     # Collected from the SMALL checkpointed store (metadata-sized read);
@@ -803,6 +817,7 @@ def check_rowlevel_clustered(spark: SparkSession, catalog, snapshot_id: str,
              .unionByName(bad_seam.select(F.lit("seam").alias("why"),
                                           "conv_id").limit(1))
              .collect())
+    _tmark("extent+seam verify")
     if probs:
         why, cv = probs[0].why, probs[0].conv_id
         if why == "extent":
@@ -875,6 +890,7 @@ def check_rowlevel_clustered(spark: SparkSession, catalog, snapshot_id: str,
                 merge_part_states(by_pid[r.partition_id], st)
                 if r.partition_id in by_pid else st)
         pstates = sorted(by_pid.items())
+        _tmark("state collect")
     else:
         pstates = sorted(
             k4.rdd

@@ -49,7 +49,8 @@ class ValidationResult:
                  verdicts: DataFrame, infer: InferResult,
                  stats_thunk: Optional[Callable[[], DataFrame]] = None,
                  snapshot_stats: Optional[DataFrame] = None,
-                 errors: Optional[Dict[int, str]] = None):
+                 errors: Optional[Dict[int, str]] = None,
+                 check_path: str = "fused"):
         self.snapshot_id = snapshot_id
         self.partitions = partitions
         self.table_schema = table_schema
@@ -59,6 +60,10 @@ class ValidationResult:
         # partitions whose scan/census failed -> error message; they got
         # verdict='error' rows (not completed: resume retries after repair)
         self.errors = errors or {}
+        # which row-level check engine actually ran: "clustered" (one
+        # fused native scan), "fused" (one scan + one shuffle),
+        # "separate" (per-check plans), or "none" (nothing pending)
+        self.check_path = check_path
         if stats_thunk is None and snapshot_stats is not None:
             stats_thunk = lambda: snapshot_stats  # noqa: E731
         self.stats_thunk = stats_thunk
@@ -124,7 +129,8 @@ def validate(
             catalog.read_audit(spark, snapshot_id),
             InferResult(snapshot_id, {}, {}, {}, {}, []),
             stats_thunk=lambda: spark.createDataFrame(
-                [], "snapshot_id string, column string"))
+                [], "snapshot_id string, column string"),
+            check_path="none")
 
     # -- census first (metadata-only): selects the check path ---------------
     from .operators.clustered import (census_uniform,
@@ -146,10 +152,29 @@ def validate(
 
     # path selection: clustered (zero-shuffle, layout-aware) when the
     # manifest declares the write order — the Iceberg sort-order contract —
+    # AND the snapshot is big enough to amortize the path's fixed cost;
     # else fused (one scan + one skew-blocked shuffle). clustered_checks
     # forces it either way. All three paths are row-identical (tested).
+    #
+    # The row threshold is measured, not guessed (local[32], fresh data,
+    # warm JVM): the clustered path pays ~3-5s of fixed cost per
+    # validate() — the mapInArrow Python-worker fan-out plus the eager
+    # checkpoint + layout-verification actions — that the corpus scan
+    # must buy back from the shuffle path's sort. At 72k turns the
+    # shuffle path wins (3.2s vs 4.4s), at 1.0M it still wins (4.3s vs
+    # 6.3s), at 5.0M the sort spills and the clustered path wins 6x
+    # (5.6-7.7s vs 38-39s). Crossover sits between 1M and 5M rows;
+    # default 2M. On a real cluster the fixed cost is per-executor and
+    # already amortized, so a deployment would set this to 0.
+    man_full = catalog.manifest(snapshot_id)
+    min_rows = int(spark.conf.get(
+        "spark.schema_inference.clustered.minRows", "2000000"))
+    pend_set = set(pending)
+    total_rows = sum(int(p["n_rows"]) for p in man_full["partitions"]
+                     if p["partition_id"] in pend_set)
     use_clustered = (clustered_checks if clustered_checks is not None
-                     else manifest_declares_order(catalog.manifest(snapshot_id)))
+                     else (manifest_declares_order(man_full)
+                           and total_rows >= min_rows))
     # a cross-partition physical-type conflict forces the widening scan
     # (read_snapshot_tolerant), which the layout fast path cannot use —
     # those snapshots take the shuffle path regardless
@@ -162,11 +187,13 @@ def validate(
     # + fused shuffle checks (second scan).
     inf = None
     violations = None
+    path_used = "fused" if fused_checks else "separate"
     if not pending:
         # every pending partition errored at census: nothing left to
         # scan — emit only the error verdicts below
         violations = C.empty_violations(spark)
         inf = InferResult(snapshot_id, {}, {}, {}, {}, [])
+        path_used = "none"
     elif use_clustered:
         try:
             # eager: the one corpus pass runs here, so a layout lie
@@ -186,6 +213,7 @@ def validate(
                           if p not in scan_errors}
                 pending = [p for p in pending if p not in scan_errors]
             inf = finalize_infer(spark, snapshot_id, census, pstates)
+            path_used = "clustered"
             _mark("checks+infer (one fused scan)")
         except Exception as exc:  # noqa: BLE001 — executor errors arrive
             if "clustered checks:" not in str(exc):  # as Py4J wrappers
@@ -300,8 +328,7 @@ def validate(
     _mark("materialize-violations")
 
     # -- verdicts: per-partition pass/fail + metrics (F4) ---------------------
-    man = {p["partition_id"]: p for p in
-           catalog.manifest(snapshot_id)["partitions"]}
+    man = {p["partition_id"]: p for p in man_full["partitions"]}
     snapshot_level = counts.get(-1, 0)
     wall_ms = int((time.monotonic() - t0) * 1000)
     verdict_rows = []
@@ -348,6 +375,7 @@ def validate(
         infer=inf,
         stats_thunk=(lambda: built) if built is not None else _build_stats,
         errors=errors,
+        check_path=path_used,
     )
 
 

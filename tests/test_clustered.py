@@ -15,6 +15,18 @@ from schema_inference_spark.sources.catalog import SnapshotCatalog
 from schema_inference_spark.sources.transcripts import write_snapshot
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clustered_at_any_size(spark):
+    """This module's fixtures are tiny; validate()'s auto-selection would
+    route them to the shuffle path under the production minRows amortization
+    threshold. Pin it to 0 so the module exercises the clustered path and
+    its self-heal fallbacks through the same auto-selection a big snapshot
+    takes."""
+    spark.conf.set("spark.schema_inference.clustered.minRows", "0")
+    yield
+    spark.conf.unset("spark.schema_inference.clustered.minRows")
+
+
 def rows_of(df):
     return [r.asDict() for r in C.stable_order(df).collect()]
 

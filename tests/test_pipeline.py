@@ -471,3 +471,33 @@ def test_multi_file_partitions(spark, tmp_path):
     assert inf.column_stats["conv_id"]["count"] == n
     # both files of partition 0 contributed to its state
     assert inf.partition_states[0]["conv_id"]["count"] == 2 * third
+
+
+def test_check_path_auto_selection_by_size(spark, catalog):
+    """Auto-selection routes small clustered snapshots to the shuffle path
+    (the clustered path's fixed cost — Python-worker fan-out + layout
+    verification actions — doesn't amortize below minRows) and big ones to
+    the clustered path; explicit clustered_checks overrides both ways."""
+    from schema_inference_spark.operators.clustered import (
+        manifest_declares_order)
+    assert manifest_declares_order(catalog.manifest("s1"))
+
+    # fixture s1 is far below the production 2M-row threshold
+    small = validate(spark, catalog, "s1", resume=False, write_audit=False)
+    assert small.check_path == "fused"
+
+    # pinning the threshold to 0 flips auto-selection to clustered
+    spark.conf.set("spark.schema_inference.clustered.minRows", "0")
+    try:
+        big = validate(spark, catalog, "s1", resume=False,
+                       write_audit=False)
+        assert big.check_path == "clustered"
+    finally:
+        spark.conf.unset("spark.schema_inference.clustered.minRows")
+
+    forced = validate(spark, catalog, "s1", resume=False, write_audit=False,
+                      clustered_checks=True)
+    assert forced.check_path == "clustered"
+    # identical violations either way (row-identity is asserted in depth
+    # in test_clustered; here just the selection contract)
+    assert small.violations.count() == forced.violations.count()
