@@ -521,6 +521,117 @@ ORDER BY d1, d2
 """
 
 
+# ---------------------------------------------------------------------------
+# PII + contamination
+# ---------------------------------------------------------------------------
+
+def _pii_aug(cast: str) -> str:
+    """Deterministic PII planting, written once in the SQL dialect subset
+    both engines parse identically (the synthetic documents corpus is
+    PII-free word salad, so the operator needs planted signal to gate
+    against; cast: STRING for Spark, VARCHAR for DuckDB)."""
+    return (
+        "concat(text,"
+        " CASE WHEN doc_id % 7 = 0 THEN concat(' contact user',"
+        f" CAST(doc_id AS {cast}), '@example.com now') ELSE '' END,"
+        " CASE WHEN doc_id % 11 = 0 THEN ' or call 555-123-4567'"
+        " ELSE '' END,"
+        " CASE WHEN doc_id % 13 = 0 THEN ' ssn 123-45-6789 on file'"
+        " ELSE '' END,"
+        " CASE WHEN doc_id % 17 = 0 THEN concat(' from 10.0.',"
+        f" CAST(doc_id % 256 AS {cast}), '.1') ELSE '' END)")
+
+
+def _pii_docs(spark, sf_dir):
+    return (_t(spark, sf_dir, "documents")
+            .withColumn("text", F.expr(_pii_aug("STRING"))))
+
+
+def q_pii_flags(spark, sf_dir):
+    """Per-doc PII match counts (email/ssn/phone/ipv4) — pure JVM regex,
+    one scan, no shuffle; patterns restricted to the Java-regex/RE2
+    common subset so the oracle gates the exact counts."""
+    from .operators import pii as P
+    return P.pii_flags(_pii_docs(spark, sf_dir))
+
+
+def q_pii_redact(spark, sf_dir):
+    """Typed-token PII redaction; gated on the redacted text's sha256 so
+    both engines must produce byte-identical redactions."""
+    from .operators import pii as P
+    return P.pii_redact(_pii_docs(spark, sf_dir))
+
+
+def _sql_pii_parts():
+    from .operators.pii import PII_PATTERNS
+    cols = ",\n       ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        for name, pat in PII_PATTERNS)
+    total = " + ".join(f"n_{name}" for name, _ in PII_PATTERNS)
+    raw_total = " + ".join(f"len(regexp_extract_all(text, '{pat}'))"
+                           for _, pat in PII_PATTERNS)
+    red = "text"
+    for name, pat in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '<{name.upper()}>', 'g')"
+    return cols, total, raw_total, red
+
+
+_PII_COLS, _PII_TOTAL, _PII_RAW_TOTAL, _PII_RED = _sql_pii_parts()
+
+SQL_PII_FLAGS = f"""
+WITH aug AS (SELECT doc_id, {_pii_aug('VARCHAR')} AS text FROM documents),
+c AS (SELECT doc_id,
+       {_PII_COLS}
+      FROM aug)
+SELECT doc_id, n_email, n_ssn, n_phone, n_ipv4,
+       {_PII_TOTAL} AS n_pii
+FROM c
+ORDER BY doc_id
+"""
+
+
+SQL_PII_REDACT = f"""
+WITH aug AS (SELECT doc_id, {_pii_aug('VARCHAR')} AS text FROM documents),
+r AS (SELECT doc_id, {_PII_RED} AS redacted, {_PII_RAW_TOTAL} AS n_redactions
+      FROM aug)
+SELECT doc_id, redacted, sha256(redacted) AS redacted_sha, n_redactions
+FROM r
+ORDER BY doc_id
+"""
+
+
+BENCH_MOD = 50  # bench set = documents with doc_id % BENCH_MOD = 0
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark-contamination containment: which corpus docs contain
+    >= 30% of a bench item's distinct 3-shingles. The bench set derives
+    deterministically from the corpus (doc_id % BENCH_MOD = 0) so both
+    engines see identical eval items; self-pairs excluded."""
+    from .operators.contamination import contamination_pairs
+    docs = _t(spark, sf_dir, "documents")
+    bench = (docs.filter(F.col("doc_id") % BENCH_MOD == 0)
+             .select(F.col("doc_id").alias("bench_id"), "text"))
+    out = contamination_pairs(docs, bench, threshold=0.3)
+    return out.filter(F.col("doc_id") != F.col("bench_id"))
+
+
+SQL_CONTAMINATION = f"""
+WITH {_SHINGLE_CTES},
+bs AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+bn AS (SELECT doc_id AS bench_id, n AS bench_n FROM cnt
+       WHERE doc_id % {BENCH_MOD} = 0),
+m AS (SELECT a.doc_id, b.bench_id, count(*) AS n_matched
+      FROM sh a JOIN bs b ON a.s = b.s AND a.doc_id <> b.bench_id
+      GROUP BY 1, 2)
+SELECT m.doc_id, m.bench_id, m.n_matched, bn.bench_n,
+       (10000 * m.n_matched) // bn.bench_n AS containment_bp
+FROM m JOIN bn ON m.bench_id = bn.bench_id
+WHERE (10000 * m.n_matched) // bn.bench_n >= 3000
+ORDER BY m.doc_id, m.bench_id
+"""
+
+
 def q_multimodal_meta(spark, sf_dir):
     return M.payload_meta(_t(spark, sf_dir, "documents"))
 
@@ -564,6 +675,9 @@ EXTRA_QUERIES: Dict[str, Callable] = {
     "repetition": q_repetition,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_similar_pairs": q_winnow_similar_pairs,
+    "pii_flags": q_pii_flags,
+    "pii_redact": q_pii_redact,
+    "contamination": q_contamination,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
 }
@@ -580,6 +694,9 @@ EXTRA_ORACLES: Dict[str, str] = {
     "fingerprint": SQL_FINGERPRINT,
     "repetition": SQL_REPETITION,
     "multimodal_meta": SQL_MULTIMODAL_META,
+    "pii_flags": SQL_PII_FLAGS,
+    "pii_redact": SQL_PII_REDACT,
+    "contamination": SQL_CONTAMINATION,
     # two-stage: the engine-hashed artifact (fingerprints, candidate
     # pairs, block assignments) is exported to a parquet seam; the
     # downstream stage itself is fully rows+schema+hash gated

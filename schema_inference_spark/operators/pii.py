@@ -1,0 +1,68 @@
+"""PII detection + redaction over text columns — pure JVM regex
+expressions (no UDF, fully codegen'd, no shuffle): the scan-shaped
+operator an LLM training pipeline runs over every document before
+anything else sees the bytes.
+
+Patterns are written to the common subset of Java regex (Spark) and RE2
+(DuckDB) semantics — character classes, bounded repetition, and ``\\b``
+word boundaries only (no backrefs, no lookaround) — so the operator is
+fully oracle-gated: both engines must produce identical counts and
+identical redacted text.
+
+ref: the reference has no PII surface at all (it is a schema-algebra
+PoC); this operator exists for the training-data pipeline scope, same
+adjudication as dedup/similarity/textstats.
+
+Scale: per-row JVM expressions inside WholeStageCodegen; 100-TB cost is
+exactly one scan with no exchange. Redaction order is fixed
+(email -> ssn -> phone -> ipv4) so overlapping matches resolve
+deterministically in every engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ordered: redaction applies top to bottom; SSN before PHONE so the
+# xxx-xx-xxxx shape is never half-eaten by the phone pattern
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
+    ("phone", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+]
+
+
+def pii_flags(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Per-document non-overlapping match counts for each PII class plus
+    the total — one JVM regexp_count per class, single scan."""
+    counts = [F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
+              for name, pat in PII_PATTERNS]
+    out = df.select(F.col(id_col).alias("doc_id"), *counts)
+    total = sum((F.col(f"n_{name}") for name, _ in PII_PATTERNS),
+                F.lit(0)).cast("bigint")
+    return (out.withColumn("n_pii", total)
+            .select("doc_id",
+                    *[F.col(f"n_{n}").cast("bigint").alias(f"n_{n}")
+                      for n, _ in PII_PATTERNS],
+                    "n_pii")
+            .orderBy("doc_id"))
+
+
+def pii_redact(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Redact every PII class to a typed token (``<EMAIL>`` etc.) in the
+    fixed PII_PATTERNS order; emits the redacted text, its sha256, and
+    the redaction count so audit rows don't need the cleartext."""
+    red = F.col(text_col)
+    for name, pat in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    counts = sum((F.regexp_count(F.col(text_col), F.lit(pat))
+                  for _, pat in PII_PATTERNS), F.lit(0))
+    return (df.select(F.col(id_col).alias("doc_id"),
+                      red.alias("redacted"),
+                      F.sha2(red, 256).alias("redacted_sha"),
+                      counts.cast("bigint").alias("n_redactions"))
+            .orderBy("doc_id"))
