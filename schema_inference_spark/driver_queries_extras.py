@@ -55,11 +55,30 @@ ORDER BY content_hash
 _PAIRS_CACHE: Dict[tuple, object] = {}
 
 
+_SHINGLED_CACHE: Dict[tuple, object] = {}
+
+
+def _shingled_docs(spark, sf_dir):
+    """One persisted shingle frame per (session, sf), shared by every
+    shingle consumer (jaccard pair graph, minhash banding + candidate
+    verification) — the corpus is tokenized+shingled ONCE per run.
+    Cache lifetime follows the session (clearCache between corpora in a
+    long-lived service, same note as dedup.jaccard_pairs)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _SHINGLED_CACHE.get(key)
+    if df is None:
+        df = D.with_shingles(
+            _t(spark, sf_dir, "documents").select("doc_id", "text")
+        ).persist()
+        _SHINGLED_CACHE[key] = df
+    return df
+
+
 def _jaccard_pairs_cached(spark, sf_dir):
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _PAIRS_CACHE.get(key)
     if df is None:
-        df = D.jaccard_pairs(_t(spark, sf_dir, "documents"),
+        df = D.jaccard_pairs(_shingled_docs(spark, sf_dir),
                              threshold=0.5).localCheckpoint(eager=False)
         _PAIRS_CACHE[key] = df
     return df
@@ -114,8 +133,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     text, >= threshold) from it; only the MinHash banding itself stays
     engine-side (recall vs the exact jaccard query is asserted in
     tests)."""
-    shingled = D.with_shingles(
-        _t(spark, sf_dir, "documents").select("doc_id", "text")).persist()
+    shingled = _shingled_docs(spark, sf_dir)
     cand = D.lsh_candidate_pairs(shingled)
     cand.write.mode("overwrite").parquet(MINHASH_CAND_EXPORT)
     seam = spark.read.parquet(MINHASH_CAND_EXPORT)

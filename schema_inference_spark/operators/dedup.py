@@ -155,10 +155,18 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     # the Spark session — long-lived sessions running dedup over many
     # corpora should spark.catalog.clearCache() between them (the
     # returned DataFrame is lazy, so this function cannot unpersist).
-    docs = (with_shingles(df.select(id_col, text_col), text_col, k)
+    # A PRE-SHINGLED input (has_shingles attested) is the caller saying
+    # it owns materialization — every branch reads the caller's frame
+    # (typically persisted once and shared with minhash/LSH consumers),
+    # so no second cache copy is made here.
+    pre = has_shingles(df, text_col, k)
+    base = df.select(*([id_col, text_col, "shingles"] if pre
+                       else [id_col, text_col]))
+    docs = (with_shingles(base, text_col, k)
             .select(F.col(id_col).alias("doc"), "shingles",
-                    F.size("shingles").alias("n_sh"))
-            .persist())
+                    F.size("shingles").alias("n_sh")))
+    if not pre:
+        docs = docs.persist()
     sh = (docs.select("doc", F.explode("shingles").alias("sh"))
           .filter(F.col("sh") != ""))
 
@@ -313,9 +321,14 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id",
     # the banding path explodes these arrays for the signature agg, the
     # verification path intersects them per candidate — without the
     # persist each arm re-tokenizes the corpus from scratch. Storage
-    # scope is the session (lazy result — see jaccard_pairs note).
-    shingled = with_shingles(df.select(id_col, text_col),
-                             text_col, k).persist()
+    # scope is the session (lazy result — see jaccard_pairs note). A
+    # pre-shingled input means the caller owns materialization (shared
+    # seam with the jaccard family) — don't double-cache it.
+    if has_shingles(df, text_col, k):
+        shingled = df
+    else:
+        shingled = with_shingles(df.select(id_col, text_col),
+                                 text_col, k).persist()
     cand = lsh_candidate_pairs(shingled, id_col, text_col, n_hashes, bands,
                                k, bucket_cap, chain)
     return verify_candidates(cand, shingled, id_col, text_col, k, threshold)
