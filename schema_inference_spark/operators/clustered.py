@@ -689,17 +689,128 @@ def check_rowlevel_clustered(spark: SparkSession, catalog, snapshot_id: str,
     rowsrc = out.filter(F.col("kind") != 3).localCheckpoint(eager=True)
     _tmark("rowsrc checkpoint")
 
-    # read errors (kind=5, sparse): the per-partition by-value :throw.
-    # Collected from the SMALL checkpointed store (metadata-sized read);
-    # every row of an errored partition — including rows good splits of
-    # it already produced — is dropped before any check or the extent
-    # verification consumes it, so no branch reports on a partition whose
-    # scan was incomplete. Convs never span partitions (bucketed by
-    # conv), so dropping whole partitions cannot fabricate extent lies.
-    read_errors = {r.partition_id: r.payload for r in
-                   rowsrc.filter(F.col("kind") == 5)
-                   .select("partition_id", "payload").collect()}
+    def _verify_frames(out_f, rowsrc_f):
+        """Layout-verification frames over the given (possibly
+        error-filtered) stores: (bad_extent, bad_seam, boundary pairs).
+
+        part 2 — GLOBAL conv contiguity: the UDF verifies contiguity
+        within each split; the boundary stitch compares only ADJACENT
+        segments. A cross-split-only lie — a conv reappearing in a
+        non-adjacent segment — is invisible to both, so verify globally:
+        each conv must occupy exactly one maximal run of consecutive
+        segments, first-of-segment everywhere but its first segment and
+        last-of-segment everywhere but its last. Inputs are the
+        per-(conv, segment) extent rows (kind=3, ~one per conversation)
+        and a segment-rank table (#segments rows of two ints — the rank
+        window is a single tiny task, bounded by split count, not row
+        count).
+
+        stitch — cross-split pairs, TWO-LEVEL: boundary rows ordered by
+        manifest file order + in-file position reconstruct global scan
+        order. Level 1 pairs segments WITHIN each file (window per fid —
+        parallel across files, so 10^5-10^6 byte-range splits of a few
+        big files never funnel through one task). Level 2 pairs each
+        file's first segment with the previous present file's last
+        segment — the only driver-order pass, one row per FILE
+        (manifest-sized), broadcast to the join.
+
+        part 3 — cross-split sort order: a lie that exists ONLY across
+        a boundary (locally sorted splits, key regressing at the seam)
+        must also refuse (ADVICE r2); equal (turn, ts) at the seam is a
+        legitimate duplicate, not a lie."""
+        segr = (rowsrc_f.filter(F.col("kind") == 1).select("fid", "pos")
+                .withColumn("_seg_rank",
+                            F.row_number().over(Window.orderBy("fid",
+                                                               "pos"))))
+        c3 = out_f.filter(F.col("kind") == 3).select(
+            "conv_id", "fid", "pos", F.col("cnt").alias("_flags"))
+        ext = (c3.join(segr, ["fid", "pos"])
+               .groupBy("conv_id")
+               .agg(F.count(F.lit(1)).alias("_n"),
+                    F.min("_seg_rank").alias("_rmin"),
+                    F.max("_seg_rank").alias("_rmax"),
+                    # any non-first-of-segment occurrence above rmin, or
+                    # non-last-of-segment occurrence below rmax, is a lie
+                    F.max(F.when(F.col("_flags").bitwiseAND(F.lit(1)) == 0,
+                                 F.col("_seg_rank"))).alias("_bad_first"),
+                    F.min(F.when(F.col("_flags").bitwiseAND(F.lit(2)) == 0,
+                                 F.col("_seg_rank"))).alias("_bad_last")))
+        bad_extent = ext.filter(
+            (F.col("_n") != F.col("_rmax") - F.col("_rmin") + 1)
+            | (F.coalesce(F.col("_bad_first"), F.col("_rmin"))
+               != F.col("_rmin"))
+            | (F.coalesce(F.col("_bad_last"), F.col("_rmax"))
+               != F.col("_rmax"))
+        ).select("conv_id")
+
+        bnd = rowsrc_f.filter(F.col("kind") == 1).select(
+            "fid", "pos", "f_conv", "f_turn", "f_ts", "f_bucket",
+            "l_conv", "l_turn", "l_ts")
+        wf = Window.partitionBy("fid").orderBy("pos")
+        ranked = (bnd
+                  .withColumn("p_conv", F.lag("l_conv").over(wf))
+                  .withColumn("p_turn", F.lag("l_turn").over(wf))
+                  .withColumn("p_ts", F.lag("l_ts").over(wf))
+                  .withColumn("_rn", F.row_number().over(wf)))
+        pair_cols = ["fid", "pos", "f_conv", "f_turn", "f_ts", "f_bucket",
+                     "p_conv", "p_turn", "p_ts"]
+        intra = ranked.filter(F.col("_rn") > 1).select(*pair_cols)
+        wfd = Window.partitionBy("fid").orderBy(F.desc("pos"))
+        lasts = (bnd.withColumn("_rn", F.row_number().over(wfd))
+                 .filter(F.col("_rn") == 1)
+                 .select(F.col("fid").alias("_pf"),
+                         F.col("l_conv").alias("p_conv"),
+                         F.col("l_turn").alias("p_turn"),
+                         F.col("l_ts").alias("p_ts")))
+        lasts = (lasts
+                 .withColumn("_nf",
+                             F.lead("_pf").over(Window.orderBy("_pf")))
+                 .filter(F.col("_nf").isNotNull()))
+        firsts = (ranked.filter(F.col("_rn") == 1)
+                  .select("fid", "pos", "f_conv", "f_turn", "f_ts",
+                          "f_bucket"))
+        cross = (firsts.join(F.broadcast(lasts),
+                             firsts["fid"] == lasts["_nf"], "inner")
+                 .select(*pair_cols))
+        b = (intra.unionByName(cross)
+             .filter(F.col("p_conv") == F.col("f_conv")))
+        bad_seam = (b.filter((F.col("f_turn") < F.col("p_turn"))
+                             | ((F.col("f_turn") == F.col("p_turn"))
+                                & (F.col("f_ts") < F.col("p_ts"))))
+                    .select(F.col("f_conv").alias("conv_id")))
+        return bad_extent, bad_seam, b
+
+    def _probe(bad_extent, bad_seam):
+        return (bad_extent.select(F.lit("extent").alias("why"), "conv_id")
+                .limit(1)
+                .unionByName(bad_seam.select(F.lit("seam").alias("why"),
+                                             "conv_id").limit(1)))
+
+    # ONE driver action carries all three verifications (extent lie,
+    # seam lie, per-split read errors) — fixed per-snapshot cost is one
+    # small job. The error branch reads the SMALL checkpointed store
+    # (kind=5 is sparse by construction).
+    bad_extent, bad_seam, b = _verify_frames(out, rowsrc)
+    rows = (_probe(bad_extent, bad_seam)
+            .select("why", "conv_id",
+                    F.lit(None).cast("int").alias("partition_id"),
+                    F.lit(None).cast("string").alias("payload"))
+            .unionByName(rowsrc.filter(F.col("kind") == 5)
+                         .select(F.lit("read_error").alias("why"),
+                                 F.lit(None).cast("string").alias("conv_id"),
+                                 "partition_id", "payload"))
+            .collect())
+    read_errors = {r.partition_id: r.payload for r in rows
+                   if r.why == "read_error"}
+    probs = [r for r in rows if r.why != "read_error"]
     if read_errors:
+        # the per-partition by-value :throw. Every row of an errored
+        # partition — including rows good splits of it already produced —
+        # is dropped before any check consumes it, and the layout
+        # verification RE-RUNS on the filtered stores (an incomplete
+        # partition's extent rows could otherwise fabricate a lie; convs
+        # never span partitions, so dropping whole partitions cannot).
+        # Rare path: costs one extra small job only when a read failed.
         if not with_errors:
             raise RuntimeError(
                 "clustered scan read errors: "
@@ -708,38 +819,21 @@ def check_rowlevel_clustered(spark: SparkSession, catalog, snapshot_id: str,
         bad = list(read_errors)
         out = out.filter(~F.col("partition_id").isin(bad))
         rowsrc = rowsrc.filter(~F.col("partition_id").isin(bad))
-
-    # --- layout verification, part 2: GLOBAL conv contiguity ------------
-    # The UDF verifies contiguity within each split; the boundary stitch
-    # compares only ADJACENT segments. A cross-split-only lie — a conv
-    # reappearing in a non-adjacent segment — is invisible to both, so
-    # verify globally: each conv must occupy exactly one maximal run of
-    # consecutive segments, first-of-segment everywhere but its first
-    # segment and last-of-segment everywhere but its last. Inputs are the
-    # per-(conv, segment) extent rows (kind=3, ~one per conversation) and
-    # a segment-rank table (#segments rows of two ints — the rank window
-    # is a single tiny task, bounded by split count, not row count).
-    segr = (rowsrc.filter(F.col("kind") == 1).select("fid", "pos")
-            .withColumn("_seg_rank",
-                        F.row_number().over(Window.orderBy("fid", "pos"))))
-    c3 = out.filter(F.col("kind") == 3).select(
-        "conv_id", "fid", "pos", F.col("cnt").alias("_flags"))
-    ext = (c3.join(segr, ["fid", "pos"])
-           .groupBy("conv_id")
-           .agg(F.count(F.lit(1)).alias("_n"),
-                F.min("_seg_rank").alias("_rmin"),
-                F.max("_seg_rank").alias("_rmax"),
-                # any non-first-of-segment occurrence above rmin, or
-                # non-last-of-segment occurrence below rmax, is a lie
-                F.max(F.when(F.col("_flags").bitwiseAND(F.lit(1)) == 0,
-                             F.col("_seg_rank"))).alias("_bad_first"),
-                F.min(F.when(F.col("_flags").bitwiseAND(F.lit(2)) == 0,
-                             F.col("_seg_rank"))).alias("_bad_last")))
-    bad_extent = ext.filter(
-        (F.col("_n") != F.col("_rmax") - F.col("_rmin") + 1)
-        | (F.coalesce(F.col("_bad_first"), F.col("_rmin")) != F.col("_rmin"))
-        | (F.coalesce(F.col("_bad_last"), F.col("_rmax")) != F.col("_rmax"))
-    ).select("conv_id")
+        bad_extent, bad_seam, b = _verify_frames(out, rowsrc)
+        probs = _probe(bad_extent, bad_seam).collect()
+    _tmark("extent+seam+error verify")
+    if probs:
+        why, cv = probs[0].why, probs[0].conv_id
+        if why == "extent":
+            raise ValueError(
+                "clustered checks: manifest declares clustering by "
+                f"conv_id but conv {cv!r} occupies non-adjacent segments "
+                "in scan order — shuffle path (check_rowlevel_fused) "
+                "required")
+        raise ValueError(
+            "clustered checks: manifest declares sort order (conv_id, "
+            f"turn_idx, ts) but conv {cv!r} regresses across a split "
+            "boundary — shuffle path (check_rowlevel_fused) required")
 
     snap = F.lit(snapshot_id).alias("snapshot_id")
     vcols = ["partition_id", "check_id", "mgu_failure", "schema_1",
@@ -761,75 +855,6 @@ def check_rowlevel_clustered(spark: SparkSession, catalog, snapshot_id: str,
                   "conv_id", "turn_idx",
                   F.to_json(F.struct(F.col("n").alias("n_copies")))
                   .alias("payload")))
-
-    # cross-split pairs, TWO-LEVEL stitch: boundary rows ordered by
-    # manifest file order + in-file position reconstruct global scan
-    # order. Level 1 pairs segments WITHIN each file (window per fid —
-    # parallel across files, so 10^5-10^6 byte-range splits of a few big
-    # files never funnel through one task). Level 2 pairs each file's
-    # first segment with the previous present file's last segment — the
-    # only driver-order pass, one row per FILE (manifest-sized, ~100
-    # bytes each), broadcast to the join.
-    bnd = rowsrc.filter(F.col("kind") == 1).select(
-        "fid", "pos", "f_conv", "f_turn", "f_ts", "f_bucket",
-        "l_conv", "l_turn", "l_ts")
-    wf = Window.partitionBy("fid").orderBy("pos")
-    ranked = (bnd
-              .withColumn("p_conv", F.lag("l_conv").over(wf))
-              .withColumn("p_turn", F.lag("l_turn").over(wf))
-              .withColumn("p_ts", F.lag("l_ts").over(wf))
-              .withColumn("_rn", F.row_number().over(wf)))
-    pair_cols = ["fid", "pos", "f_conv", "f_turn", "f_ts", "f_bucket",
-                 "p_conv", "p_turn", "p_ts"]
-    intra = ranked.filter(F.col("_rn") > 1).select(*pair_cols)
-    wfd = Window.partitionBy("fid").orderBy(F.desc("pos"))
-    lasts = (bnd.withColumn("_rn", F.row_number().over(wfd))
-             .filter(F.col("_rn") == 1)
-             .select(F.col("fid").alias("_pf"),
-                     F.col("l_conv").alias("p_conv"),
-                     F.col("l_turn").alias("p_turn"),
-                     F.col("l_ts").alias("p_ts")))
-    lasts = (lasts
-             .withColumn("_nf", F.lead("_pf").over(Window.orderBy("_pf")))
-             .filter(F.col("_nf").isNotNull()))
-    firsts = (ranked.filter(F.col("_rn") == 1)
-              .select("fid", "pos", "f_conv", "f_turn", "f_ts", "f_bucket"))
-    cross = (firsts.join(F.broadcast(lasts),
-                         firsts["fid"] == lasts["_nf"], "inner")
-             .select(*pair_cols))
-    b = (intra.unionByName(cross)
-         .filter(F.col("p_conv") == F.col("f_conv")))
-
-    # --- layout verification, part 3: cross-split sort order ------------
-    # Each split verifies (turn_idx, ts) monotonicity internally; a lie
-    # that exists ONLY across a boundary (locally sorted splits, key
-    # regressing at the seam) must also refuse, not silently emit rows
-    # that diverge from the fused path (ADVICE r2). Equal (turn, ts) at
-    # the seam is a legitimate duplicate, not a lie. Fused with the
-    # extent check (part 2) into ONE driver action — fixed per-snapshot
-    # cost is one small job, not two.
-    bad_seam = (b.filter((F.col("f_turn") < F.col("p_turn"))
-                         | ((F.col("f_turn") == F.col("p_turn"))
-                            & (F.col("f_ts") < F.col("p_ts"))))
-                .select(F.col("f_conv").alias("conv_id")))
-    probs = (bad_extent.select(F.lit("extent").alias("why"), "conv_id")
-             .limit(1)
-             .unionByName(bad_seam.select(F.lit("seam").alias("why"),
-                                          "conv_id").limit(1))
-             .collect())
-    _tmark("extent+seam verify")
-    if probs:
-        why, cv = probs[0].why, probs[0].conv_id
-        if why == "extent":
-            raise ValueError(
-                "clustered checks: manifest declares clustering by "
-                f"conv_id but conv {cv!r} occupies non-adjacent segments "
-                "in scan order — shuffle path (check_rowlevel_fused) "
-                "required")
-        raise ValueError(
-            "clustered checks: manifest declares sort order (conv_id, "
-            f"turn_idx, ts) but conv {cv!r} regresses across a split "
-            "boundary — shuffle path (check_rowlevel_fused) required")
 
     # the three boundary-pair checks share the whole stitch subtree; a
     # union of three filtered branches would execute it three times
