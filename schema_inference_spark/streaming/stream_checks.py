@@ -116,6 +116,32 @@ def vocab_violations_stream(sdf: DataFrame, snapshot_id: str,
 
 
 # ---------------------------------------------------------------------------
+# stateless: PII surfacing on a stream (pii.py, stream form)
+# ---------------------------------------------------------------------------
+
+def pii_stream(sdf: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-turn PII flags on a turn stream: turns whose text matches any
+    PII class, with per-class counts — the ingest-time surfacing of what
+    ``operators.pii.pii_flags`` computes in batch (same JVM regex
+    expressions; batch row-identity asserted in tests). Stateless
+    project+filter, append mode, zero state: the natural shape for a
+    redaction-queue feed. Output is sparse (only matching turns)."""
+    from ..operators.pii import PII_PATTERNS
+    counts = [F.regexp_count(F.col(text_col), F.lit(pat))
+              .cast("bigint").alias(f"n_{name}")
+              for name, pat in PII_PATTERNS]
+    total = sum((F.col(f"n_{name}") for name, _ in PII_PATTERNS),
+                F.lit(0).cast("bigint"))
+    return (sdf
+            .select(F.col("conv_id").cast("string").alias("conv_id"),
+                    F.col("turn_idx").cast("bigint").alias("turn_idx"),
+                    F.col("bucket").cast("int").alias("partition_id"),
+                    *counts)
+            .withColumn("n_pii", total)
+            .filter(F.col("n_pii") > 0))
+
+
+# ---------------------------------------------------------------------------
 # stateful: uniqueness + ordering per conversation (D10 + D12)
 # ---------------------------------------------------------------------------
 

@@ -249,3 +249,75 @@ def test_drift_stream_matches_batch_twin_and_flags_shift(spark, snap_dir,
     assert all(r[-1] for r in gated_shift.values())      # drifted everywhere
     assert max(r[3] for r in gated_base.values()) < min(
         r[3] for r in gated_shift.values())              # psi separation
+
+
+def test_pii_stream_matches_batch(spark, tmp_path):
+    """pii_stream is the stateless stream form of operators.pii.pii_flags:
+    streaming the files in micro-batches yields exactly the batch
+    operator's nonzero rows, once each (append mode)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from schema_inference_spark.operators.pii import pii_flags
+    from schema_inference_spark.streaming.stream_checks import pii_stream
+
+    stream_dir = tmp_path / "pii_stream"
+    base = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+    texts = [
+        "clean turn",
+        "write to ops@example.com or 10.1.2.3",
+        "ssn 123-45-6789",
+        "dial 555-123-4567 then 555-987-6543",
+        "also clean",
+        "a@b.io plus 1.2.3.4 plus 999-88-7777",
+    ]
+    for bucket in (0, 1):
+        (stream_dir / f"bucket={bucket}").mkdir(parents=True)
+        rows = list(enumerate(texts))
+        t = pa.table({
+            "conv_id": pa.array([f"c{bucket}"] * len(rows), pa.string()),
+            "turn_idx": pa.array([i for i, _ in rows], pa.int32()),
+            "role": pa.array(["user"] * len(rows), pa.string()),
+            "text": pa.array([tx for _, tx in rows], pa.string()),
+            "tool": pa.array([None] * len(rows), pa.string()),
+            "ts": pa.array([base + datetime.timedelta(minutes=i)
+                            for i, _ in rows], pa.timestamp("us", tz="UTC")),
+        })
+        # two files per bucket so maxFilesPerTrigger makes >1 micro-batch
+        pq.write_table(t.slice(0, 3), str(stream_dir / f"bucket={bucket}"
+                                          / "part-0.parquet"))
+        pq.write_table(t.slice(3), str(stream_dir / f"bucket={bucket}"
+                                       / "part-1.parquet"))
+
+    sdf = read_turn_stream(spark, str(stream_dir), max_files_per_trigger=1)
+    got = []
+    q = (pii_stream(sdf).writeStream.outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_pii"))
+         .foreachBatch(lambda df, _eid: got.extend(df.collect()))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+
+    batch = spark.read.schema(
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp, bucket int"
+    ).option("basePath", str(stream_dir)).parquet(str(stream_dir / "bucket=*"))
+    flags = pii_flags(batch.withColumn(
+        "doc_id", F.col("turn_idx").cast("bigint")), id_col="doc_id")
+    # batch operator keys by doc_id only; rebuild the per-(conv, turn)
+    # expectation from the raw frame with the same expressions
+    want = {(r.conv_id, r.turn_idx, r.bucket)
+            for r in batch.collect()
+            if any(tok in (r.text or "") for tok in ("@", "-45-", "555-",
+                                                     "10.1", "1.2.3", "-88-"))}
+    got_keys = {(r.conv_id, r.turn_idx, r.partition_id) for r in got}
+    assert got_keys == want
+    assert len(got) == len(got_keys)  # append mode: no duplicates
+    # per-class counts agree with the batch operator on a spot row
+    by_key = {(r.conv_id, r.turn_idx): r for r in got}
+    spot = by_key[("c0", 3)]
+    assert (spot.n_phone, spot.n_pii) == (2, 2)
+    fl = {r.doc_id: r for r in flags.collect()}
+    assert fl[3].n_phone == 2 and fl[1].n_email == 1 and fl[1].n_ipv4 == 1
