@@ -627,9 +627,12 @@ def q_contamination(spark, sf_dir):
     deterministically from the corpus (doc_id % BENCH_MOD = 0) so both
     engines see identical eval items; self-pairs excluded."""
     from .operators.contamination import contamination_pairs
-    docs = _t(spark, sf_dir, "documents")
+    # the shared shingle seam: contamination_pairs shingles via
+    # with_shingles, which passes an attested pre-shingled frame through,
+    # so corpus AND bench reuse the session's one materialization
+    docs = _shingled_docs(spark, sf_dir)
     bench = (docs.filter(F.col("doc_id") % BENCH_MOD == 0)
-             .select(F.col("doc_id").alias("bench_id"), "text"))
+             .withColumnRenamed("doc_id", "bench_id"))
     out = contamination_pairs(docs, bench, threshold=0.3)
     return out.filter(F.col("doc_id") != F.col("bench_id"))
 
