@@ -7,6 +7,23 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _resolve_master(explicit: str | None, cpus: str,
+                    env: "os._Environ[str] | dict[str, str]") -> str | None:
+    """Pick the master to force on the builder, or None to defer.
+
+    Under spark-submit the JVM gateway already exists and carries the
+    submitted conf (--master, --conf ...); setting .master() here would
+    silently override the cluster. PYSPARK_GATEWAY_PORT is how the
+    PythonRunner child finds that JVM, so its presence means "defer to
+    the submitted master" unless the caller forces one explicitly.
+    """
+    if explicit is not None:
+        return explicit
+    if "PYSPARK_GATEWAY_PORT" in env:
+        return None
+    return f"local[{cpus}]"
+
+
 def get_spark(app_name: str = "schema-inference-spark",
               master: str | None = None,
               shuffle_partitions: int | None = None,
@@ -20,12 +37,12 @@ def get_spark(app_name: str = "schema-inference-spark",
     keep the default.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    master = master or f"local[{cpus}]"
+    master = _resolve_master(master, cpus, os.environ)
     shuffle = shuffle_partitions if shuffle_partitions is not None else int(cpus)
     mpb = max_partition_bytes or os.environ.get(
         "SPARK_GRAFT_MAX_PARTITION_BYTES", "16m")
     builder = (
-        SparkSession.builder.master(master).appName(app_name)
+        SparkSession.builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.files.maxPartitionBytes", mpb)
         .config("spark.sql.adaptive.enabled", "true")
@@ -38,6 +55,8 @@ def get_spark(app_name: str = "schema-inference-spark",
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
+    if master is not None:
+        builder = builder.master(master)
     return builder.getOrCreate()
 
 
