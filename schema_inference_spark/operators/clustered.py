@@ -817,8 +817,18 @@ def check_rowlevel_clustered(spark: SparkSession, catalog, snapshot_id: str,
                 + "; ".join(f"partition {p}: {m}"
                             for p, m in sorted(read_errors.items())))
         bad = list(read_errors)
-        out = out.filter(~F.col("partition_id").isin(bad))
-        rowsrc = rowsrc.filter(~F.col("partition_id").isin(bad))
+        # kind=1 boundary and kind=3 extent rows carry NO partition_id
+        # (NULL), so a bare ~isin() predicate is NULL for them and Spark
+        # drops them ALL — which would silently disable every cross-split
+        # check and the layout verification for the HEALTHY partitions.
+        # They do carry fid, and a file belongs to exactly one partition,
+        # so scope them by the errored partitions' file ids instead.
+        bad_fids = sorted({s[1] for s in splits if s[3] in read_errors})
+        keep = (F.when(F.col("partition_id").isNotNull(),
+                       ~F.col("partition_id").isin(bad))
+                .otherwise(~F.col("fid").isin(bad_fids)))
+        out = out.filter(keep)
+        rowsrc = rowsrc.filter(keep)
         bad_extent, bad_seam, b = _verify_frames(out, rowsrc)
         probs = _probe(bad_extent, bad_seam).collect()
     _tmark("extent+seam+error verify")

@@ -104,6 +104,124 @@ def test_datapage_corruption_errors_partition_clustered(spark, snap):
     assert cat.pending_partitions(spark, "snap") == []
 
 
+def _corrupt_cut(path):
+    """Cut bytes out of the file's middle: the footer (parsed from the
+    tail) stays intact, but every page offset after the cut is wrong, so
+    the native read fails with a hard decode error — unlike a byte
+    garble, which can decode into garbage rows that trip the sort-lie
+    refusal instead of the per-partition error path."""
+    orig = open(path, "rb").read()
+    open(path, "wb").write(orig[:200] + orig[456:])
+
+
+def _mk_table(rows):
+    """rows: (conv, turn, role, tool, ts_minutes)."""
+    import datetime
+
+    import pyarrow as pa
+    base = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+    return pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows], pa.string()),
+        "text": pa.array([f"t{i}" for i in range(len(rows))], pa.string()),
+        "tool": pa.array([r[3] for r in rows], pa.string()),
+        "ts": pa.array([base + datetime.timedelta(minutes=r[4])
+                        for r in rows], pa.timestamp("us", tz="UTC")),
+    })
+
+
+def _two_bucket_convs():
+    """Deterministic conv names landing in different buckets (n=2):
+    (x, y) share one bucket, h gets the other."""
+    import numpy as np
+
+    from schema_inference_spark.sources.transcripts import _hash_bucket
+
+    def bucket(name):
+        return int(_hash_bucket(np.array([name], dtype=object), 2)[0])
+
+    x = next(f"x{i}" for i in range(100) if bucket(f"x{i}") == 0)
+    y = next(f"y{i}" for i in range(100) if bucket(f"y{i}") == 0)
+    h = next(f"h{i}" for i in range(100) if bucket(f"h{i}") == 1)
+    return x, y, h
+
+
+def _split64(spark):
+    import contextlib
+
+    @contextlib.contextmanager
+    def ctx():
+        spark.conf.set(
+            "spark.schema_inference.clustered.splitTargetRows", "64")
+        try:
+            yield
+        finally:
+            spark.conf.unset(
+                "spark.schema_inference.clustered.splitTargetRows")
+    return ctx()
+
+
+def test_cross_split_checks_survive_read_error(spark, tmp_path):
+    """Regression: the errored-partition row filter must be null-safe.
+    kind=1/3 rows carry NO partition_id; a bare ~isin() predicate is NULL
+    for them, dropping every boundary/extent row and silently disabling
+    all cross-split checks for the HEALTHY partitions. A turn gap that
+    exists only across a split boundary in a healthy partition must still
+    be reported when another partition has a read error."""
+    from schema_inference_spark.operators.clustered import (
+        check_rowlevel_clustered,
+    )
+    from schema_inference_spark.pipeline import ROLE_VOCAB, TOOL_VOCAB
+
+    x, _, h = _two_bucket_convs()
+    rows = [(x, i, "user", None, i) for i in range(64)]
+    # gap of exactly 2 turns precisely at the 64-row split boundary:
+    # both splits are internally clean, only the boundary pair sees it
+    rows += [(x, i, "user", None, i - 2) for i in range(66, 130)]
+    rows += [(h, i, "user", None, 500 + i) for i in range(300)]
+    write_snapshot(str(tmp_path), "xsnap", _mk_table(rows), n_buckets=2,
+                   row_group_size=64, declare_write_order=True)
+    cat = SnapshotCatalog(str(tmp_path))
+    _corrupt_cut(glob.glob(f"{tmp_path}/xsnap/bucket=1/*.parquet")[0])
+
+    with _split64(spark):
+        viols, errors = check_rowlevel_clustered(
+            spark, cat, "xsnap", cat.partition_ids("xsnap"),
+            ROLE_VOCAB, TOOL_VOCAB, with_errors=True)
+        gaps = (viols.filter("check_id = 'turn_gap'")
+                .select("conv_id", "turn_idx").collect())
+    assert set(errors) == {1}
+    assert [(r.conv_id, r.turn_idx) for r in gaps] == [(x, 66)]
+
+
+def test_layout_lie_still_refuses_despite_read_error(spark, tmp_path):
+    """An extent lie (conv in non-adjacent segments) in a healthy
+    partition must still force the shuffle-path refusal when another
+    partition has a read error — the re-run layout verification reads
+    the null-partition_id kind=1/3 rows."""
+    from schema_inference_spark.operators.clustered import (
+        check_rowlevel_clustered,
+    )
+    from schema_inference_spark.pipeline import ROLE_VOCAB, TOOL_VOCAB
+
+    x, y, h = _two_bucket_convs()
+    rows = [(x, i, "user", None, i) for i in range(64)]
+    rows += [(y, i, "user", None, 100 + i) for i in range(64)]
+    rows += [(x, i, "user", None, 200 + i) for i in range(64, 128)]
+    rows += [(h, i, "user", None, 500 + i) for i in range(300)]
+    write_snapshot(str(tmp_path), "lsnap", _mk_table(rows), n_buckets=2,
+                   row_group_size=64, declare_write_order=True)
+    cat = SnapshotCatalog(str(tmp_path))
+    _corrupt_cut(glob.glob(f"{tmp_path}/lsnap/bucket=1/*.parquet")[0])
+
+    with _split64(spark):
+        with pytest.raises(ValueError, match="non-adjacent segments"):
+            check_rowlevel_clustered(
+                spark, cat, "lsnap", cat.partition_ids("lsnap"),
+                ROLE_VOCAB, TOOL_VOCAB, with_errors=True)
+
+
 def test_all_partitions_errored_still_returns(spark, snap):
     cat, files = snap
     origs = {p: _corrupt(f, "footer") for p, f in files.items()}
