@@ -123,6 +123,12 @@ ORDER BY d1, d2
 # verification stage — exact Jaccard over the raw text, restricted to
 # the candidate pairs — is arithmetic both engines reproduce from the
 # identical exported candidate list.
+#
+# All seam paths are re-exported on EVERY call (no cross-call cache):
+# consume (collect) the returned frame before invoking the same query
+# for a different sf_dir — the lazy result reads whatever the path holds
+# at action time. The driver's per-query run-then-compare does exactly
+# that; the one cached seam (_WINNOW_FP_CACHE) guards ownership instead.
 MINHASH_CAND_EXPORT = "/tmp/sgraft_minhash_cand.parquet"
 
 
@@ -500,17 +506,25 @@ ORDER BY pid, rank
 # instead of each recomputing it from raw text.
 WINNOW_FP_EXPORT = "/tmp/sgraft_winnow_fp.parquet"
 
-_WINNOW_FP_CACHE: Dict[tuple, object] = {}
+# The cached frame is a LAZY read of the one shared export path, so the
+# cache records the path's current OWNER (appId, sf_dir): every sf_dir
+# writes the same path, and a plain per-(appId, sf_dir) cache would hand
+# back a frame whose underlying files a later sf_dir overwrote — stale
+# pairs or FileNotFound. Ownership makes an sf switch recompute and
+# retake the path; alternating sfs in one session pays a re-export, but
+# never reads another sf's data.
+_WINNOW_FP_CACHE: Dict[str, tuple] = {}
 
 
 def _winnow_fp_exported(spark, sf_dir):
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _WINNOW_FP_CACHE.get(key)
-    if df is None:
-        fp = TS.winnow_fingerprints(_t(spark, sf_dir, "documents"))
-        fp.write.mode("overwrite").parquet(WINNOW_FP_EXPORT)
-        df = spark.read.parquet(WINNOW_FP_EXPORT)
-        _WINNOW_FP_CACHE[key] = df
+    owner = (spark.sparkContext.applicationId, sf_dir)
+    hit = _WINNOW_FP_CACHE.get(WINNOW_FP_EXPORT)
+    if hit is not None and hit[0] == owner:
+        return hit[1]
+    fp = TS.winnow_fingerprints(_t(spark, sf_dir, "documents"))
+    fp.write.mode("overwrite").parquet(WINNOW_FP_EXPORT)
+    df = spark.read.parquet(WINNOW_FP_EXPORT)
+    _WINNOW_FP_CACHE[WINNOW_FP_EXPORT] = (owner, df)
     return df
 
 

@@ -617,16 +617,8 @@ def check_rowlevel_clustered(spark: SparkSession, catalog, snapshot_id: str,
     caller emits a verdict='error' for it (resume re-validates after
     repair). With the default ``with_errors=False`` a read error raises,
     preserving fail-fast semantics for direct callers."""
-    import os as _os
-    import time as _time
-    _prof = _os.environ.get("SPARK_GRAFT_PROFILE") == "1"
-    _last = [_time.monotonic()]
-
-    def _tmark(label: str) -> None:
-        if _prof:
-            now = _time.monotonic()
-            print(f"[clustered] {label}: {now - _last[0]:.2f}s", flush=True)
-            _last[0] = now
+    from ..functions.prof import profile_marker
+    _tmark = profile_marker("clustered")
 
     if split_target_rows is None:
         split_target_rows = int(spark.conf.get(

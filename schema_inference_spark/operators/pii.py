@@ -34,20 +34,27 @@ PII_PATTERNS = [
 ]
 
 
+def pii_count_columns(text_col: str = "text"):
+    """The per-class match-count columns (``n_<class>`` bigint) and the
+    total (``n_pii``) — the ONE definition both the batch operator
+    (``pii_flags``) and the stream form (``streaming.pii_stream``) build
+    from, so a pattern or cast change cannot desynchronize the
+    batch/stream row-identity the tests assert."""
+    counts = [F.regexp_count(F.col(text_col), F.lit(pat))
+              .cast("bigint").alias(f"n_{name}")
+              for name, pat in PII_PATTERNS]
+    total = sum((F.col(f"n_{name}") for name, _ in PII_PATTERNS),
+                F.lit(0)).cast("bigint")
+    return counts, total
+
+
 def pii_flags(df: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """Per-document non-overlapping match counts for each PII class plus
     the total — one JVM regexp_count per class, single scan."""
-    counts = [F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
-              for name, pat in PII_PATTERNS]
-    out = df.select(F.col(id_col).alias("doc_id"), *counts)
-    total = sum((F.col(f"n_{name}") for name, _ in PII_PATTERNS),
-                F.lit(0)).cast("bigint")
-    return (out.withColumn("n_pii", total)
-            .select("doc_id",
-                    *[F.col(f"n_{n}").cast("bigint").alias(f"n_{n}")
-                      for n, _ in PII_PATTERNS],
-                    "n_pii")
+    counts, total = pii_count_columns(text_col)
+    return (df.select(F.col(id_col).alias("doc_id"), *counts)
+            .withColumn("n_pii", total)
             .orderBy("doc_id"))
 
 

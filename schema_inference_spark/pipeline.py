@@ -22,6 +22,7 @@ from typing import Callable, Dict, List, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .functions.prof import profile_marker
 from .operators import checks as C
 from .operators import stats as S
 from .operators.drift import drift_violations, schema_drift_violation
@@ -96,16 +97,8 @@ def validate(
     partition_col: str = "bucket",
     partitions: Optional[List[int]] = None,
 ) -> ValidationResult:
-    import os
     t0 = time.monotonic()
-    _prof = os.environ.get("SPARK_GRAFT_PROFILE") == "1"
-    _last = [t0]
-
-    def _mark(label: str) -> None:
-        if _prof:
-            now = time.monotonic()
-            print(f"[validate] {label}: {now - _last[0]:.1f}s", flush=True)
-            _last[0] = now
+    _mark = profile_marker("validate")
 
     role_vocab = role_vocab or ROLE_VOCAB
     tool_vocab = tool_vocab or TOOL_VOCAB

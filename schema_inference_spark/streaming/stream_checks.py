@@ -126,12 +126,8 @@ def pii_stream(sdf: DataFrame, text_col: str = "text") -> DataFrame:
     expressions; batch row-identity asserted in tests). Stateless
     project+filter, append mode, zero state: the natural shape for a
     redaction-queue feed. Output is sparse (only matching turns)."""
-    from ..operators.pii import PII_PATTERNS
-    counts = [F.regexp_count(F.col(text_col), F.lit(pat))
-              .cast("bigint").alias(f"n_{name}")
-              for name, pat in PII_PATTERNS]
-    total = sum((F.col(f"n_{name}") for name, _ in PII_PATTERNS),
-                F.lit(0).cast("bigint"))
+    from ..operators.pii import pii_count_columns
+    counts, total = pii_count_columns(text_col)
     return (sdf
             .select(F.col("conv_id").cast("string").alias("conv_id"),
                     F.col("turn_idx").cast("bigint").alias("turn_idx"),

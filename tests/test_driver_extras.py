@@ -28,6 +28,19 @@ def test_extra_matches_oracle(spark, sf_dir, name):
         f"{name}: value mismatch"
 
 
+def test_winnow_seam_sf_switch_not_stale(spark):
+    """Regression: the winnow fingerprint cache hands out lazy frames
+    over ONE shared export path; switching scale factors in one session
+    must recompute (path ownership), not serve the overwritten files of
+    the other sf."""
+    a, b = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
+    fa1 = EXTRA_QUERIES["winnow_fingerprints"](spark, a).count()
+    fb = EXTRA_QUERIES["winnow_fingerprints"](spark, b).count()
+    fa2 = EXTRA_QUERIES["winnow_fingerprints"](spark, a).count()
+    assert fa1 == fa2
+    assert fa1 != fb
+
+
 def test_minhash_lsh_recall(spark, sf_dir):
     """LSH-verified pairs must be a subset of exact-jaccard pairs, with
     high recall at this band setting (16 bands x 4 rows, t=0.5)."""
