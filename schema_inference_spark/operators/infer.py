@@ -558,6 +558,57 @@ def snapshot_census(spark, catalog, snapshot_id: str,
     return physical_census(spark, files)
 
 
+def probe_partitions(spark, catalog, snapshot_id: str,
+                     partitions: List[int]) -> Dict[int, str]:
+    """Page-depth decode probe: {partition_id: error message} for every
+    partition with a file that fails a FULL decode (footer fine, a data
+    page not — the failure class the footer census cannot see).
+
+    Used by validate()'s shuffle-path retry: a JVM scan abort names no
+    partition, so after a scan-time failure the probe re-finds it
+    by-value at partition granularity, the partition gets
+    verdict='error', and the scan re-runs over the healthy rest —
+    completing the reference's :throw analog (algo_w.clj:286-289) on
+    BOTH check paths (the clustered native reader emits per-split error
+    rows inline; see _native_split_reader).
+
+    pyarrow decode stands proxy for the JVM vectorized reader: both
+    decode the same pages, so the corruption classes this guards (bad
+    page header, wrong offsets, garbled values) break either. Cost is
+    one extra corpus read, paid ONLY on the rare failure path — and the
+    shuffle path serves sub-`clustered.minRows` snapshots, so the probe
+    is small by construction.
+    """
+    man = catalog.manifest(snapshot_id)
+    keep = set(partitions)
+    files = []
+    for p in man["partitions"]:
+        if p["partition_id"] in keep:
+            for fname in p["files"]:
+                files.append(
+                    (p["partition_id"],
+                     f"{catalog.root}/{snapshot_id}/{p['path']}/{fname}"))
+    if not files:
+        return {}
+
+    def decode(item: Tuple[int, str]):
+        pid, path = item
+        try:
+            pf = pq.ParquetFile(path)
+            for _ in pf.iter_batches(batch_size=1 << 16):
+                pass
+            return None
+        except Exception as exc:  # noqa: BLE001 — by-value, not by-throw
+            return pid, f"{path}: {type(exc).__name__}: {exc}"
+
+    bad = (spark.sparkContext.parallelize(files, len(files))
+           .map(decode).filter(lambda r: r is not None).collect())
+    out: Dict[int, str] = {}
+    for pid, msg in sorted(bad):
+        out.setdefault(pid, msg)
+    return out
+
+
 def infer_snapshot(spark, catalog, snapshot_id: str,
                    partitions: Optional[List[int]] = None,
                    engine: str = "sql",

@@ -211,23 +211,6 @@ def validate(
         except Exception as exc:  # noqa: BLE001 — executor errors arrive
             if "clustered checks:" not in str(exc):  # as Py4J wrappers
                 raise
-    if inf is None:
-        # -- infer: column states + strict merge (D5/D6/D14), own scan ------
-        inf = infer_snapshot(spark, catalog, snapshot_id, pending,
-                             census=census)
-        _mark("infer")
-
-    # the tolerant-read plan is needed eagerly only by the shuffle check
-    # paths; on the fused clustered path it exists solely as the stats
-    # profile's input, and BUILDING those two plans costs ~1-1.5s of
-    # driver-side Catalyst analysis that pass/fail consumers never use —
-    # so both are deferred behind the snapshot_stats thunk.
-    df = None
-    if violations is None:
-        df = read_snapshot_tolerant(spark, catalog, snapshot_id, pending,
-                                    census)
-        _mark("read-plan")
-
     # -- stats + sketches (D7-D9), one scan, two agg levels (lazy) -----------
     # text_len: derived numeric for the drift check (FIXTURES.md F3 —
     # "length(text) distribution" is the planted drift signal)
@@ -235,7 +218,9 @@ def validate(
         # always rebuilds the read plan instead of capturing `df`: the
         # thunk outlives validate() on the returned result, and holding
         # the analyzed plan of a snapshot most callers never profile is
-        # pure retention (plan analysis is the cost being deferred)
+        # pure retention (plan analysis is the cost being deferred).
+        # Reads `pending`/`census` at call time, so it tracks the retry
+        # loop's error exclusions.
         d = read_snapshot_tolerant(spark, catalog, snapshot_id, pending,
                                    census)
         if "text" in d.columns:
@@ -244,81 +229,144 @@ def validate(
             d, snapshot_id, partition_col=partition_col)["snapshot"]
 
     snapshot_stats = None  # built on demand below / via the result thunk
+    df = None
 
-    if violations is None and fused_checks:
-        # one scan + one skew-blocked shuffle produces every row-level
-        # check's violations (row-identical to the separate plans, which
-        # would scan the snapshot 4x; asserted in tests)
-        violations = C.check_rowlevel_fused(
-            df, snapshot_id, role_vocab, tool_vocab, partition_col)
-    elif violations is None:
-        v_parts = [
-            C.check_unique_key(df, snapshot_id, partition_col=partition_col),
-            C.check_referential(df, snapshot_id, "role", role_vocab,
-                                "ref_role", partition_col),
-            C.check_referential(df, snapshot_id, "tool", tool_vocab,
-                                "ref_tool", partition_col, nullable=True),
-            # blocked variant: bounded per-task cardinality even for a hot
-            # conv_id holding 10% of all turns (row-identical to the plain
-            # window; SURVEY.md §7.3-4 skew escape hatch)
-            C.check_ordering_blocked(df, snapshot_id, partition_col),
-        ]
-        violations = v_parts[0]
-        for v in v_parts[1:]:
-            violations = violations.unionByName(v)
+    # The scan section runs under a probe-gated retry: a JVM scan abort
+    # (data page corrupt under an intact footer — invisible to the
+    # census) names no partition, so on the first failure a page-depth
+    # decode probe (infer.probe_partitions) re-finds it by-value; the
+    # bad partitions get verdict='error' and the section re-runs over
+    # the healthy rest — the clustered path's per-split error isolation,
+    # now on the shuffle path too. The probe gates the retry: a failure
+    # it cannot attribute to a partition re-raises unchanged.
+    for _attempt in (1, 2):
+        try:
+            if not pending and violations is None:
+                violations = C.empty_violations(spark)
+                inf = InferResult(snapshot_id, {}, {}, {}, {}, [])
+                path_used = "none"
+            if inf is None:
+                # -- infer: column states + strict merge (D5/D6/D14) --------
+                inf = infer_snapshot(spark, catalog, snapshot_id, pending,
+                                     census=census)
+                _mark("infer")
 
-    # -- driver-side violations: schema merge, drift, compat -----------------
-    driver_rows: List[Dict] = list(inf.violations)
-    if contract:
-        # protocol-conformance gate (the reference's :protocol-invoke /
-        # sub-schema check, algo_w.clj:223-248) over the inferred schema
-        from .plans.registry import CheckRegistry
-        driver_rows += CheckRegistry().conforms(
-            inf.table_schema, contract, snapshot_id)
-    if baseline_sketches:
-        if snapshot_stats is None:
-            snapshot_stats = _build_stats()
-            _mark("profile-plan")
-        cur = {r["column"]: bytes(r["kll"]) if r["kll"] is not None else None
-               for r in snapshot_stats.select("column", "kll").collect()}
-        driver_rows += drift_violations(spark, snapshot_id,
-                                        baseline_sketches, cur)
-    if baseline_schema:
-        for col, base in sorted(baseline_schema.items()):
-            snap = inf.table_schema.get(col)
-            if snap is None:
-                continue
-            row = schema_drift_violation(snapshot_id, col, snap, base)
-            if row:
-                driver_rows.append(row)
-    if driver_rows:
-        drv = spark.createDataFrame(
-            [tuple(r[c] for c in C.VIOLATION_COLS) for r in driver_rows],
-            C.VIOLATION_DDL)
-        violations = violations.unionByName(drv)
+            # the tolerant-read plan is needed eagerly only by the shuffle
+            # check paths; on the fused clustered path it exists solely as
+            # the stats profile's input, and BUILDING those two plans costs
+            # ~1-1.5s of driver-side Catalyst analysis that pass/fail
+            # consumers never use — so both are deferred behind the
+            # snapshot_stats thunk.
+            if violations is None:
+                df = read_snapshot_tolerant(spark, catalog, snapshot_id,
+                                            pending, census)
+                _mark("read-plan")
+                if fused_checks:
+                    # one scan + one skew-blocked shuffle produces every
+                    # row-level check's violations (row-identical to the
+                    # separate plans, which would scan the snapshot 4x;
+                    # asserted in tests)
+                    violations = C.check_rowlevel_fused(
+                        df, snapshot_id, role_vocab, tool_vocab,
+                        partition_col)
+                else:
+                    v_parts = [
+                        C.check_unique_key(df, snapshot_id,
+                                           partition_col=partition_col),
+                        C.check_referential(df, snapshot_id, "role",
+                                            role_vocab, "ref_role",
+                                            partition_col),
+                        C.check_referential(df, snapshot_id, "tool",
+                                            tool_vocab, "ref_tool",
+                                            partition_col, nullable=True),
+                        # blocked variant: bounded per-task cardinality even
+                        # for a hot conv_id holding 10% of all turns
+                        # (row-identical to the plain window; SURVEY.md
+                        # §7.3-4 skew escape hatch)
+                        C.check_ordering_blocked(df, snapshot_id,
+                                                 partition_col),
+                    ]
+                    violations = v_parts[0]
+                    for v in v_parts[1:]:
+                        violations = violations.unionByName(v)
 
-    violations = C.stable_order(violations)
-    _mark("plan-violations")
+            # -- driver-side violations: schema merge, drift, compat --------
+            driver_rows: List[Dict] = list(inf.violations)
+            if contract:
+                # protocol-conformance gate (the reference's
+                # :protocol-invoke / sub-schema check, algo_w.clj:223-248)
+                # over the inferred schema
+                from .plans.registry import CheckRegistry
+                driver_rows += CheckRegistry().conforms(
+                    inf.table_schema, contract, snapshot_id)
+            if baseline_sketches:
+                if snapshot_stats is None:
+                    snapshot_stats = _build_stats()
+                    _mark("profile-plan")
+                cur = {r["column"]:
+                       bytes(r["kll"]) if r["kll"] is not None else None
+                       for r in snapshot_stats.select("column",
+                                                      "kll").collect()}
+                driver_rows += drift_violations(spark, snapshot_id,
+                                                baseline_sketches, cur)
+            if baseline_schema:
+                for col, base in sorted(baseline_schema.items()):
+                    snap = inf.table_schema.get(col)
+                    if snap is None:
+                        continue
+                    row = schema_drift_violation(snapshot_id, col, snap,
+                                                 base)
+                    if row:
+                        driver_rows.append(row)
+            out_violations = violations
+            if driver_rows:
+                drv = spark.createDataFrame(
+                    [tuple(r[c] for c in C.VIOLATION_COLS)
+                     for r in driver_rows],
+                    C.VIOLATION_DDL)
+                out_violations = out_violations.unionByName(drv)
 
-    # -- materialize violations ONCE (D2 second half + the round-1 scaling
-    # fix): when persisting, the single action is the partitioned write to
-    # the violation store; per-partition counts then come from the written
-    # artifact (a metadata-sized parquet agg), replacing the round-1
-    # cache()+groupBy().collect() double materialization. The store is
-    # idempotent per partition, so resume reproduces prior runs' violation
-    # rows without re-scanning (catalog.append_violations).
-    persist = write_violations if write_violations is not None else write_audit
-    if persist:
-        catalog.append_violations(violations, snapshot_id)
-        violations = C.stable_order(
-            catalog.read_violations(spark, snapshot_id,
-                                    partitions=sorted(pending) + [-1]))
-    else:
-        violations = violations.cache()
-    counts = {r.partition_id: r.n for r in
-              (violations.groupBy("partition_id")
-               .agg(F.count(F.lit(1)).alias("n")).collect())}
-    _mark("materialize-violations")
+            out_violations = C.stable_order(out_violations)
+            _mark("plan-violations")
+
+            # -- materialize violations ONCE (D2 second half + the round-1
+            # scaling fix): when persisting, the single action is the
+            # partitioned write to the violation store; per-partition
+            # counts then come from the written artifact (a metadata-sized
+            # parquet agg), replacing the round-1 cache()+groupBy()
+            # .collect() double materialization. The store is idempotent
+            # per partition, so resume reproduces prior runs' violation
+            # rows without re-scanning (catalog.append_violations).
+            persist = (write_violations if write_violations is not None
+                       else write_audit)
+            if persist:
+                catalog.append_violations(out_violations, snapshot_id)
+                out_violations = C.stable_order(
+                    catalog.read_violations(spark, snapshot_id,
+                                            partitions=sorted(pending)
+                                            + [-1]))
+            else:
+                out_violations = out_violations.cache()
+            counts = {r.partition_id: r.n for r in
+                      (out_violations.groupBy("partition_id")
+                       .agg(F.count(F.lit(1)).alias("n")).collect())}
+            violations = out_violations
+            _mark("materialize-violations")
+            break
+        except Exception:  # noqa: BLE001 — scan aborts arrive as Py4J
+            if _attempt == 2:  # wrappers with no partition attribution
+                raise
+            from .operators.infer import probe_partitions
+            bad = probe_partitions(spark, catalog, snapshot_id, pending)
+            if not bad:
+                raise
+            errors.update(bad)
+            census = {p: c for p, c in census.items() if p not in bad}
+            pending = [p for p in pending if p not in bad]
+            inf = None
+            violations = None
+            snapshot_stats = None
+            _mark(f"scan failure -> probe ({sorted(bad)} errored)")
 
     # -- verdicts: per-partition pass/fail + metrics (F4) ---------------------
     man = {p["partition_id"]: p for p in man_full["partitions"]}

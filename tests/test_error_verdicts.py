@@ -104,6 +104,35 @@ def test_datapage_corruption_errors_partition_clustered(spark, snap):
     assert cat.pending_partitions(spark, "snap") == []
 
 
+def test_datapage_corruption_errors_partition_shuffle(spark, snap):
+    """The shuffle path's :throw analog: a JVM scan abort names no
+    partition, so validate()'s probe-gated retry re-finds the corrupt
+    partition by page-depth decode, errors it, and re-runs the scan over
+    the healthy rest — same outcome the clustered native reader reaches
+    inline."""
+    cat, files = snap
+    orig = open(files[1], "rb").read()
+    _corrupt_cut(files[1])
+
+    # precondition: the census (footer) still succeeds
+    import pyarrow.parquet as pq
+    assert pq.ParquetFile(files[1]).metadata.num_rows > 0
+
+    res = validate(spark, cat, "snap", clustered_checks=False)
+    assert set(res.errors) == {1}
+    v = _verdicts(res)
+    assert v[1] == "error"
+    assert all(v[p] in ("pass", "fail") for p in (0, 2, 3))
+    assert res.violations.filter("partition_id = 1").count() == 0
+    assert cat.pending_partitions(spark, "snap") == [1]
+
+    open(files[1], "wb").write(orig)
+    res2 = validate(spark, cat, "snap", clustered_checks=False)
+    assert res2.partitions == [1]
+    assert _verdicts(res2)[1] in ("pass", "fail")
+    assert cat.pending_partitions(spark, "snap") == []
+
+
 def _corrupt_cut(path):
     """Cut bytes out of the file's middle: the footer (parsed from the
     tail) stays intact, but every page offset after the cut is wrong, so
