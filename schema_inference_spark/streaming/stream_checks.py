@@ -138,6 +138,76 @@ def pii_stream(sdf: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# stateful: streaming exact dedup on a document ingest feed (dedup.py,
+# stream form)
+# ---------------------------------------------------------------------------
+
+DEDUP_STATE_SCHEMA = "canonical_id bigint"
+DEDUP_OUT_DDL = "content_hash string, doc_id bigint, canonical_id bigint"
+
+
+def dedup_stream(sdf: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 state_ttl_ms: int | None = None) -> DataFrame:
+    """Streaming exact dedup: one row per arriving DUPLICATE document,
+    naming its canonical (first-seen) doc — the ingest-time form of
+    ``operators.dedup.exact_dup_groups``, same content key (md5 over the
+    same normalization), so once a corpus is fully ingested the emitted
+    (doc, canonical) pairs expand the batch groups exactly (asserted in
+    tests/test_streaming.py; arrival order following id order makes
+    first-seen == the batch's min-id canonical).
+
+    State per content hash is ONE bigint — the smallest state any
+    cross-batch dedup can hold, vs. Spark's own streaming
+    ``dropDuplicates`` which keys state on the whole dedup column set
+    and emits survivors rather than naming duplicates. Keys are
+    unbounded over an infinite feed, so ``state_ttl_ms`` evicts hashes
+    idle past the TTL (pick it like a watermark: re-ingesting a
+    duplicate after eviction re-reports it against a new canonical —
+    the standard late-data tradeoff, same contract as
+    ``conv_state_checks``). One shuffle on the hash; a pathological
+    all-duplicates feed is one hot key absorbed by Arrow batching."""
+    from ..operators.dedup import normalized
+
+    hashed = sdf.select(
+        F.md5(normalized(F.col(text_col))).alias("content_hash"),
+        F.col(id_col).cast("bigint").alias("doc_id"))
+
+    def fn(key: Tuple[str], pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=["content_hash", "doc_id",
+                                        "canonical_id"])
+            return
+        ids: List[int] = []
+        for pdf in pdfs:
+            ids.extend(int(i) for i in pdf["doc_id"])
+        if state.exists:
+            (canon,) = state.get
+            dups = sorted(ids)          # canonical already seen earlier
+        else:
+            canon = min(ids)            # within-batch tie -> smallest id
+            dups = sorted(i for i in ids if i != canon)
+        state.update((int(canon),))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        yield pd.DataFrame({"content_hash": [key[0]] * len(dups),
+                            "doc_id": dups,
+                            "canonical_id": [int(canon)] * len(dups)})
+
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if state_ttl_ms is not None else GroupStateTimeout.NoTimeout)
+    return (hashed.groupBy("content_hash")
+            .applyInPandasWithState(
+                fn,
+                outputStructType=DEDUP_OUT_DDL,
+                stateStructType=DEDUP_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=timeout))
+
+
+# ---------------------------------------------------------------------------
 # stateful: uniqueness + ordering per conversation (D10 + D12)
 # ---------------------------------------------------------------------------
 

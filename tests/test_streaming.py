@@ -321,3 +321,59 @@ def test_pii_stream_matches_batch(spark, tmp_path):
     assert (spot.n_phone, spot.n_pii) == (2, 2)
     fl = {r.doc_id: r for r in flags.collect()}
     assert fl[3].n_phone == 2 and fl[1].n_email == 1 and fl[1].n_ipv4 == 1
+
+
+def test_dedup_stream_expands_batch_groups(spark, tmp_path):
+    """dedup_stream is the stateful stream form of dedup.exact_dup_groups:
+    after full ingest, the emitted (hash, dup, canonical) rows expand the
+    batch groups exactly — each group's non-canonical members reported
+    once, against the first-seen canonical (== the batch min-id canonical
+    when arrival order follows id order, as engineered here: part-0
+    carries the low ids and is listed first)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from schema_inference_spark.operators.dedup import exact_dup_groups
+    from schema_inference_spark.streaming.stream_checks import dedup_stream
+
+    stream_dir = tmp_path / "docs_stream"
+    stream_dir.mkdir()
+    # texts normalize-equal across case/whitespace; group A spans both
+    # files (cross-batch dup), group B duplicates within part-0
+    # (within-batch tie -> min id canonical), ids 4/5 unique
+    part0 = [(0, "The Quick  brown fox"), (1, "some unique text one"),
+             (2, "the quick brown fox"), (3, "ANOTHER duplicate body")]
+    part1 = [(4, "the   quick BROWN fox"), (5, "another  duplicate body"),
+             (6, "some unique text two")]
+    for name, rows in (("part-0.parquet", part0), ("part-1.parquet", part1)):
+        pq.write_table(pa.table({
+            "doc_id": pa.array([i for i, _ in rows], pa.int64()),
+            "text": pa.array([t for _, t in rows], pa.string()),
+        }), str(stream_dir / name))
+
+    sdf = (spark.readStream.schema("doc_id bigint, text string")
+           .option("maxFilesPerTrigger", "1")
+           .parquet(str(stream_dir)))
+    got = []
+    q = (dedup_stream(sdf).writeStream.outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+         .foreachBatch(lambda df, _eid: got.extend(df.collect()))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+
+    batch = spark.read.schema("doc_id bigint, text string").parquet(
+        str(stream_dir))
+    groups = exact_dup_groups(batch).collect()
+    from pyspark.sql import functions as FF
+    from schema_inference_spark.operators.dedup import normalized
+    members = {}
+    for r in batch.select(
+            FF.md5(normalized(FF.col("text"))).alias("h"), "doc_id").collect():
+        members.setdefault(r.h, set()).add(r.doc_id)
+    want = {(g.content_hash, i, g.canonical_id)
+            for g in groups
+            for i in members[g.content_hash] - {g.canonical_id}}
+    assert {(r.content_hash, r.doc_id, r.canonical_id) for r in got} == want
+    assert len(got) == len(want)        # each duplicate reported once
+    assert want                          # fixture really planted dups
