@@ -44,6 +44,59 @@ ORDER BY content_hash
 """
 
 
+def _dup_aug(cast: str) -> str:
+    """Deterministic duplicate planting for the incremental-dedup gate
+    (same pattern as _pii_aug: the synthetic documents corpus has no
+    exact dups, so the operator needs planted signal, written once in
+    the dialect subset both engines parse identically). The doc_id % 7
+    templates cross the even/odd corpus split with indexed members in
+    every class (-> source='index'); the %10==1 clause plants ids that
+    are ALL odd, so those groups exist only in the new batch
+    (-> source='batch')."""
+    return ("CASE WHEN doc_id % 5 = 3 THEN concat("
+            "'duplicate template number ', "
+            f"CAST(doc_id % 7 AS {cast})) "
+            "WHEN doc_id % 10 = 1 THEN concat("
+            "'batch only template ', "
+            f"CAST(doc_id % 3 AS {cast})) ELSE text END")
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental ingest dedup (operators/dedup.py
+    build_hash_index + dedup_against_index): the even-id half of the
+    corpus is the already-indexed history, the odd-id half the arriving
+    batch — new docs duplicating the index report its canonical
+    (source='index'), batch-internal dups the min new id
+    (source='batch'). The O(new)-per-ingest form of dedup_exact."""
+    docs = (_t(spark, sf_dir, "documents")
+            .withColumn("text", F.expr(_dup_aug("STRING"))))
+    index = D.build_hash_index(docs.filter("doc_id % 2 = 0"))
+    return D.dedup_against_index(docs.filter("doc_id % 2 = 1"), index)
+
+
+_NORM_D = "regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')"
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH docs AS (SELECT doc_id, {_dup_aug('VARCHAR')} AS text FROM documents),
+idx AS (SELECT md5({_NORM_D}) AS content_hash,
+               min(doc_id) AS canonical_id
+        FROM docs d WHERE doc_id % 2 = 0 GROUP BY 1),
+newd AS (SELECT md5({_NORM_D}) AS content_hash, doc_id
+         FROM docs d WHERE doc_id % 2 = 1),
+grp AS (SELECT content_hash, min(doc_id) AS min_new FROM newd GROUP BY 1)
+SELECT n.content_hash, n.doc_id,
+       coalesce(i.canonical_id, g.min_new) AS canonical_id,
+       CASE WHEN i.canonical_id IS NOT NULL
+            THEN 'index' ELSE 'batch' END AS source
+FROM newd n
+JOIN grp g ON n.content_hash = g.content_hash
+LEFT JOIN idx i ON n.content_hash = i.content_hash
+WHERE (i.canonical_id IS NOT NULL AND n.doc_id != i.canonical_id)
+   OR (i.canonical_id IS NULL AND n.doc_id != g.min_new)
+ORDER BY n.content_hash, n.doc_id
+"""
+
+
 # the exact-Jaccard pair graph is consumed by BOTH dedup_jaccard and
 # dedup_groups; within one run (session) the shingle join — ~10s of the
 # 13.5s dedup_groups cost at sf0.1 — is computed once and the (sparse)
@@ -694,6 +747,7 @@ def q_multimodal_features(spark, sf_dir):
 
 EXTRA_QUERIES: Dict[str, Callable] = {
     "dedup_exact": q_dedup_exact,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_groups": q_dedup_groups,
@@ -719,6 +773,7 @@ EXTRA_QUERIES: Dict[str, Callable] = {
 
 EXTRA_ORACLES: Dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
     "dedup_groups": SQL_DEDUP_GROUPS,
     "cosine_topk": SQL_COSINE_TOPK,

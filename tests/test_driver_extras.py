@@ -220,3 +220,30 @@ def test_multimodal_builtin_real_decoders_end_to_end(spark):
         fmt_at = bytes(bad).index(b"fmt ") + 8
         bad[fmt_at + 14:fmt_at + 16] = (8).to_bytes(2, "little")
         decode_wav(bytes(bad))
+
+
+def test_dedup_incremental_semantics(spark):
+    """build_hash_index + dedup_against_index: re-ingesting the indexed
+    corpus reports only non-canonical copies (idempotent, no
+    self-reports); a fresh batch reports indexed dups against the index
+    canonical and batch-internal dups against the min new id."""
+    from schema_inference_spark.operators.dedup import (
+        build_hash_index,
+        dedup_against_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "aa bb"), (2, "aa  BB"), (3, "cc")], "doc_id bigint, text string")
+    idx = build_hash_index(corpus)
+    assert idx.count() == 2                       # every hash, not just dups
+
+    reingest = dedup_against_index(corpus, idx).collect()
+    assert {(r.doc_id, r.canonical_id, r.source)
+            for r in reingest} == {(2, 1, "index")}
+
+    new = spark.createDataFrame(
+        [(10, "AA bb"), (11, "dd"), (12, "dd"), (13, "ee")],
+        "doc_id bigint, text string")
+    rep = dedup_against_index(new, idx).collect()
+    assert {(r.doc_id, r.canonical_id, r.source)
+            for r in rep} == {(10, 1, "index"), (12, 11, "batch")}
