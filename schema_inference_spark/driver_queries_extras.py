@@ -97,6 +97,39 @@ ORDER BY n.content_hash, n.doc_id
 """
 
 
+NEAR_DUP_CAND_EXPORT = "/tmp/sgraft_near_dup_cand.parquet"
+
+
+def q_near_dup_incremental(spark, sf_dir):
+    """Incremental NEAR-dup detection (operators/dedup.py
+    build_minhash_index + near_dup_against_index): new odd-id docs that
+    LSH-collide with the even-id indexed history, verified by signature
+    agreement — two-stage gated check: the banded candidates (with both
+    signatures) export to a parquet seam and BOTH engines run the
+    estimate+threshold stage; only the MinHash banding itself stays
+    engine-side (hash-seeded)."""
+    docs = (_t(spark, sf_dir, "documents")
+            .withColumn("text", F.expr(_dup_aug("STRING"))))
+    index = D.build_minhash_index(docs.filter("doc_id % 2 = 0"))
+    cand = D.near_dup_candidates(docs.filter("doc_id % 2 = 1"), index)
+    cand.write.mode("overwrite").parquet(NEAR_DUP_CAND_EXPORT)
+    return D.near_dup_verify(spark.read.parquet(NEAR_DUP_CAND_EXPORT))
+
+
+SQL_NEAR_DUP_INCREMENTAL = f"""
+WITH cand AS (SELECT doc_id, index_id, m1, m2
+              FROM '{NEAR_DUP_CAND_EXPORT}/*.parquet'),
+est AS (SELECT doc_id, index_id,
+               round(list_sum(list_transform(range(1, 65),
+                     i -> CASE WHEN m1[i] = m2[i] THEN 1 ELSE 0 END))
+                     / 64.0, 4) AS est_jaccard
+        FROM cand)
+SELECT doc_id, index_id, est_jaccard FROM est
+WHERE est_jaccard >= 0.5
+ORDER BY doc_id, index_id
+"""
+
+
 # the exact-Jaccard pair graph is consumed by BOTH dedup_jaccard and
 # dedup_groups; within one run (session) the shingle join — ~10s of the
 # 13.5s dedup_groups cost at sf0.1 — is computed once and the (sparse)
@@ -748,6 +781,7 @@ def q_multimodal_features(spark, sf_dir):
 EXTRA_QUERIES: Dict[str, Callable] = {
     "dedup_exact": q_dedup_exact,
     "dedup_incremental": q_dedup_incremental,
+    "near_dup_incremental": q_near_dup_incremental,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_groups": q_dedup_groups,
@@ -774,6 +808,7 @@ EXTRA_QUERIES: Dict[str, Callable] = {
 EXTRA_ORACLES: Dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+    "near_dup_incremental": SQL_NEAR_DUP_INCREMENTAL,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
     "dedup_groups": SQL_DEDUP_GROUPS,
     "cosine_topk": SQL_COSINE_TOPK,

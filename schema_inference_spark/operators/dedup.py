@@ -23,7 +23,7 @@ All Spark-first, no Python in the hot path:
 from __future__ import annotations
 
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 BIG = 2_147_483_647
@@ -108,6 +108,101 @@ def dedup_against_index(new_df: DataFrame, index: DataFrame,
             .select("content_hash", F.col(id_col).alias("doc_id"),
                     "canonical_id", "source")
             .orderBy("content_hash", "doc_id"))
+
+
+def build_minhash_index(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n_hashes: int = 64,
+                        bands: int = 16, k: int = 3,
+                        bucket_cap: int = 64) -> DataFrame:
+    """Near-dup analog of ``build_hash_index``: one (doc, band, bucket,
+    minhash) row per (doc, band) — the artifact incremental ingest
+    checks new documents against without touching the historical text.
+
+    ``bucket_cap`` bounds the stored members per (band, bucket) to the
+    ``bucket_cap`` lowest doc ids: a hotter bucket is boilerplate (the
+    same crawl-corpus head ``lsh_candidate_pairs`` caps), and any new
+    duplicate of it still collides with the retained representatives,
+    so detection survives while the per-ingest join cost stays
+    O(new_rows_in_bucket * cap) instead of quadratic.
+
+    Scale: written bucketed by (band, bucket) at the warehouse (same
+    seam note as ``build_hash_index``) so the ingest join co-locates;
+    index growth is append-shaped — new docs add rows, existing buckets
+    are never rewritten (the cap is enforced at read/compact time)."""
+    sig = minhash_signature(df, n_hashes, text_col, k, id_col)
+    w = Window.partitionBy("band", "bucket").orderBy("doc")
+    return (_band_buckets(sig, id_col, n_hashes, bands)
+            .withColumn("_rnk", F.row_number().over(w))
+            .filter(F.col("_rnk") <= bucket_cap)
+            .drop("_rnk")
+            .join(sig.select(F.col(id_col).alias("doc"), "minhash"),
+                  "doc"))
+
+
+def near_dup_against_index(new_df: DataFrame, index: DataFrame,
+                           threshold: float = 0.5,
+                           id_col: str = "doc_id",
+                           text_col: str = "text", n_hashes: int = 64,
+                           bands: int = 16, k: int = 3) -> DataFrame:
+    """Incremental near-dup detection: new documents that collide with
+    the indexed history in any LSH band, verified by SIGNATURE agreement
+    — estimated Jaccard = fraction of equal minhash components, the
+    index-local verification an O(new)-per-ingest job can afford (exact
+    verification would re-read the historical text; the estimator's
+    stderr is ~1/sqrt(n_hashes) ≈ 0.125 at 64 hashes, so pick the
+    threshold with that margin). Batch-internal near dups among the new
+    docs themselves are ``minhash_lsh_dedup`` on the batch — this
+    operator is the history half of that composition.
+
+    Output: (doc_id, index_id, est_jaccard) with est >= threshold;
+    re-ingested ids never self-report. One signature pass over the new
+    batch + one equi-join on (band, bucket) against the (capped,
+    co-locatable) index; candidate pairs dedupe in the same aggregation
+    that carries the signatures, so the verify stage sees each pair
+    once."""
+    return near_dup_verify(
+        near_dup_candidates(new_df, index, id_col, text_col, n_hashes,
+                            bands, k),
+        threshold, n_hashes)
+
+
+def near_dup_candidates(new_df: DataFrame, index: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n_hashes: int = 64, bands: int = 16,
+                        k: int = 3) -> DataFrame:
+    """Candidate stage of ``near_dup_against_index``: each new doc that
+    shares an LSH band bucket with an indexed doc, once, with both
+    signatures attached — (doc_id, index_id, m1, m2). Exposed separately
+    so the deterministic verify stage can be oracle-gated over an
+    exported seam (same pattern as simhash_pairs_from_fp)."""
+    sig = minhash_signature(new_df, n_hashes, text_col, k, id_col)
+    nb = (_band_buckets(sig, id_col, n_hashes, bands)
+          .join(sig.select(F.col(id_col).alias("doc"),
+                           F.col("minhash").alias("_m_new")), "doc"))
+    idx = index.select(F.col("doc").alias("_idx_doc"), "band", "bucket",
+                       F.col("minhash").alias("_m_idx"))
+    return (nb.join(idx, ["band", "bucket"])
+            .filter(F.col("doc") != F.col("_idx_doc"))
+            .groupBy("doc", "_idx_doc")
+            .agg(F.first("_m_new").alias("m1"),
+                 F.first("_m_idx").alias("m2"))
+            .select(F.col("doc").alias("doc_id"),
+                    F.col("_idx_doc").alias("index_id"), "m1", "m2"))
+
+
+def near_dup_verify(cand: DataFrame, threshold: float = 0.5,
+                    n_hashes: int = 64) -> DataFrame:
+    """Verify stage: estimated Jaccard = fraction of equal signature
+    components, thresholded on the ROUNDED estimate (so an engine and
+    an oracle computing it from the same exported candidates agree
+    bit-for-bit)."""
+    est = (F.size(F.filter(F.zip_with("m1", "m2", lambda a, b: a == b),
+                           lambda x: x))
+           / F.lit(float(n_hashes)))
+    return (cand.select("doc_id", "index_id",
+                        F.round(est, 4).alias("est_jaccard"))
+            .filter(F.col("est_jaccard") >= threshold)
+            .orderBy("doc_id", "index_id"))
 
 
 def has_shingles(df: DataFrame, text_col: str = "text",
@@ -297,6 +392,24 @@ def minhash_signature(df: DataFrame, n_hashes: int = 64,
         id_col, F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("minhash"))
 
 
+def _band_buckets(sig: DataFrame, id_col: str = "doc_id",
+                  n_hashes: int = 64, bands: int = 16) -> DataFrame:
+    """(doc, band, bucket) LSH band-hash rows from a signature frame —
+    the one banding definition shared by ``lsh_candidate_pairs`` and the
+    incremental near-dup index (``build_minhash_index``)."""
+    rows = n_hashes // bands
+    band_structs = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.xxhash64(F.concat_ws(
+                     ",", *[F.element_at("minhash", b * rows + r + 1)
+                            .cast("string")
+                            for r in range(rows)])).alias("bucket"))
+        for b in range(bands)])
+    return (sig.select(F.col(id_col).alias("doc"),
+                       F.explode(band_structs).alias("bb"))
+            .select("doc", "bb.band", "bb.bucket"))
+
+
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n_hashes: int = 64,
                         bands: int = 16, k: int = 3,
@@ -319,17 +432,8 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     """
     from pyspark.sql import Window
 
-    rows = n_hashes // bands
     sig = minhash_signature(df, n_hashes, text_col, k, id_col)
-    band_structs = F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 F.xxhash64(F.concat_ws(
-                     ",", *[F.element_at("minhash", b * rows + r + 1).cast("string")
-                            for r in range(rows)])).alias("bucket"))
-        for b in range(bands)])
-    buckets = (sig.select(F.col(id_col).alias("doc"),
-                          F.explode(band_structs).alias("bb"))
-               .select("doc", "bb.band", "bb.bucket"))
+    buckets = _band_buckets(sig, id_col, n_hashes, bands)
 
     if bucket_cap is None:
         l, r = buckets.alias("l"), buckets.alias("r")

@@ -247,3 +247,33 @@ def test_dedup_incremental_semantics(spark):
     rep = dedup_against_index(new, idx).collect()
     assert {(r.doc_id, r.canonical_id, r.source)
             for r in rep} == {(10, 1, "index"), (12, 11, "batch")}
+
+
+def test_near_dup_incremental_semantics(spark):
+    """build_minhash_index + near_dup_against_index: a new doc one word
+    off an indexed doc is detected with a high jaccard estimate; an
+    unrelated doc is not reported; re-runs are deterministic."""
+    from schema_inference_spark.operators.dedup import (
+        build_minhash_index,
+        near_dup_against_index,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away home tonight")
+    corpus = spark.createDataFrame(
+        [(1, base),
+         (2, "completely different words in this other document about "
+             "spark engines")],
+        "doc_id bigint, text string")
+    idx = build_minhash_index(corpus)
+
+    new = spark.createDataFrame(
+        [(10, base.replace("tonight", "today")),
+         (11, "utterly unrelated text about databases and storage "
+              "formats")],
+        "doc_id bigint, text string")
+    rep = near_dup_against_index(new, idx).collect()
+    assert {(r.doc_id, r.index_id) for r in rep} == {(10, 1)}
+    assert all(r.est_jaccard >= 0.5 for r in rep)
+    again = near_dup_against_index(new, idx).collect()
+    assert sorted(map(tuple, rep)) == sorted(map(tuple, again))
