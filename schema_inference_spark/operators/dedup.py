@@ -76,37 +76,36 @@ def dedup_against_index(new_df: DataFrame, index: DataFrame,
     ``exact_dup_groups``, which would re-shuffle the full corpus on
     every ingest.
 
-    One shuffle of the new batch on content_hash + one equi-join against
-    the index (co-located when the index is hash-bucketed, see
-    ``build_hash_index``); the new batch is aggregated to per-hash
-    groups BEFORE the join, so the join's left side is distinct hashes,
-    never raw rows. Updating the index afterwards is
+    One shuffle of the new batch on content_hash serves both the
+    min-id aggregate and the joins (co-partitioned, exchange reused;
+    co-located against the index when it is hash-bucketed, see
+    ``build_hash_index``). Deliberately ROW-BASED — no per-hash
+    collect_list: a crawl corpus's boilerplate head can put 10^6+
+    copies behind one hash, and a list aggregate would hold that whole
+    group in one buffer. Updating the index afterwards is
     ``index.unionByName(build_hash_index(new_df)).groupBy(hash).min``
     — append-shaped, no rewrite of unrelated buckets."""
     hashed = new_df.select(
         F.md5(normalized(F.col(text_col))).alias("content_hash"),
         F.col(id_col).cast("bigint").alias(id_col))
-    grouped = (hashed.groupBy("content_hash")
-               .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"),
-                    F.min(id_col).alias("_min_new")))
-    joined = grouped.join(index.withColumnRenamed("canonical_id", "_idx_canon"),
-                          "content_hash", "left")
+    mins = (hashed.groupBy("content_hash")
+            .agg(F.min(id_col).alias("_min_new")))
+    joined = (hashed
+              .join(mins, "content_hash")
+              .join(index.withColumnRenamed("canonical_id", "_idx_canon"),
+                    "content_hash", "left"))
     # indexed hash: every new copy is a dup of the index canonical
-    # (excluding the canonical itself, so re-ingesting indexed docs is
-    # idempotent rather than self-reporting). unindexed hash: the min
-    # new id is the (new) canonical, the rest are batch-internal dups.
-    dup_ids = (F.when(F.col("_idx_canon").isNotNull(),
-                      F.filter("_ids", lambda i: i != F.col("_idx_canon")))
-               .otherwise(F.filter("_ids",
-                                   lambda i: i != F.col("_min_new"))))
+    # (the canonical itself never self-reports, so re-ingesting indexed
+    # docs is idempotent). unindexed hash: the min new id is the (new)
+    # canonical, the rest are batch-internal dups. One filter covers
+    # both branches.
+    canonical = F.coalesce("_idx_canon", "_min_new")
     return (joined
-            .select("content_hash",
-                    F.coalesce("_idx_canon", "_min_new").alias("canonical_id"),
-                    F.when(F.col("_idx_canon").isNotNull(), F.lit("index"))
-                    .otherwise(F.lit("batch")).alias("source"),
-                    F.explode(dup_ids).alias(id_col))
+            .filter(F.col(id_col) != canonical)
             .select("content_hash", F.col(id_col).alias("doc_id"),
-                    "canonical_id", "source")
+                    canonical.alias("canonical_id"),
+                    F.when(F.col("_idx_canon").isNotNull(), F.lit("index"))
+                    .otherwise(F.lit("batch")).alias("source"))
             .orderBy("content_hash", "doc_id"))
 
 
