@@ -127,7 +127,9 @@ def build_minhash_index(df: DataFrame, id_col: str = "doc_id",
     Scale: written bucketed by (band, bucket) at the warehouse (same
     seam note as ``build_hash_index``) so the ingest join co-locates;
     index growth is append-shaped — new docs add rows, existing buckets
-    are never rewritten (the cap is enforced at read/compact time)."""
+    are never rewritten (the cap is re-enforced by
+    ``compact_minhash_index``, which rewrites only oversized
+    buckets)."""
     sig = minhash_signature(df, n_hashes, text_col, k, id_col)
     w = Window.partitionBy("band", "bucket").orderBy("doc")
     return (_band_buckets(sig, id_col, n_hashes, bands)
@@ -136,6 +138,58 @@ def build_minhash_index(df: DataFrame, id_col: str = "doc_id",
             .drop("_rnk")
             .join(sig.select(F.col(id_col).alias("doc"), "minhash"),
                   "doc"))
+
+
+def compact_minhash_index(index: DataFrame,
+                          bucket_cap: int = 64) -> DataFrame:
+    """Re-enforce ``bucket_cap`` over an APPENDED MinHash index — the
+    maintenance half of ``build_minhash_index``'s append-shaped growth
+    contract: ingests append rows without touching existing buckets, and
+    compaction (run off the ingest path, like any LSM/warehouse
+    compactor) restores the per-bucket bound that keeps the per-ingest
+    join cost O(new * cap).
+
+    Idempotent (keeps the ``bucket_cap`` lowest doc ids per (band,
+    bucket), the same rule the builder applies, so compacting a
+    just-built or just-compacted index is a no-op) and detection-safe:
+    any new near-dup of a capped bucket still collides with the
+    retained representatives. Oversized-only: bucket sizes are one
+    aggregation on the index's own layout key; the (tiny — it's the
+    distribution's head) oversized set broadcasts, so the in-cap mass
+    passes through with NO window shuffle and a warehouse compactor
+    rewrites only those buckets' files. Duplicate rows from re-appended
+    ingests collapse via the (doc, band, bucket) key before the cap is
+    applied, so re-ingesting indexed docs never consumes cap slots
+    twice."""
+    dedup = index.dropDuplicates(["doc", "band", "bucket"])
+    sizes = (dedup.groupBy("band", "bucket")
+             .agg(F.count(F.lit(1)).alias("_n"))
+             .filter(F.col("_n") > bucket_cap)
+             .select("band", "bucket"))
+    cold = dedup.join(F.broadcast(sizes), ["band", "bucket"], "left_anti")
+    w = Window.partitionBy("band", "bucket").orderBy("doc")
+    hot = (dedup.join(F.broadcast(sizes), ["band", "bucket"])
+           .withColumn("_rnk", F.row_number().over(w))
+           .filter(F.col("_rnk") <= bucket_cap)
+           .drop("_rnk"))
+    return cold.unionByName(hot)
+
+
+def update_minhash_index(index: DataFrame, new_df: DataFrame,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         n_hashes: int = 64, bands: int = 16, k: int = 3,
+                         bucket_cap: int = 64) -> DataFrame:
+    """Append an ingested batch to a MinHash index and compact:
+    ``index UNION build_minhash_index(batch)`` then
+    ``compact_minhash_index`` — the multi-ingest maintenance cycle
+    (ingest -> probe -> append -> compact) in one call. Idempotent
+    under re-ingest: duplicate (doc, band, bucket) rows collapse in
+    compaction. At the warehouse this is an APPEND of the new batch's
+    rows plus a rewrite of only the buckets the append pushed over
+    the cap."""
+    fresh = build_minhash_index(new_df, id_col, text_col, n_hashes,
+                                bands, k, bucket_cap)
+    return compact_minhash_index(index.unionByName(fresh), bucket_cap)
 
 
 def near_dup_against_index(new_df: DataFrame, index: DataFrame,
@@ -170,34 +224,45 @@ def near_dup_candidates(new_df: DataFrame, index: DataFrame,
                         n_hashes: int = 64, bands: int = 16,
                         k: int = 3) -> DataFrame:
     """Candidate stage of ``near_dup_against_index``: each new doc that
-    shares an LSH band bucket with an indexed doc, once, with both
-    signatures attached — (doc_id, index_id, m1, m2). Exposed separately
-    so the deterministic verify stage can be oracle-gated over an
-    exported seam (same pattern as simhash_pairs_from_fp)."""
+    shares an LSH band bucket with an indexed doc, once, with the
+    signature-agreement count attached — (doc_id, index_id, n_agree).
+    Exposed separately so the deterministic verify stage can be
+    oracle-gated over an exported seam (same pattern as
+    simhash_pairs_from_fp).
+
+    The agreement count is computed per COLLISION ROW, before the
+    pair-dedup aggregation: every collision row of a pair carries the
+    same two signatures, so the count is pair-constant and the groupBy
+    exchange ships one bigint per row instead of 2x``n_hashes`` — at
+    crawl-corpus band-collision volumes that shrinks the aggregation
+    exchange ~50x (a multi-band pair otherwise repeats both full
+    signatures per banding collision)."""
     sig = minhash_signature(new_df, n_hashes, text_col, k, id_col)
     nb = (_band_buckets(sig, id_col, n_hashes, bands)
           .join(sig.select(F.col(id_col).alias("doc"),
                            F.col("minhash").alias("_m_new")), "doc"))
     idx = index.select(F.col("doc").alias("_idx_doc"), "band", "bucket",
                        F.col("minhash").alias("_m_idx"))
+    agree = F.size(F.filter(
+        F.zip_with("_m_new", "_m_idx", lambda a, b: a == b),
+        lambda x: x)).cast("bigint")
     return (nb.join(idx, ["band", "bucket"])
             .filter(F.col("doc") != F.col("_idx_doc"))
+            .select("doc", "_idx_doc", agree.alias("n_agree"))
             .groupBy("doc", "_idx_doc")
-            .agg(F.first("_m_new").alias("m1"),
-                 F.first("_m_idx").alias("m2"))
+            .agg(F.max("n_agree").alias("n_agree"))
             .select(F.col("doc").alias("doc_id"),
-                    F.col("_idx_doc").alias("index_id"), "m1", "m2"))
+                    F.col("_idx_doc").alias("index_id"), "n_agree"))
 
 
 def near_dup_verify(cand: DataFrame, threshold: float = 0.5,
                     n_hashes: int = 64) -> DataFrame:
-    """Verify stage: estimated Jaccard = fraction of equal signature
-    components, thresholded on the ROUNDED estimate (so an engine and
-    an oracle computing it from the same exported candidates agree
-    bit-for-bit)."""
-    est = (F.size(F.filter(F.zip_with("m1", "m2", lambda a, b: a == b),
-                           lambda x: x))
-           / F.lit(float(n_hashes)))
+    """Verify stage: estimated Jaccard = n_agree / n_hashes (the
+    fraction of equal signature components, counted per collision row
+    in ``near_dup_candidates``), thresholded on the ROUNDED estimate
+    (so an engine and an oracle computing it from the same exported
+    candidates agree bit-for-bit)."""
+    est = F.col("n_agree") / F.lit(float(n_hashes))
     return (cand.select("doc_id", "index_id",
                         F.round(est, 4).alias("est_jaccard"))
             .filter(F.col("est_jaccard") >= threshold)

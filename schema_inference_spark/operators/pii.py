@@ -51,7 +51,20 @@ def pii_count_columns(text_col: str = "text"):
 def pii_flags(df: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """Per-document non-overlapping match counts for each PII class plus
-    the total — one JVM regexp_count per class, single scan."""
+    the total — one JVM regexp_count per class, single scan.
+
+    Overlap contract: each class counts INDEPENDENTLY over the raw
+    text, so a span matched by two classes (a phone-shaped string
+    inside an email local-part, ``555-123-4567@x.com``) contributes to
+    BOTH per-class counts and twice to ``n_pii`` — n_pii is "total
+    class matches", not "distinct PII spans". This is deliberate: the
+    per-class counts are the audit signal (how much of each class is
+    present), and resolving nested spans here would make the counts
+    disagree with the per-class regexes a downstream filter would run.
+    The sequential form that DOES resolve overlaps (first class wins,
+    in PII_PATTERNS order) is ``pii_redact``, whose ``n_redactions``
+    counts tokens actually substituted. Asserted in
+    tests/test_pii_contamination.py::test_overlapping_span_contract."""
     counts, total = pii_count_columns(text_col)
     return (df.select(F.col(id_col).alias("doc_id"), *counts)
             .withColumn("n_pii", total)
@@ -62,12 +75,24 @@ def pii_redact(df: DataFrame, id_col: str = "doc_id",
                text_col: str = "text") -> DataFrame:
     """Redact every PII class to a typed token (``<EMAIL>`` etc.) in the
     fixed PII_PATTERNS order; emits the redacted text, its sha256, and
-    the redaction count so audit rows don't need the cleartext."""
+    the redaction count so audit rows don't need the cleartext.
+
+    ``n_redactions`` counts tokens ACTUALLY substituted — occurrences
+    of each typed token in the redacted output minus any already
+    present in the input (substitution only ever adds tokens: the
+    token strings contain no characters any PII pattern can match, so
+    pre-existing tokens pass through every replacement unchanged).
+    Summing raw per-class match counts instead would overcount: a
+    later-class match consumed by an earlier substitution (a
+    phone-shaped local-part in ``555-123-4567@x.com``) matches the raw
+    text but is never replaced."""
     red = F.col(text_col)
     for name, pat in PII_PATTERNS:
         red = F.regexp_replace(red, pat, f"<{name.upper()}>")
-    counts = sum((F.regexp_count(F.col(text_col), F.lit(pat))
-                  for _, pat in PII_PATTERNS), F.lit(0))
+    counts = sum((F.regexp_count(red, F.lit(f"<{name.upper()}>"))
+                  - F.regexp_count(F.col(text_col),
+                                   F.lit(f"<{name.upper()}>"))
+                  for name, _ in PII_PATTERNS), F.lit(0))
     return (df.select(F.col(id_col).alias("doc_id"),
                       red.alias("redacted"),
                       F.sha2(red, 256).alias("redacted_sha"),

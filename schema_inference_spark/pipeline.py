@@ -366,6 +366,10 @@ def validate(
             inf = None
             violations = None
             snapshot_stats = None
+            # the retry recomputes violations via the shuffle path even
+            # when the clustered path had succeeded before the failure —
+            # report the path that actually produced the final rows
+            path_used = "fused" if fused_checks else "separate"
             _mark(f"scan failure -> probe ({sorted(bad)} errored)")
 
     # -- verdicts: per-partition pass/fail + metrics (F4) ---------------------

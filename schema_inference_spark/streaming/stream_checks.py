@@ -185,7 +185,12 @@ def dedup_stream(sdf: DataFrame, id_col: str = "doc_id",
             ids.extend(int(i) for i in pdf["doc_id"])
         if state.exists:
             (canon,) = state.get
-            dups = sorted(ids)          # canonical already seen earlier
+            # exclude the stored canonical: an at-least-once source (or a
+            # replay after repair) can re-deliver the canonical document
+            # itself, and it must not self-report as its own duplicate —
+            # same idempotence contract as dedup_against_index's
+            # `id != canonical` filter
+            dups = sorted(i for i in ids if i != canon)
         else:
             canon = min(ids)            # within-batch tie -> smallest id
             dups = sorted(i for i in ids if i != canon)

@@ -277,3 +277,105 @@ def test_near_dup_incremental_semantics(spark):
     assert all(r.est_jaccard >= 0.5 for r in rep)
     again = near_dup_against_index(new, idx).collect()
     assert sorted(map(tuple, rep)) == sorted(map(tuple, again))
+
+
+_BASE = ("the quick brown fox jumps over the lazy dog and runs far "
+         "away home tonight")
+
+
+def test_minhash_index_compaction_recall(spark):
+    """compact_minhash_index re-enforces bucket_cap over an appended
+    index (VERDICT r4 #3): several ingests push a bucket past the cap,
+    compaction restores the bound, and a planted near-dup of the capped
+    bucket is still detected via the retained representatives.
+    Compaction is idempotent and collapses re-appended duplicates."""
+    from schema_inference_spark.operators.dedup import (
+        build_minhash_index,
+        compact_minhash_index,
+        near_dup_against_index,
+        update_minhash_index,
+    )
+
+    cap = 4
+    # 12 identical docs: every band's bucket holds all of them
+    mk = lambda ids: spark.createDataFrame(  # noqa: E731
+        [(i, _BASE) for i in ids], "doc_id bigint, text string")
+    idx = build_minhash_index(mk(range(1, 1 + cap)), bucket_cap=cap)
+
+    # two append-shaped ingests WITHOUT compaction: buckets go oversized
+    appended = idx
+    for lo in (10, 20):
+        appended = appended.unionByName(
+            build_minhash_index(mk(range(lo, lo + cap)), bucket_cap=cap))
+    over = (appended.groupBy("band", "bucket").count()
+            .agg({"count": "max"}).collect()[0][0])
+    assert over > cap
+
+    compacted = compact_minhash_index(appended, bucket_cap=cap)
+    sizes = compacted.groupBy("band", "bucket").count().collect()
+    assert max(r["count"] for r in sizes) <= cap
+    # the cap rule is the builder's: lowest doc ids survive
+    assert sorted({r.doc for r in compacted.select("doc").collect()}) \
+        == [1, 2, 3, 4]
+
+    # planted near-dup of the capped bucket: still detected
+    probe = spark.createDataFrame(
+        [(100, _BASE.replace("tonight", "today"))],
+        "doc_id bigint, text string")
+    hits = near_dup_against_index(probe, compacted).collect()
+    assert {r.doc_id for r in hits} == {100}
+    assert {r.index_id for r in hits} <= {1, 2, 3, 4} and hits
+
+    # idempotent: compacting a compacted index is a no-op
+    twice = compact_minhash_index(compacted, bucket_cap=cap)
+    assert sorted(map(tuple, twice.collect())) \
+        == sorted(map(tuple, compacted.collect()))
+
+    # re-appending already-indexed docs consumes no cap slots
+    re_ingested = update_minhash_index(compacted, mk(range(1, 1 + cap)),
+                                       bucket_cap=cap)
+    assert sorted(map(tuple, re_ingested.collect())) \
+        == sorted(map(tuple, compacted.collect()))
+
+
+def test_near_dup_two_ingest_round_trip(spark):
+    """The multi-ingest contract end-to-end (VERDICT r4 #5): ingest A
+    probes the index and is appended (update_minhash_index); ingest B
+    then detects a near-dup of an A-document through the UPDATED index;
+    re-ingesting A is idempotent (no self-reports, no index growth)."""
+    from schema_inference_spark.operators.dedup import (
+        build_minhash_index,
+        near_dup_against_index,
+        update_minhash_index,
+    )
+
+    other = ("completely different words in this other document about "
+             "spark engines and their shuffle behavior at scale")
+    idx0 = build_minhash_index(spark.createDataFrame(
+        [(1, _BASE)], "doc_id bigint, text string"))
+
+    batch_a = spark.createDataFrame(
+        [(10, _BASE.replace("tonight", "today")), (11, other)],
+        "doc_id bigint, text string")
+    rep_a = near_dup_against_index(batch_a, idx0).collect()
+    assert {(r.doc_id, r.index_id) for r in rep_a} == {(10, 1)}
+
+    idx1 = update_minhash_index(idx0, batch_a)
+    assert sorted({r.doc for r in idx1.select("doc").collect()}) \
+        == [1, 10, 11]
+
+    # ingest B: near-dup of a doc indexed in the SECOND ingest
+    batch_b = spark.createDataFrame(
+        [(20, other.replace("scale", "volume")), (21, "short unrelated")],
+        "doc_id bigint, text string")
+    rep_b = near_dup_against_index(batch_b, idx1).collect()
+    assert {r.doc_id for r in rep_b} == {20}
+    assert 11 in {r.index_id for r in rep_b}
+
+    # idempotent re-ingest of A: its docs are in the index now; they
+    # never self-report, and the index does not grow
+    rep_again = near_dup_against_index(batch_a, idx1).collect()
+    assert all(r.doc_id != r.index_id for r in rep_again)
+    idx2 = update_minhash_index(idx1, batch_a)
+    assert sorted(map(tuple, idx2.collect())) \
+        == sorted(map(tuple, idx1.collect()))

@@ -55,6 +55,14 @@ def _corrupt(path, mode):
 def test_footer_corruption_errors_partition_and_resumes(
         spark, snap, clustered):
     cat, files = snap
+    # clean-run baseline BEFORE corrupting (audit-free so the corrupted
+    # run below still sees every partition pending): the healthy
+    # partitions' violation rows must survive the error unchanged
+    base = validate(spark, cat, "snap", clustered_checks=clustered,
+                    resume=False, write_audit=False)
+    base_rows = {tuple(r) for r in
+                 base.violations.filter("partition_id in (0, 1, 3)")
+                 .collect()}
     orig = _corrupt(files[2], "footer")
 
     res = validate(spark, cat, "snap", clustered_checks=clustered)
@@ -66,8 +74,14 @@ def test_footer_corruption_errors_partition_and_resumes(
     # healthy partitions completed; the errored one is retried on resume
     assert 2 not in cat.completed_partitions(spark, "snap")
     assert cat.pending_partitions(spark, "snap") == [2]
-    # violations from healthy partitions survived the error
-    assert res.violations.filter("partition_id != 2").count() >= 0
+    # violations from healthy partitions survived the error — identical
+    # to the clean-run baseline — and the errored partition contributed
+    # no violation rows (its rows never reached any check)
+    got_rows = {tuple(r) for r in
+                res.violations.filter("partition_id in (0, 1, 3)")
+                .collect()}
+    assert got_rows == base_rows and base_rows
+    assert res.violations.filter("partition_id = 2").count() == 0
 
     open(files[2], "wb").write(orig)
     res2 = validate(spark, cat, "snap")     # resume: only partition 2

@@ -42,6 +42,27 @@ def test_pii_redact_tokens_and_counts(spark):
     assert ssn.redacted == "id <SSN> ok"
 
 
+def test_overlapping_span_contract(spark):
+    """One span matched by two classes: a phone-shaped email local-part.
+    pii_flags counts it in BOTH classes (documented double-count —
+    per-class counts are independent audit signals); pii_redact resolves
+    it sequentially (email first), so exactly ONE token is substituted
+    and n_redactions counts only that one."""
+    df = _docs(spark, [(0, "write 555-123-4567@x.com soon")])
+    flags = pii_flags(df).collect()[0]
+    assert (flags.n_email, flags.n_phone) == (1, 1)
+    assert flags.n_pii == 2          # documented: total class MATCHES,
+    #                                  not distinct spans
+    red = pii_redact(df).collect()[0]
+    assert red.redacted == "write <EMAIL> soon"
+    assert red.n_redactions == 1     # the consumed phone match is never
+    #                                  substituted, so it is not counted
+    # pre-existing token text must not inflate the count
+    lit = pii_redact(_docs(spark, [(1, "already <EMAIL> here")])).collect()[0]
+    assert lit.redacted == "already <EMAIL> here"
+    assert lit.n_redactions == 0
+
+
 def test_contamination_containment_and_threshold(spark):
     # bench item b1: 4 words -> 2 distinct 3-shingles ("a b c", "b c d")
     bench = spark.createDataFrame([(100, "a b c d")],

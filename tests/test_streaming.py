@@ -345,11 +345,21 @@ def test_dedup_stream_expands_batch_groups(spark, tmp_path):
              (2, "the quick brown fox"), (3, "ANOTHER duplicate body")]
     part1 = [(4, "the   quick BROWN fox"), (5, "another  duplicate body"),
              (6, "some unique text two")]
-    for name, rows in (("part-0.parquet", part0), ("part-1.parquet", part1)):
+    # part-2 RE-DELIVERS group A's canonical (at-least-once source): it
+    # must not self-report as its own duplicate — the idempotence
+    # contract shared with dedup_against_index
+    part2 = [(0, "the quick  BROWN fox")]
+    for age, (name, rows) in enumerate(
+            (("part-0.parquet", part0), ("part-1.parquet", part1),
+             ("part-2.parquet", part2))):
         pq.write_table(pa.table({
             "doc_id": pa.array([i for i, _ in rows], pa.int64()),
             "text": pa.array([t for _, t in rows], pa.string()),
         }), str(stream_dir / name))
+        # the file source orders by modification time; same-ms writes
+        # make the order (and thus first-seen canonicals) flaky, so pin
+        # part-0 strictly earlier
+        os.utime(str(stream_dir / name), (1_000_000 + age, 1_000_000 + age))
 
     sdf = (spark.readStream.schema("doc_id bigint, text string")
            .option("maxFilesPerTrigger", "1")
