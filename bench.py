@@ -126,7 +126,8 @@ def main() -> None:
     )
 
     t0 = time.monotonic()
-    materialize(minhash_index_exported(spark, SF_DIR))
+    for part in minhash_index_exported(spark, SF_DIR):
+        materialize(part)
     setup = {"minhash_index_sec": round(time.monotonic() - t0, 3)}
 
     t0 = time.monotonic()

@@ -115,32 +115,39 @@ ORDER BY n.content_hash, n.doc_id
 
 NEAR_DUP_CAND_EXPORT = f"{_SEAM_NS}_near_dup_cand.parquet"
 MINHASH_INDEX_EXPORT = f"{_SEAM_NS}_minhash_index.parquet"
+MINHASH_SIGS_EXPORT = f"{_SEAM_NS}_minhash_sigs.parquet"
 
 # the MinHash index is a PERSISTENT ingest-time artifact (the operator's
 # whole point is that an ingest probes O(new) against it, not that it is
 # rebuilt per ingest) — so the query builds and exports it once per
 # (session, sf) with the same ownership guard as _WINNOW_FP_CACHE, and
-# the timed probe path reads the seam. bench.py materializes this seam
-# in its setup step (reported separately) so the per-query number
+# the timed probe path reads the seams. bench.py materializes these
+# seams in its setup step (reported separately) so the per-query number
 # measures the ingest probe the operator exists for.
 _MINHASH_INDEX_CACHE: Dict[str, tuple] = {}
 
 
 def minhash_index_exported(spark, sf_dir):
-    """The even-id half of the (duplicate-augmented) corpus, MinHash
-    indexed and exported to a parquet seam — built once per (session,
-    sf); see _WINNOW_FP_CACHE for the ownership rationale."""
+    """The even-id half of the (duplicate-augmented) corpus as the
+    two-table MinHash index artifact — capped band rows + one signature
+    row per doc — exported to parquet seams, built once per (session,
+    sf); see _WINNOW_FP_CACHE for the ownership rationale. Returns
+    (index, index_sigs) lazy reads of the seams."""
     owner = (spark.sparkContext.applicationId, sf_dir)
     hit = _MINHASH_INDEX_CACHE.get(MINHASH_INDEX_EXPORT)
     if hit is not None and hit[0] == owner:
         return hit[1]
     docs = (_t(spark, sf_dir, "documents")
             .withColumn("text", F.expr(_dup_aug("STRING"))))
-    index = D.build_minhash_index(docs.filter("doc_id % 2 = 0"))
-    index.write.mode("overwrite").parquet(MINHASH_INDEX_EXPORT)
-    df = spark.read.parquet(MINHASH_INDEX_EXPORT)
-    _MINHASH_INDEX_CACHE[MINHASH_INDEX_EXPORT] = (owner, df)
-    return df
+    history = docs.filter("doc_id % 2 = 0")
+    D.build_minhash_index(history).write.mode("overwrite") \
+        .parquet(MINHASH_INDEX_EXPORT)
+    D.build_minhash_sigs(history).write.mode("overwrite") \
+        .parquet(MINHASH_SIGS_EXPORT)
+    out = (spark.read.parquet(MINHASH_INDEX_EXPORT),
+           spark.read.parquet(MINHASH_SIGS_EXPORT))
+    _MINHASH_INDEX_CACHE[MINHASH_INDEX_EXPORT] = (owner, out)
+    return out
 
 
 def q_near_dup_incremental(spark, sf_dir):
@@ -150,13 +157,15 @@ def q_near_dup_incremental(spark, sf_dir):
     agreement — two-stage gated check: the banded candidates (with the
     per-pair signature-agreement count) export to a parquet seam and
     BOTH engines run the estimate+threshold stage; the MinHash banding
-    and the agreement count stay engine-side (hash-seeded). The index
-    itself is read from its per-(session, sf) seam, so the query
-    measures the O(new) ingest probe, not an index rebuild."""
+    and the agreement count stay engine-side (hash-seeded). The
+    two-table index artifact is read from its per-(session, sf) seams,
+    so the query measures the O(new) ingest probe, not an index
+    rebuild."""
     docs = (_t(spark, sf_dir, "documents")
             .withColumn("text", F.expr(_dup_aug("STRING"))))
-    index = minhash_index_exported(spark, sf_dir)
-    cand = D.near_dup_candidates(docs.filter("doc_id % 2 = 1"), index)
+    index, index_sigs = minhash_index_exported(spark, sf_dir)
+    cand = D.near_dup_candidates(docs.filter("doc_id % 2 = 1"),
+                                 index, index_sigs)
     cand.write.mode("overwrite").parquet(NEAR_DUP_CAND_EXPORT)
     return D.near_dup_verify(spark.read.parquet(NEAR_DUP_CAND_EXPORT))
 

@@ -113,9 +113,15 @@ def build_minhash_index(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n_hashes: int = 64,
                         bands: int = 16, k: int = 3,
                         bucket_cap: int = 64) -> DataFrame:
-    """Near-dup analog of ``build_hash_index``: one (doc, band, bucket,
-    minhash) row per (doc, band) — the artifact incremental ingest
-    checks new documents against without touching the historical text.
+    """Near-dup analog of ``build_hash_index``: one (doc, band, bucket)
+    row per (doc, band) — the banding half of the two-table artifact
+    incremental ingest checks new documents against without touching
+    the historical text. The other half is the signature table
+    (``build_minhash_sigs``: one (doc, minhash) row per doc) — kept
+    NORMALIZED rather than denormalized onto every band row, which
+    would store and ship each 64-element signature ``bands`` times
+    (16x the index bytes, and 16 duplicate array rows per candidate
+    pair at probe time).
 
     ``bucket_cap`` bounds the stored members per (band, bucket) to the
     ``bucket_cap`` lowest doc ids: a hotter bucket is boilerplate (the
@@ -135,9 +141,28 @@ def build_minhash_index(df: DataFrame, id_col: str = "doc_id",
     return (_band_buckets(sig, id_col, n_hashes, bands)
             .withColumn("_rnk", F.row_number().over(w))
             .filter(F.col("_rnk") <= bucket_cap)
-            .drop("_rnk")
-            .join(sig.select(F.col(id_col).alias("doc"), "minhash"),
-                  "doc"))
+            .drop("_rnk"))
+
+
+def build_minhash_sigs(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n_hashes: int = 64,
+                       k: int = 3) -> DataFrame:
+    """Signature half of the MinHash index artifact: one (doc, minhash)
+    row per doc — what the probe's verify stage joins per candidate
+    pair. Stored bucketed by doc at the warehouse so the (broadcast
+    pair side) verify join streams it in place."""
+    return (minhash_signature(df, n_hashes, text_col, k, id_col)
+            .select(F.col(id_col).alias("doc"), "minhash"))
+
+
+def update_minhash_sigs(sigs: DataFrame, new_df: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n_hashes: int = 64, k: int = 3) -> DataFrame:
+    """Append an ingested batch's signatures; idempotent under
+    re-ingest (one row per doc survives — signatures are deterministic
+    in the text, so duplicate rows are identical)."""
+    fresh = build_minhash_sigs(new_df, id_col, text_col, n_hashes, k)
+    return sigs.unionByName(fresh).dropDuplicates(["doc"])
 
 
 def compact_minhash_index(index: DataFrame,
@@ -193,6 +218,7 @@ def update_minhash_index(index: DataFrame, new_df: DataFrame,
 
 
 def near_dup_against_index(new_df: DataFrame, index: DataFrame,
+                           index_sigs: DataFrame,
                            threshold: float = 0.5,
                            id_col: str = "doc_id",
                            text_col: str = "text", n_hashes: int = 64,
@@ -209,17 +235,18 @@ def near_dup_against_index(new_df: DataFrame, index: DataFrame,
 
     Output: (doc_id, index_id, est_jaccard) with est >= threshold;
     re-ingested ids never self-report. One signature pass over the new
-    batch + one equi-join on (band, bucket) against the (capped,
-    co-locatable) index; candidate pairs dedupe in the same aggregation
-    that carries the signatures, so the verify stage sees each pair
-    once."""
+    batch + one 3-column equi-join on (band, bucket) against the
+    (capped, co-locatable) index; candidate pairs dedupe while sparse
+    and the signatures join in once per pair, so the verify stage sees
+    each pair once and no exchange carries an array."""
     return near_dup_verify(
-        near_dup_candidates(new_df, index, id_col, text_col, n_hashes,
-                            bands, k),
+        near_dup_candidates(new_df, index, index_sigs, id_col, text_col,
+                            n_hashes, bands, k),
         threshold, n_hashes)
 
 
 def near_dup_candidates(new_df: DataFrame, index: DataFrame,
+                        index_sigs: DataFrame,
                         id_col: str = "doc_id", text_col: str = "text",
                         n_hashes: int = 64, bands: int = 16,
                         k: int = 3) -> DataFrame:
@@ -230,29 +257,44 @@ def near_dup_candidates(new_df: DataFrame, index: DataFrame,
     oracle-gated over an exported seam (same pattern as
     simhash_pairs_from_fp).
 
-    The agreement count is computed per COLLISION ROW, before the
-    pair-dedup aggregation: every collision row of a pair carries the
-    same two signatures, so the count is pair-constant and the groupBy
-    exchange ships one bigint per row instead of 2x``n_hashes`` — at
-    crawl-corpus band-collision volumes that shrinks the aggregation
-    exchange ~50x (a multi-band pair otherwise repeats both full
-    signatures per banding collision)."""
-    sig = minhash_signature(new_df, n_hashes, text_col, k, id_col)
-    nb = (_band_buckets(sig, id_col, n_hashes, bands)
-          .join(sig.select(F.col(id_col).alias("doc"),
-                           F.col("minhash").alias("_m_new")), "doc"))
-    idx = index.select(F.col("doc").alias("_idx_doc"), "band", "bucket",
-                       F.col("minhash").alias("_m_idx"))
+    No signature array ever rides an exchange, and the agreement count
+    is computed exactly ONCE per candidate pair: the (band, bucket)
+    equi-join ships 3-column band rows only (the co-located merge join
+    when the index is warehouse-bucketed on its layout key), pairs
+    dedupe while they are that sparse, and the pair frame then joins
+    the batch's persisted signature frame and — as the explicit
+    BROADCAST side — streams through the one-row-per-doc index
+    signature table in place. (The per-pair count matters beyond
+    exchange bytes: array comparisons are higher-order expressions
+    outside WholeStageCodegen, and evaluating them per band-collision
+    row instead of per pair measured ~5s of pure lambda interpretation
+    at sf0.1.) Per-ingest candidates are bounded at O(new * bucket_cap)
+    by the capped index — an ingest sized past broadcast range should
+    be chunked, which is how ingest batching works anyway.
+
+    CACHE LIFETIME: the batch signature frame is persist()ed (it feeds
+    both the banding and the verify join, and Spark would otherwise
+    recompute the signature aggregation per consumer); same session
+    -scoped note as ``jaccard_pairs``."""
+    sig = (minhash_signature(new_df, n_hashes, text_col, k, id_col)
+           .persist())
+    nb = _band_buckets(sig, id_col, n_hashes, bands)
+    idxb = index.select(F.col("doc").alias("_idx_doc"), "band", "bucket")
+    pairs = (nb.join(idxb, ["band", "bucket"])
+             .filter(F.col("doc") != F.col("_idx_doc"))
+             .select("doc", "_idx_doc").distinct())
     agree = F.size(F.filter(
         F.zip_with("_m_new", "_m_idx", lambda a, b: a == b),
         lambda x: x)).cast("bigint")
-    return (nb.join(idx, ["band", "bucket"])
-            .filter(F.col("doc") != F.col("_idx_doc"))
-            .select("doc", "_idx_doc", agree.alias("n_agree"))
-            .groupBy("doc", "_idx_doc")
-            .agg(F.max("n_agree").alias("n_agree"))
+    return (F.broadcast(pairs.join(
+                sig.select(F.col(id_col).alias("doc"),
+                           F.col("minhash").alias("_m_new")), "doc"))
+            .join(index_sigs.select(F.col("doc").alias("_idx_doc"),
+                                    F.col("minhash").alias("_m_idx")),
+                  "_idx_doc")
             .select(F.col("doc").alias("doc_id"),
-                    F.col("_idx_doc").alias("index_id"), "n_agree"))
+                    F.col("_idx_doc").alias("index_id"),
+                    agree.alias("n_agree")))
 
 
 def near_dup_verify(cand: DataFrame, threshold: float = 0.5,

@@ -255,6 +255,7 @@ def test_near_dup_incremental_semantics(spark):
     unrelated doc is not reported; re-runs are deterministic."""
     from schema_inference_spark.operators.dedup import (
         build_minhash_index,
+        build_minhash_sigs,
         near_dup_against_index,
     )
 
@@ -266,16 +267,17 @@ def test_near_dup_incremental_semantics(spark):
              "spark engines")],
         "doc_id bigint, text string")
     idx = build_minhash_index(corpus)
+    sigs = build_minhash_sigs(corpus)
 
     new = spark.createDataFrame(
         [(10, base.replace("tonight", "today")),
          (11, "utterly unrelated text about databases and storage "
               "formats")],
         "doc_id bigint, text string")
-    rep = near_dup_against_index(new, idx).collect()
+    rep = near_dup_against_index(new, idx, sigs).collect()
     assert {(r.doc_id, r.index_id) for r in rep} == {(10, 1)}
     assert all(r.est_jaccard >= 0.5 for r in rep)
-    again = near_dup_against_index(new, idx).collect()
+    again = near_dup_against_index(new, idx, sigs).collect()
     assert sorted(map(tuple, rep)) == sorted(map(tuple, again))
 
 
@@ -291,6 +293,7 @@ def test_minhash_index_compaction_recall(spark):
     Compaction is idempotent and collapses re-appended duplicates."""
     from schema_inference_spark.operators.dedup import (
         build_minhash_index,
+        build_minhash_sigs,
         compact_minhash_index,
         near_dup_against_index,
         update_minhash_index,
@@ -322,7 +325,12 @@ def test_minhash_index_compaction_recall(spark):
     probe = spark.createDataFrame(
         [(100, _BASE.replace("tonight", "today"))],
         "doc_id bigint, text string")
-    hits = near_dup_against_index(probe, compacted).collect()
+    # signatures for every doc ever indexed (the sig table is not
+    # capped — it is one row per doc, the verify lookup side)
+    all_sigs = build_minhash_sigs(mk(list(range(1, 1 + cap))
+                                     + list(range(10, 10 + cap))
+                                     + list(range(20, 20 + cap))))
+    hits = near_dup_against_index(probe, compacted, all_sigs).collect()
     assert {r.doc_id for r in hits} == {100}
     assert {r.index_id for r in hits} <= {1, 2, 3, 4} and hits
 
@@ -345,37 +353,46 @@ def test_near_dup_two_ingest_round_trip(spark):
     re-ingesting A is idempotent (no self-reports, no index growth)."""
     from schema_inference_spark.operators.dedup import (
         build_minhash_index,
+        build_minhash_sigs,
         near_dup_against_index,
         update_minhash_index,
+        update_minhash_sigs,
     )
 
     other = ("completely different words in this other document about "
              "spark engines and their shuffle behavior at scale")
-    idx0 = build_minhash_index(spark.createDataFrame(
-        [(1, _BASE)], "doc_id bigint, text string"))
+    seed = spark.createDataFrame(
+        [(1, _BASE)], "doc_id bigint, text string")
+    idx0, sigs0 = build_minhash_index(seed), build_minhash_sigs(seed)
 
     batch_a = spark.createDataFrame(
         [(10, _BASE.replace("tonight", "today")), (11, other)],
         "doc_id bigint, text string")
-    rep_a = near_dup_against_index(batch_a, idx0).collect()
+    rep_a = near_dup_against_index(batch_a, idx0, sigs0).collect()
     assert {(r.doc_id, r.index_id) for r in rep_a} == {(10, 1)}
 
     idx1 = update_minhash_index(idx0, batch_a)
+    sigs1 = update_minhash_sigs(sigs0, batch_a)
     assert sorted({r.doc for r in idx1.select("doc").collect()}) \
+        == [1, 10, 11]
+    assert sorted(r.doc for r in sigs1.select("doc").collect()) \
         == [1, 10, 11]
 
     # ingest B: near-dup of a doc indexed in the SECOND ingest
     batch_b = spark.createDataFrame(
         [(20, other.replace("scale", "volume")), (21, "short unrelated")],
         "doc_id bigint, text string")
-    rep_b = near_dup_against_index(batch_b, idx1).collect()
+    rep_b = near_dup_against_index(batch_b, idx1, sigs1).collect()
     assert {r.doc_id for r in rep_b} == {20}
     assert 11 in {r.index_id for r in rep_b}
 
     # idempotent re-ingest of A: its docs are in the index now; they
-    # never self-report, and the index does not grow
-    rep_again = near_dup_against_index(batch_a, idx1).collect()
+    # never self-report, and neither index table grows
+    rep_again = near_dup_against_index(batch_a, idx1, sigs1).collect()
     assert all(r.doc_id != r.index_id for r in rep_again)
     idx2 = update_minhash_index(idx1, batch_a)
+    sigs2 = update_minhash_sigs(sigs1, batch_a)
     assert sorted(map(tuple, idx2.collect())) \
         == sorted(map(tuple, idx1.collect()))
+    assert sorted(r.doc for r in sigs2.select("doc").collect()) \
+        == sorted(r.doc for r in sigs1.select("doc").collect())
