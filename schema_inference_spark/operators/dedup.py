@@ -222,7 +222,8 @@ def near_dup_against_index(new_df: DataFrame, index: DataFrame,
                            threshold: float = 0.5,
                            id_col: str = "doc_id",
                            text_col: str = "text", n_hashes: int = 64,
-                           bands: int = 16, k: int = 3) -> DataFrame:
+                           bands: int = 16, k: int = 3,
+                           persist_sig: bool = True) -> DataFrame:
     """Incremental near-dup detection: new documents that collide with
     the indexed history in any LSH band, verified by SIGNATURE agreement
     — estimated Jaccard = fraction of equal minhash components, the
@@ -241,7 +242,7 @@ def near_dup_against_index(new_df: DataFrame, index: DataFrame,
     each pair once and no exchange carries an array."""
     return near_dup_verify(
         near_dup_candidates(new_df, index, index_sigs, id_col, text_col,
-                            n_hashes, bands, k),
+                            n_hashes, bands, k, persist_sig),
         threshold, n_hashes)
 
 
@@ -249,7 +250,7 @@ def near_dup_candidates(new_df: DataFrame, index: DataFrame,
                         index_sigs: DataFrame,
                         id_col: str = "doc_id", text_col: str = "text",
                         n_hashes: int = 64, bands: int = 16,
-                        k: int = 3) -> DataFrame:
+                        k: int = 3, persist_sig: bool = True) -> DataFrame:
     """Candidate stage of ``near_dup_against_index``: each new doc that
     shares an LSH band bucket with an indexed doc, once, with the
     signature-agreement count attached — (doc_id, index_id, n_agree).
@@ -275,9 +276,13 @@ def near_dup_candidates(new_df: DataFrame, index: DataFrame,
     CACHE LIFETIME: the batch signature frame is persist()ed (it feeds
     both the banding and the verify join, and Spark would otherwise
     recompute the signature aggregation per consumer); same session
-    -scoped note as ``jaccard_pairs``."""
-    sig = (minhash_signature(new_df, n_hashes, text_col, k, id_col)
-           .persist())
+    -scoped note as ``jaccard_pairs``. Callers probing MANY small
+    batches in one session (the streaming form) pass
+    ``persist_sig=False``: recomputing a micro-batch's signatures twice
+    is cheaper than a cache entry leaking per epoch."""
+    sig = minhash_signature(new_df, n_hashes, text_col, k, id_col)
+    if persist_sig:
+        sig = sig.persist()
     nb = _band_buckets(sig, id_col, n_hashes, bands)
     idxb = index.select(F.col("doc").alias("_idx_doc"), "band", "bucket")
     pairs = (nb.join(idxb, ["band", "bucket"])

@@ -213,6 +213,48 @@ def dedup_stream(sdf: DataFrame, id_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
+# per-batch: streaming NEAR-dup probe against the static MinHash index
+# ---------------------------------------------------------------------------
+
+def near_dup_stream(sdf: DataFrame, index: DataFrame,
+                    index_sigs: DataFrame, emit,
+                    threshold: float = 0.5, id_col: str = "doc_id",
+                    text_col: str = "text", n_hashes: int = 64,
+                    bands: int = 16, k: int = 3):
+    """Streaming form of ``operators.dedup.near_dup_against_index``:
+    each arriving micro-batch of documents probes the static two-table
+    MinHash index (band rows + signatures) and ``emit(report_df,
+    epoch_id)`` receives that batch's (doc_id, index_id, est_jaccard)
+    report — the stream-shaped incremental-ingest cycle, where a
+    micro-batch IS an ingest.
+
+    Deliberately ``foreachBatch``, not a stateful streaming aggregation:
+    the probe needs a per-batch signature AGGREGATION (min over each
+    doc's hashed shingles), and a streaming groupBy would instead
+    accumulate signature state across batches forever — unbounded state
+    for memory the INDEX already provides. Cross-batch near-dup memory
+    is the index's job: append/compact it off the ingest path
+    (``update_minhash_index`` / ``compact_minhash_index``) and the next
+    micro-batch probes the refreshed artifact. Contrast with
+    ``dedup_stream`` above, whose per-key state is one bigint — THERE
+    the stateful form wins; here it would re-implement the index badly.
+
+    Returns the ``DataStreamWriter`` (caller adds checkpoint/trigger
+    options and ``.start()``s it). ``persist_sig=False`` on the inner
+    probe: micro-batches are small, and recomputing their signatures
+    twice beats leaking one cache entry per epoch."""
+    from ..operators.dedup import near_dup_against_index
+
+    def _probe(batch_df: DataFrame, epoch_id: int) -> None:
+        emit(near_dup_against_index(batch_df, index, index_sigs,
+                                    threshold, id_col, text_col,
+                                    n_hashes, bands, k,
+                                    persist_sig=False), epoch_id)
+
+    return sdf.writeStream.foreachBatch(_probe)
+
+
+# ---------------------------------------------------------------------------
 # stateful: uniqueness + ordering per conversation (D10 + D12)
 # ---------------------------------------------------------------------------
 

@@ -323,6 +323,72 @@ def test_pii_stream_matches_batch(spark, tmp_path):
     assert fl[3].n_phone == 2 and fl[1].n_email == 1 and fl[1].n_ipv4 == 1
 
 
+def test_near_dup_stream_matches_per_batch_probe(spark, tmp_path):
+    """near_dup_stream probes each micro-batch against the STATIC
+    two-table MinHash index exactly as the batch operator would probe
+    that ingest: per-epoch reports equal near_dup_against_index run on
+    the same batch, and batches never see each other's state (cross
+    -batch memory is the index's job)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from schema_inference_spark.operators.dedup import (
+        build_minhash_index,
+        build_minhash_sigs,
+        near_dup_against_index,
+    )
+    from schema_inference_spark.streaming.stream_checks import (
+        near_dup_stream,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away home tonight")
+    other = ("completely different words in this other document about "
+             "spark engines and their shuffle behavior at scale")
+    corpus = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id bigint, text string")
+    idx, sigs = build_minhash_index(corpus), build_minhash_sigs(corpus)
+
+    stream_dir = tmp_path / "ingest_stream"
+    stream_dir.mkdir()
+    part0 = [(10, base.replace("tonight", "today")),
+             (11, "utterly unrelated text about databases and storage")]
+    part1 = [(20, other.replace("scale", "volume")),
+             (21, base.replace("quick", "sly"))]
+    for age, (name, rows) in enumerate(
+            (("part-0.parquet", part0), ("part-1.parquet", part1))):
+        pq.write_table(pa.table({
+            "doc_id": pa.array([i for i, _ in rows], pa.int64()),
+            "text": pa.array([t for _, t in rows], pa.string()),
+        }), str(stream_dir / name))
+        os.utime(str(stream_dir / name), (1_000_000 + age,) * 2)
+
+    sdf = (spark.readStream.schema("doc_id bigint, text string")
+           .option("maxFilesPerTrigger", "1")
+           .parquet(str(stream_dir)))
+    got = {}
+
+    def emit(report, epoch_id):
+        got[epoch_id] = {tuple(r) for r in report.collect()}
+
+    q = (near_dup_stream(sdf, idx, sigs, emit)
+         .option("checkpointLocation", str(tmp_path / "ckpt_near_dup"))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+
+    want = []
+    for rows in (part0, part1):
+        b = spark.createDataFrame(rows, "doc_id bigint, text string")
+        want.append({tuple(r) for r in
+                     near_dup_against_index(b, idx, sigs).collect()})
+    emitted = [got[e] for e in sorted(got)]
+    assert emitted == want
+    # the planted near-dups really surfaced, in their own epochs
+    assert {p[:2] for p in emitted[0]} == {(10, 1)}
+    assert {p[:2] for p in emitted[1]} == {(20, 2), (21, 1)}
+
+
 def test_dedup_stream_expands_batch_groups(spark, tmp_path):
     """dedup_stream is the stateful stream form of dedup.exact_dup_groups:
     after full ingest, the emitted (hash, dup, canonical) rows expand the
