@@ -122,6 +122,8 @@ def main() -> None:
     # near_dup_incremental query time below measures the O(new) probe —
     # the index build cost is not hidden, it is this number.
     from schema_inference_spark.driver_queries_extras import (
+        ann_ivf_exported,
+        ann_lsh_exported,
         minhash_index_exported,
     )
 
@@ -129,6 +131,11 @@ def main() -> None:
     for part in minhash_index_exported(spark, SF_DIR):
         materialize(part)
     setup = {"minhash_index_sec": round(time.monotonic() - t0, 3)}
+    t0 = time.monotonic()
+    materialize(ann_lsh_exported(spark, SF_DIR))
+    for part in ann_ivf_exported(spark, SF_DIR):
+        materialize(part)
+    setup["ann_blocks_sec"] = round(time.monotonic() - t0, 3)
 
     t0 = time.monotonic()
     queries = bench_queries(spark)
