@@ -323,6 +323,69 @@ def test_pii_stream_matches_batch(spark, tmp_path):
     assert fl[3].n_phone == 2 and fl[1].n_email == 1 and fl[1].n_ipv4 == 1
 
 
+def test_dedup_stream_ttl_evicts_idle_hashes(spark, tmp_path):
+    """dedup_stream's state_ttl_ms contract: an idle content hash is
+    evicted (eviction emits nothing), and a duplicate re-delivered
+    AFTER eviction re-reports against a FRESH canonical — the
+    documented late-data tradeoff, proving per-hash state is bounded.
+    Same pacing note as the conv-state TTL test: with processing-time
+    timeouts registered, processAllAvailable() never settles, so the
+    test polls the emission log."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from schema_inference_spark.streaming.stream_checks import dedup_stream
+
+    stream_dir = tmp_path / "ttl_dedup_stream"
+    stream_dir.mkdir()
+
+    def write_file(name, rows):
+        pq.write_table(pa.table({
+            "doc_id": pa.array([i for i, _ in rows], pa.int64()),
+            "text": pa.array([t for _, t in rows], pa.string()),
+        }), str(stream_dir / name))
+
+    def wait_for(pred, timeout_s=90):
+        deadline = time.monotonic() + timeout_s
+        while time.monotonic() < deadline:
+            if pred():
+                return
+            time.sleep(0.2)
+        raise AssertionError("condition not reached within timeout")
+
+    sdf = (spark.readStream.schema("doc_id bigint, text string")
+           .parquet(str(stream_dir)))
+    got = []
+    write_file("f1.parquet", [(1, "same body"), (2, "same  BODY")])
+    q = (dedup_stream(sdf, state_ttl_ms=300).writeStream
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt_dedup_ttl"))
+         .foreachBatch(lambda df, _eid: got.extend(df.collect()))
+         .start())
+    try:
+        wait_for(lambda: len(got) >= 1)
+        assert [(r.doc_id, r.canonical_id) for r in got] == [(2, 1)]
+        n_first = len(got)
+
+        # idle past the TTL: the hash's state is dropped; the eviction
+        # batch itself emits no rows
+        time.sleep(1.5)
+        assert got[n_first:] == []
+
+        # duplicates re-delivered after eviction (one batch, so the TTL
+        # cannot race between them): fresh state, so doc 3 becomes its
+        # own NEW canonical and doc 4 reports against 3 — with retained
+        # state both would have reported against the evicted canonical 1
+        write_file("f2.parquet", [(3, "SAME body"), (4, "same body")])
+        wait_for(lambda: len(got) > n_first)
+        assert [(r.doc_id, r.canonical_id) for r in got[n_first:]] \
+            == [(4, 3)]
+    finally:
+        q.stop()
+
+
 def test_near_dup_stream_matches_per_batch_probe(spark, tmp_path):
     """near_dup_stream probes each micro-batch against the STATIC
     two-table MinHash index exactly as the batch operator would probe
