@@ -42,6 +42,46 @@ _NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 _SEAM_NS = f"/tmp/sgraft_{os.getpid()}"
 
 
+def _cleanup_seams() -> None:
+    """Best-effort removal of this process's seam exports at interpreter
+    exit — the pid namespace makes the paths per-process, so without
+    this each driver/bench/pytest run would strand its full-corpus
+    fingerprint/index exports in /tmp (often tmpfs) forever."""
+    import glob
+    import shutil
+    for d in glob.glob(f"{_SEAM_NS}_*.parquet"):
+        shutil.rmtree(d, ignore_errors=True)
+
+
+import atexit  # noqa: E402
+
+atexit.register(_cleanup_seams)
+
+
+# ONE ownership cache serves every per-(session, sf) seam artifact.
+# Ownership = (applicationId, sf_dir): all sfs share one export path
+# per artifact, so the cache records the path's current OWNER — an sf
+# switch (or a fresh session) recomputes and retakes the path instead
+# of handing back a lazy frame whose files were overwritten (stale rows
+# or FileNotFound). Alternating sfs in one session pays a re-export but
+# never reads another sf's data; tested by
+# test_winnow_seam_sf_switch_not_stale.
+_EXPORT_CACHE: Dict[str, tuple] = {}
+
+
+def _cached_export(spark, sf_dir, key, build):
+    """`build(spark, sf_dir)` must WRITE the artifact's parquet path(s)
+    and return the lazy read(s); the result is cached under `key` until
+    the owner changes."""
+    owner = (spark.sparkContext.applicationId, sf_dir)
+    hit = _EXPORT_CACHE.get(key)
+    if hit is not None and hit[0] == owner:
+        return hit[1]
+    out = build(spark, sf_dir)
+    _EXPORT_CACHE[key] = (owner, out)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -120,34 +160,37 @@ MINHASH_SIGS_EXPORT = f"{_SEAM_NS}_minhash_sigs.parquet"
 # the MinHash index is a PERSISTENT ingest-time artifact (the operator's
 # whole point is that an ingest probes O(new) against it, not that it is
 # rebuilt per ingest) — so the query builds and exports it once per
-# (session, sf) with the same ownership guard as _WINNOW_FP_CACHE, and
-# the timed probe path reads the seams. bench.py materializes these
-# seams in its setup step (reported separately) so the per-query number
-# measures the ingest probe the operator exists for.
-_MINHASH_INDEX_CACHE: Dict[str, tuple] = {}
+# (session, sf) via the ownership cache, and the timed probe path reads
+# the seams. bench.py materializes these seams in its setup step
+# (reported separately) so the per-query number measures the ingest
+# probe the operator exists for.
+
+def _build_minhash_index_seams(spark, sf_dir):
+    docs = (_t(spark, sf_dir, "documents")
+            .withColumn("text", F.expr(_dup_aug("STRING"))))
+    history = docs.filter("doc_id % 2 = 0")
+    # ONE signature pass feeds both index tables (persisted across the
+    # two eager writes, released immediately after)
+    from .operators.dedup import minhash_signature
+    sig = minhash_signature(history).persist()
+    try:
+        D.build_minhash_index(history, sig=sig).write.mode("overwrite") \
+            .parquet(MINHASH_INDEX_EXPORT)
+        D.build_minhash_sigs(history, sig=sig).write.mode("overwrite") \
+            .parquet(MINHASH_SIGS_EXPORT)
+    finally:
+        sig.unpersist()
+    return (spark.read.parquet(MINHASH_INDEX_EXPORT),
+            spark.read.parquet(MINHASH_SIGS_EXPORT))
 
 
 def minhash_index_exported(spark, sf_dir):
     """The even-id half of the (duplicate-augmented) corpus as the
     two-table MinHash index artifact — capped band rows + one signature
     row per doc — exported to parquet seams, built once per (session,
-    sf); see _WINNOW_FP_CACHE for the ownership rationale. Returns
-    (index, index_sigs) lazy reads of the seams."""
-    owner = (spark.sparkContext.applicationId, sf_dir)
-    hit = _MINHASH_INDEX_CACHE.get(MINHASH_INDEX_EXPORT)
-    if hit is not None and hit[0] == owner:
-        return hit[1]
-    docs = (_t(spark, sf_dir, "documents")
-            .withColumn("text", F.expr(_dup_aug("STRING"))))
-    history = docs.filter("doc_id % 2 = 0")
-    D.build_minhash_index(history).write.mode("overwrite") \
-        .parquet(MINHASH_INDEX_EXPORT)
-    D.build_minhash_sigs(history).write.mode("overwrite") \
-        .parquet(MINHASH_SIGS_EXPORT)
-    out = (spark.read.parquet(MINHASH_INDEX_EXPORT),
-           spark.read.parquet(MINHASH_SIGS_EXPORT))
-    _MINHASH_INDEX_CACHE[MINHASH_INDEX_EXPORT] = (owner, out)
-    return out
+    sf). Returns (index, index_sigs) lazy reads of the seams."""
+    return _cached_export(spark, sf_dir, MINHASH_INDEX_EXPORT,
+                          _build_minhash_index_seams)
 
 
 def q_near_dup_incremental(spark, sf_dir):
@@ -266,8 +309,7 @@ ORDER BY d1, d2
 # consume (collect) the returned frame before invoking the same query
 # for a different sf_dir — the lazy result reads whatever the path holds
 # at action time. The driver's per-query run-then-compare does exactly
-# that; the cached seams (_WINNOW_FP_CACHE, _MINHASH_INDEX_CACHE) guard
-# ownership instead.
+# that; the cached seams (see _cached_export) guard ownership instead.
 MINHASH_CAND_EXPORT = f"{_SEAM_NS}_minhash_cand.parquet"
 
 
@@ -344,33 +386,31 @@ def q_dedup_simhash(spark, sf_dir):
     return D.simhash(_t(spark, sf_dir, "documents"))
 
 
-# fingerprint export seam for the two-stage simhash oracle: fixed path
-# (the oracle SQL is a static string); the Spark query rewrites it
-# immediately before the oracle runs — both the driver and
-# tests/test_driver_queries run each query BEFORE its oracle.
+# fingerprint export seam for the two-stage simhash oracle: the
+# fingerprint table is a stored artifact rewritten only when the
+# (session, sf) owner changes (the ownership cache below) — the oracle
+# SQL is a static string over the same per-process path, and both the
+# driver and tests/test_driver_queries run each query BEFORE its
+# oracle, so the seam the oracle reads is the one the query owns.
 SIMHASH_FP_EXPORT = f"{_SEAM_NS}_simhash_fp.parquet"
 
 
-_SIMHASH_FP_CACHE: Dict[str, tuple] = {}
+def _build_simhash_fp_seam(spark, sf_dir):
+    # partitioned write — no coalesce(1): the oracle globs /*.parquet,
+    # so funneling the export through one task would serialize for
+    # nothing
+    fp = D.simhash(_t(spark, sf_dir, "documents"))
+    fp.write.mode("overwrite").parquet(SIMHASH_FP_EXPORT)
+    return spark.read.parquet(SIMHASH_FP_EXPORT)
 
 
 def simhash_fp_exported(spark, sf_dir):
     """The corpus's simhash fingerprint table, exported once per
     (session, sf) — a stored artifact the pair query probes (the
     GENERATION stage stays measured by q_dedup_simhash, which computes
-    fingerprints fresh each call). Same ownership guard as the winnow
-    cache. Partitioned write — no coalesce(1): the oracle globs
-    /*.parquet, so funneling the export through one task would
-    serialize for nothing."""
-    owner = (spark.sparkContext.applicationId, sf_dir)
-    hit = _SIMHASH_FP_CACHE.get(SIMHASH_FP_EXPORT)
-    if hit is not None and hit[0] == owner:
-        return hit[1]
-    fp = D.simhash(_t(spark, sf_dir, "documents"))
-    fp.write.mode("overwrite").parquet(SIMHASH_FP_EXPORT)
-    df = spark.read.parquet(SIMHASH_FP_EXPORT)
-    _SIMHASH_FP_CACHE[SIMHASH_FP_EXPORT] = (owner, df)
-    return df
+    fingerprints fresh each call)."""
+    return _cached_export(spark, sf_dir, SIMHASH_FP_EXPORT,
+                          _build_simhash_fp_seam)
 
 
 def q_simhash_near_pairs(spark, sf_dir):
@@ -471,38 +511,33 @@ _PROBE_SQL = ",".join(str(p) for p in PROBE_IDS)
 
 # ANN block assignments are PERSISTENT index artifacts (built once per
 # corpus, probed many times — the defining ANN contract), so both block
-# tables are ownership-cached per (session, sf) exactly like the
-# MinHash index seam; bench.py materializes them in its reported setup
-# step and the query times measure the probe.
-_ANN_LSH_CACHE: Dict[str, tuple] = {}
-_ANN_IVF_CACHE: Dict[str, tuple] = {}
+# tables go through the same ownership cache as the MinHash index seam;
+# bench.py materializes them in its reported setup step and the query
+# times measure the probe.
+
+def _build_ann_lsh_seam(spark, sf_dir):
+    corpus, _ = SIM.lsh_blocks(_t(spark, sf_dir, "embeddings"), PROBE_IDS)
+    corpus.write.mode("overwrite").parquet(ANN_LSH_EXPORT)
+    return spark.read.parquet(ANN_LSH_EXPORT)
 
 
 def ann_lsh_exported(spark, sf_dir):
-    owner = (spark.sparkContext.applicationId, sf_dir)
-    hit = _ANN_LSH_CACHE.get(ANN_LSH_EXPORT)
-    if hit is not None and hit[0] == owner:
-        return hit[1]
-    corpus, _ = SIM.lsh_blocks(_t(spark, sf_dir, "embeddings"), PROBE_IDS)
-    corpus.write.mode("overwrite").parquet(ANN_LSH_EXPORT)
-    df = spark.read.parquet(ANN_LSH_EXPORT)
-    _ANN_LSH_CACHE[ANN_LSH_EXPORT] = (owner, df)
-    return df
+    return _cached_export(spark, sf_dir, ANN_LSH_EXPORT,
+                          _build_ann_lsh_seam)
 
 
-def ann_ivf_exported(spark, sf_dir):
-    owner = (spark.sparkContext.applicationId, sf_dir)
-    hit = _ANN_IVF_CACHE.get(ANN_IVF_CORPUS_EXPORT)
-    if hit is not None and hit[0] == owner:
-        return hit[1]
+def _build_ann_ivf_seams(spark, sf_dir):
     corpus, probes = SIM.ivf_blocks(_t(spark, sf_dir, "embeddings"),
                                     PROBE_IDS)
     corpus.write.mode("overwrite").parquet(ANN_IVF_CORPUS_EXPORT)
     probes.write.mode("overwrite").parquet(ANN_IVF_PROBES_EXPORT)
-    out = (spark.read.parquet(ANN_IVF_CORPUS_EXPORT),
-           spark.read.parquet(ANN_IVF_PROBES_EXPORT))
-    _ANN_IVF_CACHE[ANN_IVF_CORPUS_EXPORT] = (owner, out)
-    return out
+    return (spark.read.parquet(ANN_IVF_CORPUS_EXPORT),
+            spark.read.parquet(ANN_IVF_PROBES_EXPORT))
+
+
+def ann_ivf_exported(spark, sf_dir):
+    return _cached_export(spark, sf_dir, ANN_IVF_CORPUS_EXPORT,
+                          _build_ann_ivf_seams)
 
 
 def q_ann_lsh_topk(spark, sf_dir):
@@ -697,26 +732,15 @@ ORDER BY pid, rank
 # instead of each recomputing it from raw text.
 WINNOW_FP_EXPORT = f"{_SEAM_NS}_winnow_fp.parquet"
 
-# The cached frame is a LAZY read of the one shared export path, so the
-# cache records the path's current OWNER (appId, sf_dir): every sf_dir
-# writes the same path, and a plain per-(appId, sf_dir) cache would hand
-# back a frame whose underlying files a later sf_dir overwrote — stale
-# pairs or FileNotFound. Ownership makes an sf switch recompute and
-# retake the path; alternating sfs in one session pays a re-export, but
-# never reads another sf's data.
-_WINNOW_FP_CACHE: Dict[str, tuple] = {}
+def _build_winnow_fp_seam(spark, sf_dir):
+    fp = TS.winnow_fingerprints(_t(spark, sf_dir, "documents"))
+    fp.write.mode("overwrite").parquet(WINNOW_FP_EXPORT)
+    return spark.read.parquet(WINNOW_FP_EXPORT)
 
 
 def _winnow_fp_exported(spark, sf_dir):
-    owner = (spark.sparkContext.applicationId, sf_dir)
-    hit = _WINNOW_FP_CACHE.get(WINNOW_FP_EXPORT)
-    if hit is not None and hit[0] == owner:
-        return hit[1]
-    fp = TS.winnow_fingerprints(_t(spark, sf_dir, "documents"))
-    fp.write.mode("overwrite").parquet(WINNOW_FP_EXPORT)
-    df = spark.read.parquet(WINNOW_FP_EXPORT)
-    _WINNOW_FP_CACHE[WINNOW_FP_EXPORT] = (owner, df)
-    return df
+    return _cached_export(spark, sf_dir, WINNOW_FP_EXPORT,
+                          _build_winnow_fp_seam)
 
 
 def q_winnow_fingerprints(spark, sf_dir):

@@ -112,7 +112,8 @@ def dedup_against_index(new_df: DataFrame, index: DataFrame,
 def build_minhash_index(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n_hashes: int = 64,
                         bands: int = 16, k: int = 3,
-                        bucket_cap: int = 64) -> DataFrame:
+                        bucket_cap: int = 64,
+                        sig: DataFrame | None = None) -> DataFrame:
     """Near-dup analog of ``build_hash_index``: one (doc, band, bucket)
     row per (doc, band) — the banding half of the two-table artifact
     incremental ingest checks new documents against without touching
@@ -135,8 +136,14 @@ def build_minhash_index(df: DataFrame, id_col: str = "doc_id",
     index growth is append-shaped — new docs add rows, existing buckets
     are never rewritten (the cap is re-enforced by
     ``compact_minhash_index``, which rewrites only oversized
-    buckets)."""
-    sig = minhash_signature(df, n_hashes, text_col, k, id_col)
+    buckets).
+
+    ``sig``: optionally pass the batch's precomputed signature frame
+    (``minhash_signature``) — a caller building BOTH index tables
+    (this + ``build_minhash_sigs``) computes the signature aggregation
+    once and shares it, instead of paying the dominant cost twice."""
+    if sig is None:
+        sig = minhash_signature(df, n_hashes, text_col, k, id_col)
     w = Window.partitionBy("band", "bucket").orderBy("doc")
     return (_band_buckets(sig, id_col, n_hashes, bands)
             .withColumn("_rnk", F.row_number().over(w))
@@ -146,22 +153,29 @@ def build_minhash_index(df: DataFrame, id_col: str = "doc_id",
 
 def build_minhash_sigs(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n_hashes: int = 64,
-                       k: int = 3) -> DataFrame:
+                       k: int = 3,
+                       sig: DataFrame | None = None) -> DataFrame:
     """Signature half of the MinHash index artifact: one (doc, minhash)
     row per doc — what the probe's verify stage joins per candidate
     pair. Stored bucketed by doc at the warehouse so the (broadcast
-    pair side) verify join streams it in place."""
-    return (minhash_signature(df, n_hashes, text_col, k, id_col)
-            .select(F.col(id_col).alias("doc"), "minhash"))
+    pair side) verify join streams it in place. ``sig``: share a
+    precomputed signature frame, same note as ``build_minhash_index``."""
+    if sig is None:
+        sig = minhash_signature(df, n_hashes, text_col, k, id_col)
+    return sig.select(F.col(id_col).alias("doc"), "minhash")
 
 
 def update_minhash_sigs(sigs: DataFrame, new_df: DataFrame,
                         id_col: str = "doc_id", text_col: str = "text",
-                        n_hashes: int = 64, k: int = 3) -> DataFrame:
+                        n_hashes: int = 64, k: int = 3,
+                        sig: DataFrame | None = None) -> DataFrame:
     """Append an ingested batch's signatures; idempotent under
     re-ingest (one row per doc survives — signatures are deterministic
-    in the text, so duplicate rows are identical)."""
-    fresh = build_minhash_sigs(new_df, id_col, text_col, n_hashes, k)
+    in the text, so duplicate rows are identical). ``sig``: share the
+    batch's precomputed signature frame with ``update_minhash_index``
+    so one ingest cycle pays the signature aggregation once."""
+    fresh = build_minhash_sigs(new_df, id_col, text_col, n_hashes, k,
+                               sig=sig)
     return sigs.unionByName(fresh).dropDuplicates(["doc"])
 
 
@@ -203,7 +217,8 @@ def compact_minhash_index(index: DataFrame,
 def update_minhash_index(index: DataFrame, new_df: DataFrame,
                          id_col: str = "doc_id", text_col: str = "text",
                          n_hashes: int = 64, bands: int = 16, k: int = 3,
-                         bucket_cap: int = 64) -> DataFrame:
+                         bucket_cap: int = 64,
+                         sig: DataFrame | None = None) -> DataFrame:
     """Append an ingested batch to a MinHash index and compact:
     ``index UNION build_minhash_index(batch)`` then
     ``compact_minhash_index`` — the multi-ingest maintenance cycle
@@ -213,7 +228,7 @@ def update_minhash_index(index: DataFrame, new_df: DataFrame,
     rows plus a rewrite of only the buckets the append pushed over
     the cap."""
     fresh = build_minhash_index(new_df, id_col, text_col, n_hashes,
-                                bands, k, bucket_cap)
+                                bands, k, bucket_cap, sig=sig)
     return compact_minhash_index(index.unionByName(fresh), bucket_cap)
 
 
@@ -276,10 +291,13 @@ def near_dup_candidates(new_df: DataFrame, index: DataFrame,
     CACHE LIFETIME: the batch signature frame is persist()ed (it feeds
     both the banding and the verify join, and Spark would otherwise
     recompute the signature aggregation per consumer); same session
-    -scoped note as ``jaccard_pairs``. Callers probing MANY small
-    batches in one session (the streaming form) pass
-    ``persist_sig=False``: recomputing a micro-batch's signatures twice
-    is cheaper than a cache entry leaking per epoch."""
+    -scoped note as ``jaccard_pairs``. Spark's CacheManager dedupes
+    identical plans, so re-running the SAME probe costs one entry, but
+    each DISTINCT batch adds one — a driver probing many batches in one
+    session should pass ``persist_sig=False`` (as the streaming form
+    does: recomputing a micro-batch's signatures twice is cheaper than
+    a cache entry leaking per epoch) or ``clearCache()`` between
+    corpora."""
     sig = minhash_signature(new_df, n_hashes, text_col, k, id_col)
     if persist_sig:
         sig = sig.persist()

@@ -370,8 +370,10 @@ def test_dedup_stream_ttl_evicts_idle_hashes(spark, tmp_path):
         n_first = len(got)
 
         # idle past the TTL: the hash's state is dropped; the eviction
-        # batch itself emits no rows
-        time.sleep(1.5)
+        # batch itself emits no rows. 2.5s against a 300ms TTL — the
+        # margin absorbs a slow timer batch on a loaded host (the
+        # no-data batches that fire timeouts run continuously)
+        time.sleep(2.5)
         assert got[n_first:] == []
 
         # duplicates re-delivered after eviction (one batch, so the TTL
