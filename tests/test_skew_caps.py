@@ -141,3 +141,36 @@ def test_winnow_fp_cap(spark):
     assert all(a >= 100 for a, _ in got)
     # ...but the rare shared run still does
     assert (100, 101) in got
+
+
+def test_near_dup_probe_plan_ships_no_signature_arrays(spark):
+    """The incremental near-dup probe's 100-TB shape (BENCH/PLANS.md):
+    no exchange may carry a `minhash` array — the bucket join ships
+    3-column band rows, pairs dedupe as scalars, and the signatures
+    join in via broadcast only. Regression-guards the two-table index
+    design against a future edit quietly reintroducing the
+    denormalized (16x) shuffle."""
+    from schema_inference_spark.operators.dedup import (
+        build_minhash_index,
+        build_minhash_sigs,
+        near_dup_candidates,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"{BOILER} doc number {i} with words {i}") for i in range(8)],
+        "doc_id bigint, text string")
+    new = spark.createDataFrame(
+        [(100 + i, f"{BOILER} doc number {i} with words changed")
+         for i in range(4)],
+        "doc_id bigint, text string")
+    cand = near_dup_candidates(new, build_minhash_index(corpus),
+                               build_minhash_sigs(corpus),
+                               persist_sig=False)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    bad = [ln for ln in plan.splitlines()
+           if ln.strip().startswith(("Exchange", "+- Exchange",
+                                     ":- Exchange"))
+           and "minhash" in ln]
+    assert bad == [], f"signature array rides an exchange:\n" + "\n".join(bad)
+    # and the candidate output is the scalar contract
+    assert cand.columns == ["doc_id", "index_id", "n_agree"]
