@@ -420,6 +420,15 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     hot — wall-to-wall boilerplate, exact-dedup territory.
     ``max_df=None`` disables the cap.
 
+    ORDER OF OPERATIONS on dup-heavy corpora (measured, 500k-doc 100x
+    stress probe in BENCH/BASELINE.md): duplication itself is the
+    quadratic term — a corpus whose template shingles sit at df~100
+    keeps them BELOW the default cap, and the exact join legitimately
+    does ~df^2 work per shingle (>10min where LSH+verify takes 156s).
+    Run ``exact_dup_groups`` first and similarity-join only the
+    canonical survivors (500k -> 40k uniques -> 51s there), or use the
+    LSH path as the primary near-dup operator at scale.
+
     Perf note: a previous version verified candidates by re-joining the
     FULL shingle arrays and computing array_intersect per pair — per-pair
     O(|shingles|) work over a candidate set that is quadratic in shingle
