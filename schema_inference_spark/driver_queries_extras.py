@@ -505,6 +505,8 @@ ORDER BY d1, d2
 ANN_LSH_EXPORT = f"{_SEAM_NS}_ann_lsh.parquet"
 ANN_IVF_CORPUS_EXPORT = f"{_SEAM_NS}_ann_ivf_corpus.parquet"
 ANN_IVF_PROBES_EXPORT = f"{_SEAM_NS}_ann_ivf_probes.parquet"
+ANN_INC_INDEX_EXPORT = f"{_SEAM_NS}_ann_inc_index.parquet"
+ANN_INC_PROBES_EXPORT = f"{_SEAM_NS}_ann_inc_probes.parquet"
 
 _PROBE_SQL = ",".join(str(p) for p in PROBE_IDS)
 
@@ -560,7 +562,55 @@ WITH e AS (SELECT nid, lsh_bucket, nvec FROM '{ANN_LSH_EXPORT}/*.parquet'),
 p AS (SELECT nid AS pid, lsh_bucket AS pbucket, nvec AS pvec
       FROM e WHERE nid IN ({_PROBE_SQL})),
 sims AS (SELECT pid, nid,
-                round(list_cosine_similarity(pvec, nvec), 4) AS sim
+                round(list_cosine_similarity(pvec, nvec), 4) + 0 AS sim
+         FROM e JOIN p ON lsh_bucket = pbucket AND nid <> pid),
+ranked AS (SELECT pid, nid, sim,
+                  row_number() OVER (PARTITION BY pid
+                                     ORDER BY sim DESC, nid ASC) AS rank
+           FROM sims)
+SELECT pid, rank, nid, sim FROM ranked WHERE rank <= 5
+ORDER BY pid, rank
+"""
+
+
+def _build_ann_inc_index_seam(spark, sf_dir):
+    # the persistent half: even-id embeddings as the LSH-bucketed corpus
+    # index (built once per session/sf; at the warehouse, bucketed by
+    # lsh_bucket and appended per ingest)
+    emb = _t(spark, sf_dir, "embeddings").filter("vec_id % 2 = 0")
+    corpus, _ = SIM.lsh_blocks(emb, [])
+    corpus.write.mode("overwrite").parquet(ANN_INC_INDEX_EXPORT)
+    return spark.read.parquet(ANN_INC_INDEX_EXPORT)
+
+
+def q_ann_incremental(spark, sf_dir):
+    """Incremental ANN ingest (operators/similarity.py
+    ann_against_index): odd-id embeddings are the arriving batch, the
+    even-id half the persistent LSH-bucketed index — each new vector
+    top-k ranked against its bucket's indexed members. Two-stage gated
+    check: the probe assignments (engine-seeded hyperplane buckets)
+    export per call, the index reads from its per-(session, sf) seam,
+    and BOTH engines run the rank stage (equi-join + exact cosine +
+    top-k) from the identical exported tables."""
+    index = _cached_export(spark, sf_dir, ANN_INC_INDEX_EXPORT,
+                           _build_ann_inc_index_seam)
+    new = _t(spark, sf_dir, "embeddings").filter("vec_id % 2 = 1")
+    probes = (SIM.with_lsh_bucket(new, dim=64)
+              .select(F.col("vec_id").alias("pid"), "lsh_bucket",
+                      SIM.as_double(F.col("embedding")).alias("pvec")))
+    probes.write.mode("overwrite").parquet(ANN_INC_PROBES_EXPORT)
+    return SIM.topk_from_blocks(
+        index, spark.read.parquet(ANN_INC_PROBES_EXPORT),
+        "lsh_bucket", k=5)
+
+
+SQL_ANN_INCREMENTAL = f"""
+WITH e AS (SELECT nid, lsh_bucket, nvec
+           FROM '{ANN_INC_INDEX_EXPORT}/*.parquet'),
+p AS (SELECT pid, lsh_bucket AS pbucket, pvec
+      FROM '{ANN_INC_PROBES_EXPORT}/*.parquet'),
+sims AS (SELECT pid, nid,
+                round(list_cosine_similarity(pvec, nvec), 4) + 0 AS sim
          FROM e JOIN p ON lsh_bucket = pbucket AND nid <> pid),
 ranked AS (SELECT pid, nid, sim,
                   row_number() OVER (PARTITION BY pid
@@ -712,7 +762,7 @@ WITH e AS (SELECT nid, ivf_cell, nvec
 p AS (SELECT pid, ivf_cell AS pcell, pvec
       FROM '{ANN_IVF_PROBES_EXPORT}/*.parquet'),
 sims AS (SELECT pid, nid,
-                round(list_cosine_similarity(pvec, nvec), 4) AS sim
+                round(list_cosine_similarity(pvec, nvec), 4) + 0 AS sim
          FROM e JOIN p ON ivf_cell = pcell AND nid <> pid),
 ranked AS (SELECT pid, nid, sim,
                   row_number() OVER (PARTITION BY pid
@@ -926,6 +976,7 @@ EXTRA_QUERIES: Dict[str, Callable] = {
     "cosine_near_dup": q_cosine_near_dup_label,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_incremental": q_ann_incremental,
     "token_counts": q_token_counts,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
@@ -965,6 +1016,7 @@ EXTRA_ORACLES: Dict[str, str] = {
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
+    "ann_incremental": SQL_ANN_INCREMENTAL,
     # irreducibly rows-only: sketch/fingerprint GENERATION itself
     # (dedup_simhash, winnow_fingerprints, multimodal_features,
     # distinct_hll, quantiles_kll) — engine-hash/RNG-seeded by design

@@ -114,11 +114,15 @@ def topk_from_blocks(corpus: DataFrame, probes: DataFrame, key: str,
                       _norm(F.col("nvec")).alias("nnorm"))
     p = probes.select("pid", F.col(key).alias("_pkey"), "pvec",
                       _norm(F.col("pvec")).alias("pnorm"))
+    # + 0.0 collapses IEEE -0.0 to +0.0: a tiny negative cosine that
+    # rounds to zero must stringify identically in every engine (the
+    # oracle SQL carries the same "+ 0" term)
     sims = (c.join(F.broadcast(p), (F.col("_pkey") == F.col("_ckey"))
                    & (F.col("pid") != F.col("nid")))
             .select("pid", "nid",
-                    F.round(_sim(F.col("pvec"), F.col("pnorm"),
-                                 F.col("nvec"), F.col("nnorm")), 4).alias("sim")))
+                    (F.round(_sim(F.col("pvec"), F.col("pnorm"),
+                                  F.col("nvec"), F.col("nnorm")), 4)
+                     + F.lit(0.0)).alias("sim")))
     w = Window.partitionBy("pid").orderBy(F.desc("sim"), F.asc("nid"))
     return (sims.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -152,6 +156,29 @@ def lsh_topk(df: DataFrame, probe_ids: List[int], k: int = 5,
     corpus, probes = lsh_blocks(df, probe_ids, dim, n_planes, seed,
                                 id_col, vec_col)
     return topk_from_blocks(corpus, probes, "lsh_bucket", k)
+
+
+def ann_against_index(new_df: DataFrame, index: DataFrame, k: int = 5,
+                      dim: int = 64, n_planes: int = 8, seed: int = 42,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      ) -> DataFrame:
+    """Incremental ANN: arriving embeddings ranked against a PERSISTENT
+    LSH-bucketed corpus index — the embedding analog of
+    ``dedup.near_dup_against_index``. The index is the corpus frame of
+    ``lsh_blocks`` (nid, lsh_bucket, nvec), written once at indexing
+    time (bucketed by lsh_bucket at the warehouse); each new vector is
+    bucketed with the SAME seeded hyperplanes and top-k ranked against
+    its bucket's indexed members. O(new) per ingest: the new batch
+    broadcasts through ``topk_from_blocks``, the index never shuffles,
+    and appending the probed batch to the index afterwards is a plain
+    bucketed APPEND of its (nid, lsh_bucket, nvec) rows — no rewrite,
+    no compaction needed (buckets have no cap here; rank-k bounds the
+    output instead)."""
+    vec = as_double(F.col(vec_col))
+    probes = (with_lsh_bucket(new_df, dim, n_planes, seed, vec_col)
+              .select(F.col(id_col).alias("pid"), "lsh_bucket",
+                      vec.alias("pvec")))
+    return topk_from_blocks(index, probes, "lsh_bucket", k)
 
 
 def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9,

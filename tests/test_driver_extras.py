@@ -166,6 +166,56 @@ def test_ivf_topk_recall(spark, sf_dir):
     assert exact <= full_pairs
 
 
+def test_ann_against_index_incremental(spark):
+    """Incremental ANN: a new vector identical to an indexed one lands
+    in the same bucket and ranks it first at sim 1.0; appending the
+    probed batch to the index (plain bucketed append) makes it findable
+    by the NEXT ingest — the embedding analog of the near-dup
+    two-ingest cycle."""
+    import numpy as np
+
+    from schema_inference_spark.operators.similarity import (
+        ann_against_index,
+        lsh_blocks,
+        with_lsh_bucket,
+        as_double,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    dim = 8
+    corpus_rows = [(i, [float(x) for x in rng.standard_normal(dim)])
+                   for i in range(20)]
+    corpus = spark.createDataFrame(corpus_rows,
+                                   "vec_id bigint, embedding array<float>")
+    index, _ = lsh_blocks(corpus, [], dim=dim)
+
+    # batch A: an exact copy of vector 3 under a new id + one random
+    batch_a = spark.createDataFrame(
+        [(100, corpus_rows[3][1]),
+         (101, [float(x) for x in rng.standard_normal(dim)])],
+        "vec_id bigint, embedding array<float>")
+    rep = ann_against_index(batch_a, index, k=3, dim=dim).collect()
+    top_100 = [r for r in rep if r.pid == 100 and r.rank == 1]
+    assert top_100 and top_100[0].nid == 3 and top_100[0].sim == 1.0
+
+    # append batch A to the index (bucketed append, no rewrite), then
+    # batch B finds an A-vector
+    a_blocks = (with_lsh_bucket(batch_a, dim)
+                .select(F.col("vec_id").alias("nid"), "lsh_bucket",
+                        as_double(F.col("embedding")).alias("nvec")))
+    index2 = index.unionByName(a_blocks)
+    batch_b = spark.createDataFrame(
+        [(200, corpus_rows[3][1])], "vec_id bigint, embedding array<float>")
+    rep_b = ann_against_index(batch_b, index2, k=3, dim=dim).collect()
+    hits = {r.nid for r in rep_b if r.sim == 1.0}
+    assert hits == {3, 100}   # the original AND the batch-A copy
+
+    # determinism
+    again = ann_against_index(batch_b, index2, k=3, dim=dim).collect()
+    assert sorted(map(tuple, rep_b)) == sorted(map(tuple, again))
+
+
 def test_multimodal_builtin_real_decoders_end_to_end(spark):
     """The REAL decode branch (fake=False, NO registered decoders)
     executes in-container on dependency-free formats: binary PPM images
