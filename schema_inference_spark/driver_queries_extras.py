@@ -100,6 +100,46 @@ ORDER BY content_hash
 """
 
 
+SEG_WORDS = 10  # segment width for the line-level dedup pass
+
+
+def q_dedup_segments(spark, sf_dir):
+    """Sub-document (segment/line-level) exact dedup: first corpus-wide
+    occurrence of each 10-word segment wins; cleaned text gated
+    byte-for-byte against the oracle's reconstruction."""
+    return D.segment_dedup(_t(spark, sf_dir, "documents"),
+                           seg_words=SEG_WORDS)
+
+
+SQL_DEDUP_SEGMENTS = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         CAST(ceil(array_length(string_split(text, ' ')) / {SEG_WORDS}.0)
+              AS BIGINT) AS n_segs
+  FROM documents),
+ex AS (SELECT doc_id, w, unnest(range(0, n_segs)) AS i FROM base),
+segs AS (
+  SELECT doc_id, i AS seg_idx,
+         array_to_string(w[(i*{SEG_WORDS}+1):(i*{SEG_WORDS}+{SEG_WORDS})],
+                         ' ') AS seg
+  FROM ex),
+ranked AS (
+  SELECT doc_id, seg_idx, seg,
+         row_number() OVER (PARTITION BY seg
+                            ORDER BY doc_id, seg_idx) AS rn
+  FROM segs),
+recon AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+  FROM ranked WHERE rn = 1 GROUP BY doc_id)
+SELECT b.doc_id, b.n_segs,
+       coalesce(r.n_kept, 0) AS n_kept,
+       coalesce(r.clean_text, '') AS clean_text
+FROM base b LEFT JOIN recon r USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+
 def _dup_aug(cast: str) -> str:
     """Deterministic duplicate planting for the incremental-dedup gate
     (same pattern as _pii_aug: the synthetic documents corpus has no
@@ -965,6 +1005,7 @@ def q_multimodal_features(spark, sf_dir):
 
 EXTRA_QUERIES: Dict[str, Callable] = {
     "dedup_exact": q_dedup_exact,
+    "dedup_segments": q_dedup_segments,
     "dedup_incremental": q_dedup_incremental,
     "near_dup_incremental": q_near_dup_incremental,
     "dedup_jaccard": q_dedup_jaccard,
@@ -993,6 +1034,7 @@ EXTRA_QUERIES: Dict[str, Callable] = {
 
 EXTRA_ORACLES: Dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_segments": SQL_DEDUP_SEGMENTS,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "near_dup_incremental": SQL_NEAR_DUP_INCREMENTAL,
     "dedup_jaccard": SQL_DEDUP_JACCARD,

@@ -109,6 +109,72 @@ def dedup_against_index(new_df: DataFrame, index: DataFrame,
             .orderBy("content_hash", "doc_id"))
 
 
+def segment_dedup(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", seg_words: int = 10) -> DataFrame:
+    """Segment-level (line-level) exact dedup, the CCNet/RefinedWeb-style
+    sub-document pass: split each document into fixed ``seg_words``-word
+    segments, keep only each distinct segment's FIRST corpus-wide
+    occurrence (ordered by (id, seg_idx)), and reconstruct the cleaned
+    text from the surviving segments in their original order. A document
+    whose every segment first appeared elsewhere (e.g. an exact
+    duplicate of an earlier document) comes back with ``n_kept = 0`` and
+    empty ``clean_text``.
+
+    Returns ``(doc_id, n_segs, n_kept, clean_text)``, one row per input
+    document.
+
+    Scale shape: segmentation is a narrow ``transform`` over the split
+    word array — no explode-then-regroup round trip for the SEGMENTATION
+    itself; only the corpus-wide first-occurrence decision shuffles.
+    The winner per segment value is a groupBy-min(struct) — partial
+    aggregation absorbs hot boilerplate segments map-side, so a segment
+    with 10^6 occurrences ships one (seg, winner) row per map task
+    instead of one per occurrence (the skew guard a
+    row_number-over-window formulation would lack). The corpus is
+    scanned twice (probe side + winner side of the self-join); at the
+    100-TB target the segmented frame is a persist-or-checkpoint
+    candidate exactly like the shared shingle seam. At that scale the
+    winner aggregation and join would also key on
+    ``sha2(seg, 256)`` to ship 32 bytes instead of segment text; here
+    both key on the segment string so the semantics are exactly the
+    oracle's (and collision-free by construction)."""
+    # null text folds to one empty segment (sequence(0, -1) would
+    # otherwise generate a DESCENDING two-element array)
+    words = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    n_segs = F.ceil(F.size(words) / F.lit(seg_words)).cast("bigint")
+    segs = df.select(
+        F.col(id_col),
+        n_segs.alias("n_segs"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), (n_segs - 1).cast("int")),
+                lambda i: F.array_join(
+                    F.slice(words, i * seg_words + 1, seg_words), " "))
+        ).alias("seg_idx", "seg"))
+    winners = (segs.groupBy("seg")
+               .agg(F.min(F.struct(F.col(id_col).alias("i"),
+                                   F.col("seg_idx").alias("s"))).alias("w")))
+    # mark instead of filter: the reconstruction aggregate then also
+    # yields n_segs and the n_kept=0 rows, so no third corpus scan and
+    # no left join back to the source is needed (collect_list drops the
+    # when()-null losers, keeping only surviving segment text)
+    marked = (segs.join(winners, "seg")
+              .withColumn("_keep", (F.col(id_col) == F.col("w.i")) &
+                                   (F.col("seg_idx") == F.col("w.s"))))
+    return (marked.groupBy(id_col)
+            .agg(F.first("n_segs").alias("n_segs"),
+                 F.sum(F.col("_keep").cast("bigint")).alias("n_kept"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(F.col("_keep"),
+                                    F.struct("seg_idx", "seg")))),
+                         lambda t: t.seg), " ").alias("clean_text"))
+            .select(F.col(id_col).alias("doc_id"),
+                    "n_segs", "n_kept", "clean_text")
+            .orderBy("doc_id"))
+
+
 def build_minhash_index(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n_hashes: int = 64,
                         bands: int = 16, k: int = 3,

@@ -446,3 +446,33 @@ def test_near_dup_two_ingest_round_trip(spark):
         == sorted(map(tuple, idx1.collect()))
     assert sorted(r.doc for r in sigs2.select("doc").collect()) \
         == sorted(r.doc for r in sigs1.select("doc").collect())
+
+
+def test_segment_dedup_planted(spark):
+    """Segment-level dedup semantics on a planted corpus: first
+    corpus-wide occurrence (by (doc_id, seg_idx)) of each 10-word
+    segment wins; an exact duplicate document loses every segment;
+    reconstruction preserves original segment order."""
+    from schema_inference_spark.operators.dedup import segment_dedup
+
+    seg_a = " ".join(f"a{i}" for i in range(10))   # doc 1 seg 0
+    seg_b = " ".join(f"b{i}" for i in range(10))   # doc 1 seg 1
+    seg_c = " ".join(f"c{i}" for i in range(10))   # doc 2's own segment
+    tail = "t0 t1 t2"                              # short trailing segment
+    docs = spark.createDataFrame(
+        [(1, f"{seg_a} {seg_b} {tail}"),
+         (2, f"{seg_a} {seg_c}"),                  # seg_a stolen by doc 1
+         (3, f"{seg_a} {seg_b} {tail}"),           # exact dup of doc 1
+         (4, tail)],                               # dup of doc 1's tail
+        "doc_id bigint, text string")
+
+    got = {r.doc_id: r for r in segment_dedup(docs).collect()}
+    assert got[1].n_segs == 3 and got[1].n_kept == 3
+    assert got[1].clean_text == f"{seg_a} {seg_b} {tail}"
+    # doc 2 keeps only its unique second segment, order preserved
+    assert got[2].n_segs == 2 and got[2].n_kept == 1
+    assert got[2].clean_text == seg_c
+    # exact duplicate: everything first occurred in doc 1
+    assert got[3].n_segs == 3 and got[3].n_kept == 0
+    assert got[3].clean_text == ""
+    assert got[4].n_segs == 1 and got[4].n_kept == 0
