@@ -978,6 +978,81 @@ ORDER BY m.doc_id, m.bench_id
 """
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end curation cascade (operators/curation.py): exact dedup
+    -> language -> quality -> repetition, per-source audit summary.
+    Runs over the dup-augmented corpus so the dedup stage has planted
+    work; every stage's formula is the corresponding textstats/dedup
+    operator's (parity pinned in tests/test_curation.py)."""
+    from .operators.curation import curation_summary
+    docs = (_t(spark, sf_dir, "documents")
+            .withColumn("text", F.expr(_dup_aug("STRING"))))
+    return curation_summary(docs)
+
+
+def _sql_curation() -> str:
+    from .operators.curation import (LANG_KEEP, QUALITY_MIN_BP,
+                                     RATIO_MIN_BP)
+    return f"""
+WITH docs AS (SELECT doc_id, source, {_dup_aug('VARCHAR')} AS text
+              FROM documents),
+base AS (
+  SELECT doc_id, source,
+         md5({_NORM}) AS h,
+         len(string_split({_NORM}, ' ')) AS ws,
+         (10000 * len(list_distinct(string_split({_NORM}, ' '))))
+           // len(string_split({_NORM}, ' ')) AS ratio_bp,
+         length(text) AS n_chars,
+         len(string_split({_NORM}, ' ')) AS n_tokens,
+         length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]',
+                                              '', 'g')) AS n_punct,
+         length(replace({_NORM}, ' ', '')) AS word_chars,
+         {_votes_sql()}
+  FROM docs),
+lp AS (
+  SELECT *, greatest(v_de, v_en, v_es, v_fr) AS bv,
+         least(20 * n_chars, 4000)
+           + (3000 - CASE WHEN n_chars > 0
+                          THEN least((15000 * n_punct) // n_chars, 3000)
+                          ELSE 0 END)
+           + CASE WHEN n_tokens > 0
+                  THEN least((375 * word_chars) // n_tokens, 3000)
+                  ELSE 0 END AS quality_bp,
+         min(doc_id) OVER (PARTITION BY h) AS canon
+  FROM base),
+v AS (
+  SELECT source, ws,
+         CASE WHEN doc_id != canon THEN 'dup'
+              WHEN (CASE WHEN bv = 0 THEN 'und'
+                         WHEN v_de = bv THEN 'de'
+                         WHEN v_en = bv THEN 'en'
+                         WHEN v_es = bv THEN 'es'
+                         ELSE 'fr' END) != '{LANG_KEEP}' THEN 'lang'
+              WHEN quality_bp < {QUALITY_MIN_BP} THEN 'quality'
+              WHEN ratio_bp < {RATIO_MIN_BP} THEN 'repetitive'
+              ELSE 'kept' END AS bucket
+  FROM lp)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN bucket = 'dup' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup,
+       CAST(sum(CASE WHEN bucket = 'lang' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_lang,
+       CAST(sum(CASE WHEN bucket = 'quality' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quality,
+       CAST(sum(CASE WHEN bucket = 'repetitive' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_repetitive,
+       CAST(sum(CASE WHEN bucket = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(sum(CASE WHEN bucket = 'kept' THEN ws ELSE 0 END) AS BIGINT)
+         AS tokens_kept
+FROM v GROUP BY source ORDER BY source
+"""
+
+
+SQL_CURATION_PIPELINE = _sql_curation()
+
+
 def q_multimodal_meta(spark, sf_dir):
     return M.payload_meta(_t(spark, sf_dir, "documents"))
 
@@ -1028,6 +1103,7 @@ EXTRA_QUERIES: Dict[str, Callable] = {
     "pii_flags": q_pii_flags,
     "pii_redact": q_pii_redact,
     "contamination": q_contamination,
+    "curation_pipeline": q_curation_pipeline,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
 }
@@ -1050,6 +1126,7 @@ EXTRA_ORACLES: Dict[str, str] = {
     "pii_flags": SQL_PII_FLAGS,
     "pii_redact": SQL_PII_REDACT,
     "contamination": SQL_CONTAMINATION,
+    "curation_pipeline": SQL_CURATION_PIPELINE,
     # two-stage: the engine-hashed artifact (fingerprints, candidate
     # pairs, block assignments) is exported to a parquet seam; the
     # downstream stage itself is fully rows+schema+hash gated

@@ -1,0 +1,124 @@
+"""End-to-end corpus curation: the composed filter cascade a training-data
+pipeline actually runs — exact dedup, language filter, quality filter,
+repetition filter — with a per-source audit summary of what each stage
+dropped and how many tokens survive.
+
+Shape: ONE corpus scan computes every per-document signal as pure column
+expressions (the same formulas as ``textstats.quality_score`` /
+``textstats.lang_id`` / ``textstats.repetition_stats`` — parity is pinned
+by tests, see tests/test_curation.py), the duplicate-winner decision is
+the only extra shuffle (groupBy-min on content hash, partial aggregation
+absorbs hot boilerplate map-side), and the summary is a partial-aggregated
+groupBy on the low-cardinality source key. Nothing leaves the JVM; at
+100 TB the cascade is scan -> one hash exchange -> one tiny rollup.
+
+Drop precedence is fixed (duplicate > language > quality > repetitive) so
+a document is counted in exactly one bucket and the summary columns sum
+to n_docs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalized
+from .textstats import STOPWORDS, _tokens
+
+# default thresholds (basis points); callers tune per corpus
+QUALITY_MIN_BP = 7000
+RATIO_MIN_BP = 3300
+LANG_KEEP = "en"
+
+
+def quality_bp_col(df: DataFrame, text_col: str = "text",
+                   out: str = "quality_bp") -> DataFrame:
+    """Append ``textstats.quality_score``'s integer quality_bp (same
+    formula, same bigint div arithmetic) without collapsing the frame to
+    the metric projection — the cascade form that composes in one scan."""
+    t = F.col(text_col)
+    tmp = (df
+           .withColumn("_qc", F.length(t).cast("bigint"))
+           .withColumn("_qt", F.size(_tokens(t)).cast("bigint"))
+           .withColumn("_qp", (F.col("_qc") - F.length(
+               F.regexp_replace(t, r"[^A-Za-z0-9\s]", ""))).cast("bigint"))
+           .withColumn("_qw", F.length(
+               F.regexp_replace(normalized(t), " ", "")).cast("bigint")))
+    punct_term = F.when(F.col("_qc") > 0,
+                        F.least(F.expr("(15000 * _qp) div _qc"),
+                                F.lit(3000))).otherwise(F.lit(0))
+    wlen_term = F.when(F.col("_qt") > 0,
+                       F.least(F.expr("(375 * _qw) div _qt"),
+                               F.lit(3000))).otherwise(F.lit(0))
+    qbp = (F.least(20 * F.col("_qc"), F.lit(4000))
+           + (F.lit(3000) - punct_term) + wlen_term).cast("bigint")
+    return (tmp.withColumn(out, qbp)
+            .drop("_qc", "_qt", "_qp", "_qw"))
+
+
+def lang_pred_col(text_col: str = "text") -> Column:
+    """``textstats.lang_id``'s argmax stopword vote as a single column
+    expression (same deterministic tiebreak: earlier language wins)."""
+    toks = F.array_distinct(_tokens(F.col(text_col)))
+    votes = {lang: F.size(F.array_intersect(
+        toks, F.array(*[F.lit(w) for w in STOPWORDS[lang]])))
+        for lang in sorted(STOPWORDS)}
+    best = F.greatest(*votes.values())
+    pred = F.lit("und")
+    for lang in sorted(STOPWORDS, reverse=True):
+        pred = F.when((votes[lang] == best) & (best > 0),
+                      F.lit(lang)).otherwise(pred)
+    return pred
+
+
+def distinct_ratio_bp_col(text_col: str = "text") -> Column:
+    """Distinct-word ratio in basis points over normalized tokens — the
+    ``repetition_stats`` signal as one expression (n_words >= 1 always:
+    split of an empty normalized string is [''])."""
+    w = _tokens(F.col(text_col))
+    return ((F.lit(10000) * F.size(F.array_distinct(w)).cast("bigint"))
+            / F.size(w).cast("bigint")).cast("bigint")
+
+
+def curation_summary(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", source_col: str = "source",
+                     lang_keep: str = LANG_KEEP,
+                     quality_min_bp: int = QUALITY_MIN_BP,
+                     ratio_min_bp: int = RATIO_MIN_BP) -> DataFrame:
+    """Per-source curation audit: (source, n_docs, n_dup, n_lang,
+    n_quality, n_repetitive, n_kept, tokens_kept). Buckets are disjoint
+    and exhaustive (fixed precedence), tokens_kept sums whitespace
+    tokens over surviving documents only."""
+    t = F.col(text_col)
+    sig = (quality_bp_col(df.select(
+        F.col(id_col), F.col(source_col),
+        F.md5(normalized(t)).alias("_h"),
+        F.size(_tokens(t)).cast("bigint").alias("_ws"),
+        lang_pred_col(text_col).alias("_lang"),
+        distinct_ratio_bp_col(text_col).alias("_ratio"),
+        t.alias(text_col)), text_col=text_col)
+        .drop(text_col))
+    winners = sig.groupBy("_h").agg(F.min(id_col).alias("_canon"))
+    verdict = (sig.join(winners, "_h")
+               .withColumn("_bucket", F.when(
+                   F.col(id_col) != F.col("_canon"), F.lit("dup"))
+                   .when(F.col("_lang") != lang_keep, F.lit("lang"))
+                   .when(F.col("quality_bp") < quality_min_bp,
+                         F.lit("quality"))
+                   .when(F.col("_ratio") < ratio_min_bp,
+                         F.lit("repetitive"))
+                   .otherwise(F.lit("kept"))))
+    b = F.col("_bucket")
+    cnt = lambda name: F.sum(  # noqa: E731
+        F.when(b == name, 1).otherwise(0)).cast("bigint")
+    return (verdict.groupBy(F.col(source_col).alias("source"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 cnt("dup").alias("n_dup"),
+                 cnt("lang").alias("n_lang"),
+                 cnt("quality").alias("n_quality"),
+                 cnt("repetitive").alias("n_repetitive"),
+                 cnt("kept").alias("n_kept"),
+                 F.sum(F.when(b == "kept", F.col("_ws"))
+                       .otherwise(F.lit(0))).cast("bigint")
+                 .alias("tokens_kept"))
+            .orderBy("source"))
