@@ -1053,6 +1053,41 @@ FROM v GROUP BY source ORDER BY source
 SQL_CURATION_PIPELINE = _sql_curation()
 
 
+def q_mixture_sample(spark, sf_dir):
+    """Token-budget mixture sampling (operators/curation.py
+    token_budget_sample): per-source deterministic md5(id)-ordered
+    greedy prefix under a per-source token budget; budgets derived
+    from the source name so both engines compute them identically."""
+    from .operators.curation import token_budget_sample
+    docs = _t(spark, sf_dir, "documents")
+    budgets = (docs.select("source").distinct()
+               .withColumn("token_budget",
+                           (F.lit(300) + F.lit(50)
+                            * (F.length("source") % 4)).cast("bigint")))
+    return token_budget_sample(docs, budgets)
+
+
+SQL_MIXTURE_SAMPLE = f"""
+WITH t AS (SELECT doc_id, source,
+                  len(string_split({_NORM}, ' ')) AS ws_tokens,
+                  md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+b AS (SELECT DISTINCT source,
+             CAST(300 + 50 * (length(source) % 4) AS BIGINT)
+               AS token_budget
+      FROM documents),
+c AS (SELECT t.doc_id, t.source, t.ws_tokens, b.token_budget,
+             sum(t.ws_tokens) OVER (PARTITION BY t.source
+                                    ORDER BY t.h, t.doc_id) AS cum_tokens,
+             row_number() OVER (PARTITION BY t.source
+                                ORDER BY t.h, t.doc_id) AS mix_rank
+      FROM t JOIN b USING (source))
+SELECT doc_id, source, ws_tokens, cum_tokens, mix_rank, token_budget
+FROM c WHERE cum_tokens <= token_budget
+ORDER BY source, mix_rank
+"""
+
+
 def q_multimodal_meta(spark, sf_dir):
     return M.payload_meta(_t(spark, sf_dir, "documents"))
 
@@ -1104,6 +1139,7 @@ EXTRA_QUERIES: Dict[str, Callable] = {
     "pii_redact": q_pii_redact,
     "contamination": q_contamination,
     "curation_pipeline": q_curation_pipeline,
+    "mixture_sample": q_mixture_sample,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
 }
@@ -1127,6 +1163,7 @@ EXTRA_ORACLES: Dict[str, str] = {
     "pii_redact": SQL_PII_REDACT,
     "contamination": SQL_CONTAMINATION,
     "curation_pipeline": SQL_CURATION_PIPELINE,
+    "mixture_sample": SQL_MIXTURE_SAMPLE,
     # two-stage: the engine-hashed artifact (fingerprints, candidate
     # pairs, block assignments) is exported to a parquet seam; the
     # downstream stage itself is fully rows+schema+hash gated

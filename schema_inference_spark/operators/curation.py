@@ -80,6 +80,48 @@ def distinct_ratio_bp_col(text_col: str = "text") -> Column:
             / F.size(w).cast("bigint")).cast("bigint")
 
 
+def token_budget_sample(df: DataFrame, budgets: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        source_col: str = "source") -> DataFrame:
+    """Deterministic token-budget mixture sampling — the "data mixing"
+    step that assembles a training corpus to target per-source token
+    weights. Documents are scanned per source in md5(id) pseudo-random
+    order (same re-run months later picks the same docs, the
+    ``stratified_sample`` reproducibility contract) and kept while the
+    INCLUSIVE running token total stays within that source's budget
+    (greedy prefix: a document that would overshoot is dropped, as is
+    everything after it in the order).
+
+    ``budgets``: a small (source, token_budget) frame — broadcast to
+    the scan, never shuffling the corpus for it.
+
+    Returns kept docs: (doc_id, source, ws_tokens, cum_tokens, mix_rank,
+    token_budget).
+
+    Scale: the running sum is a per-source window — fine up to sources
+    of ~10^7 docs; for a mega-source the window serializes on one task,
+    and the scale path (docstring contract, same outputs) is rank
+    bucketing: aggregate token sums per (source, hash-rank bucket),
+    prefix-sum the tiny bucket table on the driver, broadcast each
+    source's cutoff bucket back, and window ONLY inside the boundary
+    bucket. One extra narrow aggregate, no giant window partition."""
+    t = F.col(text_col)
+    base = df.select(
+        F.col(id_col), F.col(source_col),
+        F.size(_tokens(t)).cast("bigint").alias("ws_tokens"),
+        F.md5(F.col(id_col).cast("string")).alias("_h"))
+    joined = base.join(F.broadcast(budgets), source_col)
+    from pyspark.sql import Window
+    w = Window.partitionBy(source_col).orderBy("_h", id_col)
+    ranked = (joined
+              .withColumn("cum_tokens", F.sum("ws_tokens").over(w))
+              .withColumn("mix_rank", F.row_number().over(w)))
+    return (ranked.filter(F.col("cum_tokens") <= F.col("token_budget"))
+            .select(id_col, F.col(source_col).alias("source"),
+                    "ws_tokens", "cum_tokens", "mix_rank", "token_budget")
+            .orderBy("source", "mix_rank"))
+
+
 def curation_summary(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", source_col: str = "source",
                      lang_keep: str = LANG_KEEP,

@@ -86,3 +86,39 @@ def test_curation_summary_partitions_corpus(spark):
     assert s2.n_docs == 2 and s2.n_kept == 0
     assert s2.n_repetitive == 1 and s2.n_quality == 1
     assert s2.tokens_kept == 0
+
+
+def test_token_budget_sample_greedy_prefix(spark):
+    """Budget semantics: docs are taken in md5(id) order per source and
+    the INCLUSIVE running sum must stay within budget — the first
+    overshooting doc is dropped AND nothing after it re-enters, even a
+    smaller doc that would still fit (strict prefix, reproducibility
+    over packing)."""
+    from pyspark.sql import functions as F
+
+    from schema_inference_spark.operators.curation import (
+        token_budget_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "s", "w " * n) for i, n in
+         [(1, 10), (2, 10), (3, 10), (4, 3), (5, 10)]],
+        "doc_id bigint, source string, text string")
+    budgets = spark.createDataFrame([("s", 25)],
+                                    "source string, token_budget bigint")
+    got = token_budget_sample(docs, budgets).collect()
+
+    hash_order = [r.doc_id for r in docs.select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h"))
+        .orderBy("h", "doc_id").collect()]
+    sizes = {1: 10, 2: 10, 3: 10, 4: 3, 5: 10}
+    expect, cum = [], 0
+    for d in hash_order:
+        cum += sizes[d]
+        if cum > 25:
+            break           # strict prefix: stop at first overshoot
+        expect.append(d)
+
+    assert [r.doc_id for r in got] == expect
+    assert all(r.cum_tokens <= r.token_budget for r in got)
+    assert [r.mix_rank for r in got] == list(range(1, len(expect) + 1))
