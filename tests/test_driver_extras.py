@@ -476,3 +476,26 @@ def test_segment_dedup_planted(spark):
     assert got[3].n_segs == 3 and got[3].n_kept == 0
     assert got[3].clean_text == ""
     assert got[4].n_segs == 1 and got[4].n_kept == 0
+
+
+def test_segment_dedup_exact_first_identical(spark):
+    """exact_first=True must be output-identical to the plain pass on a
+    dup-heavy corpus (the proof in the docstring, checked end-to-end:
+    verbatim copies collapse to empty, partial overlaps unaffected)."""
+    from schema_inference_spark.operators.dedup import segment_dedup
+
+    seg = lambda c, k=10: " ".join(f"{c}{i}" for i in range(k))  # noqa: E731
+    rows = [(1, f"{seg('a')} {seg('b')}")]
+    rows += [(i, rows[0][1]) for i in range(2, 6)]      # 4 verbatim copies
+    rows += [(6, f"{seg('a')} {seg('c')}"),             # partial overlap
+             (7, seg('d', 7)),                          # unique short doc
+             (8, seg('d', 7))]                          # its verbatim copy
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    plain = sorted(map(tuple, segment_dedup(docs).collect()))
+    fast = sorted(map(tuple,
+                      segment_dedup(docs, exact_first=True).collect()))
+    assert fast == plain
+    got = dict((r[0], r) for r in fast)
+    assert got[2][2] == 0 and got[2][3] == ""
+    assert got[6][2] == 1                                # kept seg_c only
