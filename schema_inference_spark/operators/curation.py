@@ -122,17 +122,12 @@ def token_budget_sample(df: DataFrame, budgets: DataFrame,
             .orderBy("source", "mix_rank"))
 
 
-def curation_summary(df: DataFrame, id_col: str = "doc_id",
-                     text_col: str = "text", source_col: str = "source",
-                     lang_keep: str = LANG_KEEP,
-                     quality_min_bp: int = QUALITY_MIN_BP,
-                     ratio_min_bp: int = RATIO_MIN_BP) -> DataFrame:
-    """Per-source curation audit: (source, n_docs, n_dup, n_lang,
-    n_quality, n_repetitive, n_kept, tokens_kept). Buckets are disjoint
-    and exhaustive (fixed precedence), tokens_kept sums whitespace
-    tokens over surviving documents only."""
+def _signal_frame(df: DataFrame, id_col: str, text_col: str,
+                  source_col: str) -> DataFrame:
+    """One-scan per-document signals for the cascade: (id, source, _h
+    content hash, _ws whitespace tokens, _lang, _ratio, quality_bp)."""
     t = F.col(text_col)
-    sig = (quality_bp_col(df.select(
+    return (quality_bp_col(df.select(
         F.col(id_col), F.col(source_col),
         F.md5(normalized(t)).alias("_h"),
         F.size(_tokens(t)).cast("bigint").alias("_ws"),
@@ -140,16 +135,9 @@ def curation_summary(df: DataFrame, id_col: str = "doc_id",
         distinct_ratio_bp_col(text_col).alias("_ratio"),
         t.alias(text_col)), text_col=text_col)
         .drop(text_col))
-    winners = sig.groupBy("_h").agg(F.min(id_col).alias("_canon"))
-    verdict = (sig.join(winners, "_h")
-               .withColumn("_bucket", F.when(
-                   F.col(id_col) != F.col("_canon"), F.lit("dup"))
-                   .when(F.col("_lang") != lang_keep, F.lit("lang"))
-                   .when(F.col("quality_bp") < quality_min_bp,
-                         F.lit("quality"))
-                   .when(F.col("_ratio") < ratio_min_bp,
-                         F.lit("repetitive"))
-                   .otherwise(F.lit("kept"))))
+
+
+def _summarize(verdict: DataFrame, source_col: str) -> DataFrame:
     b = F.col("_bucket")
     cnt = lambda name: F.sum(  # noqa: E731
         F.when(b == name, 1).otherwise(0)).cast("bigint")
@@ -164,3 +152,61 @@ def curation_summary(df: DataFrame, id_col: str = "doc_id",
                        .otherwise(F.lit(0))).cast("bigint")
                  .alias("tokens_kept"))
             .orderBy("source"))
+
+
+def _bucketize(sig: DataFrame, dup_cond, lang_keep: str,
+               quality_min_bp: int, ratio_min_bp: int) -> DataFrame:
+    return sig.withColumn("_bucket", F.when(dup_cond, F.lit("dup"))
+                          .when(F.col("_lang") != lang_keep,
+                                F.lit("lang"))
+                          .when(F.col("quality_bp") < quality_min_bp,
+                                F.lit("quality"))
+                          .when(F.col("_ratio") < ratio_min_bp,
+                                F.lit("repetitive"))
+                          .otherwise(F.lit("kept")))
+
+
+def curation_summary(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", source_col: str = "source",
+                     lang_keep: str = LANG_KEEP,
+                     quality_min_bp: int = QUALITY_MIN_BP,
+                     ratio_min_bp: int = RATIO_MIN_BP) -> DataFrame:
+    """Per-source curation audit: (source, n_docs, n_dup, n_lang,
+    n_quality, n_repetitive, n_kept, tokens_kept). Buckets are disjoint
+    and exhaustive (fixed precedence), tokens_kept sums whitespace
+    tokens over surviving documents only."""
+    sig = _signal_frame(df, id_col, text_col, source_col)
+    winners = sig.groupBy("_h").agg(F.min(id_col).alias("_canon"))
+    verdict = _bucketize(sig.join(winners, "_h"),
+                         F.col(id_col) != F.col("_canon"),
+                         lang_keep, quality_min_bp, ratio_min_bp)
+    return _summarize(verdict, source_col)
+
+
+def curation_summary_incremental(new_df: DataFrame, index: DataFrame,
+                                 id_col: str = "doc_id",
+                                 text_col: str = "text",
+                                 source_col: str = "source",
+                                 lang_keep: str = LANG_KEEP,
+                                 quality_min_bp: int = QUALITY_MIN_BP,
+                                 ratio_min_bp: int = RATIO_MIN_BP
+                                 ) -> DataFrame:
+    """The ingest-time form of ``curation_summary``: the dup stage
+    probes the persistent content-hash index (``build_hash_index``)
+    instead of re-shuffling the full corpus — a new document is a dup
+    if its hash is indexed (unless it IS the index canonical:
+    re-ingest idempotence) or a lower-id batch-mate shares the hash,
+    exactly ``dedup_against_index``'s verdict set. O(new) per ingest;
+    every other stage is stateless per document. Cross-batch dup
+    memory is the index's job — append it off-path
+    (``build_hash_index`` union) like the MinHash cycle."""
+    from .dedup import dedup_against_index
+
+    dups = (dedup_against_index(new_df, index, id_col, text_col)
+            .select(F.col("doc_id").alias(id_col)).distinct()
+            .withColumn("_isdup", F.lit(True)))
+    sig = _signal_frame(new_df, id_col, text_col, source_col)
+    verdict = _bucketize(sig.join(dups, id_col, "left"),
+                         F.col("_isdup").isNotNull(),
+                         lang_keep, quality_min_bp, ratio_min_bp)
+    return _summarize(verdict, source_col)

@@ -254,6 +254,31 @@ def near_dup_stream(sdf: DataFrame, index: DataFrame,
     return sdf.writeStream.foreachBatch(_probe)
 
 
+def curation_stream(sdf: DataFrame, index: DataFrame, emit,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    source_col: str = "source", **thresholds):
+    """Streaming form of ``operators.curation.curation_summary``: each
+    micro-batch (an ingest) runs the full dedup -> lang -> quality ->
+    repetition cascade with the dup stage probing the persistent
+    content-hash index, and ``emit(summary_df, epoch_id)`` receives
+    that batch's per-source audit summary (additive across epochs —
+    sum the buckets to get the run total).
+
+    Same doctrine as ``near_dup_stream``: ``foreachBatch``, not a
+    stateful aggregation — cross-batch dup memory is the hash index's
+    job (append it off the ingest path), every other stage is
+    stateless per document, so streaming state here would only
+    re-implement the index. Returns the ``DataStreamWriter``."""
+    from ..operators.curation import curation_summary_incremental
+
+    def _probe(batch_df: DataFrame, epoch_id: int) -> None:
+        emit(curation_summary_incremental(
+            batch_df, index, id_col, text_col, source_col,
+            **thresholds), epoch_id)
+
+    return sdf.writeStream.foreachBatch(_probe)
+
+
 # ---------------------------------------------------------------------------
 # stateful: uniqueness + ordering per conversation (D10 + D12)
 # ---------------------------------------------------------------------------
