@@ -597,6 +597,39 @@ def q_ann_lsh_topk(spark, sf_dir):
     return SIM.topk_from_blocks(seam, probes, "lsh_bucket", k=5)
 
 
+def q_cosine_near_dup_lsh(spark, sf_dir):
+    """The SHIPPED near-dup scale path, fully gated: all-pairs only
+    within LSH buckets (the cosine_near_dup_pairs blocking strategy)
+    + exact cosine verify — run over the exported bucket-assignment
+    seam so both engines pair inside identical buckets. Closes the
+    round-3/4 'oracle is label-blocked while the operator LSH-blocks'
+    collateral: this query IS the operator's plan shape; the label
+    query stays as the deterministic full-recall baseline."""
+    seam = ann_lsh_exported(spark, sf_dir)
+    side = lambda i: seam.select(  # noqa: E731
+        F.col("nid").alias(f"d{i}"), "lsh_bucket",
+        F.col("nvec").alias(f"v{i}"),
+        SIM._norm(F.col("nvec")).alias(f"n{i}"))
+    return (side(1).join(side(2), "lsh_bucket")
+            .filter(F.col("d1") < F.col("d2"))
+            .select("d1", "d2",
+                    F.round(SIM._sim(F.col("v1"), F.col("n1"),
+                                     F.col("v2"), F.col("n2")),
+                            4).alias("sim"))
+            .filter(F.col("sim") >= 0.4)
+            .orderBy("d1", "d2"))
+
+
+SQL_COSINE_NEAR_DUP_LSH = f"""
+WITH e AS (SELECT nid, lsh_bucket, nvec FROM '{ANN_LSH_EXPORT}/*.parquet')
+SELECT a.nid AS d1, b.nid AS d2,
+       round(list_cosine_similarity(a.nvec, b.nvec), 4) + 0 AS sim
+FROM e a JOIN e b ON a.lsh_bucket = b.lsh_bucket AND a.nid < b.nid
+WHERE round(list_cosine_similarity(a.nvec, b.nvec), 4) >= 0.4
+ORDER BY d1, d2
+"""
+
+
 SQL_ANN_LSH_TOPK = f"""
 WITH e AS (SELECT nid, lsh_bucket, nvec FROM '{ANN_LSH_EXPORT}/*.parquet'),
 p AS (SELECT nid AS pid, lsh_bucket AS pbucket, nvec AS pvec
@@ -1125,6 +1158,7 @@ EXTRA_QUERIES: Dict[str, Callable] = {
     "simhash_near_pairs": q_simhash_near_pairs,
     "cosine_topk": q_cosine_topk,
     "cosine_near_dup": q_cosine_near_dup_label,
+    "cosine_near_dup_lsh": q_cosine_near_dup_lsh,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_incremental": q_ann_incremental,
@@ -1153,6 +1187,7 @@ EXTRA_ORACLES: Dict[str, str] = {
     "dedup_groups": SQL_DEDUP_GROUPS,
     "cosine_topk": SQL_COSINE_TOPK,
     "cosine_near_dup": SQL_COSINE_NEAR_DUP,
+    "cosine_near_dup_lsh": SQL_COSINE_NEAR_DUP_LSH,
     "token_counts": SQL_TOKEN_COUNTS,
     "quality_score": SQL_QUALITY_SCORE,
     "lang_id": SQL_LANG_ID,
