@@ -174,3 +174,39 @@ def test_near_dup_probe_plan_ships_no_signature_arrays(spark):
     assert bad == [], f"signature array rides an exchange:\n" + "\n".join(bad)
     # and the candidate output is the scalar contract
     assert cand.columns == ["doc_id", "index_id", "n_agree"]
+
+
+def test_segment_dedup_plan_has_no_window(spark):
+    """segment_dedup's skew guard (dedup.py docstring): the corpus-wide
+    winner must be a groupBy-min(struct) whose PARTIAL aggregation
+    absorbs hot boilerplate segments map-side — a window/row_number
+    formulation would funnel a 10^6-occurrence segment into one task.
+    Regression-guards against a future edit quietly swapping the
+    aggregate for a window."""
+    from schema_inference_spark.operators.dedup import segment_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} " * 25) for i in range(6)],
+        "doc_id bigint, text string")
+    plan = (segment_dedup(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan, plan
+    # and the winner aggregate really is two-phase (partial + final)
+    assert plan.count("partial_min") >= 1, plan
+
+
+def test_curation_summary_plan_shape(spark):
+    """curation_summary's 100-TB shape: every per-document signal is a
+    column expression (no Window, no UDF markers in the plan) and the
+    only wide ops are the content-hash winner aggregate and the source
+    rollup."""
+    from schema_inference_spark.operators.curation import curation_summary
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 2}", f"the w{i} and x{i} of y{i}")
+         for i in range(6)],
+        "doc_id bigint, source string, text string")
+    plan = (curation_summary(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
