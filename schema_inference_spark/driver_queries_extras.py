@@ -771,6 +771,38 @@ ORDER BY doc_id
 """
 
 
+NGRAM_K = 50
+
+
+def q_top_ngrams(spark, sf_dir):
+    """Corpus-wide top-50 bigram frequencies + document frequency
+    (textstats.top_ngrams) — vocabulary statistics for stop-shingle
+    calibration and boilerplate discovery; deterministic tiebreak."""
+    return TS.top_ngrams(_t(spark, sf_dir, "documents"), n=2, k=NGRAM_K)
+
+
+SQL_TOP_NGRAMS = f"""
+WITH b AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+g AS (SELECT doc_id,
+             CASE WHEN len(w) > 1
+                  THEN list_transform(generate_series(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i + 1])
+                  ELSE CAST([] AS VARCHAR[]) END AS bi
+      FROM b),
+oc AS (SELECT gram, count(*) AS n_occurrences
+       FROM (SELECT unnest(bi) AS gram FROM g) GROUP BY gram),
+dc AS (SELECT gram, count(*) AS n_docs
+       FROM (SELECT unnest(list_distinct(bi)) AS gram FROM g)
+       GROUP BY gram),
+ranked AS (SELECT oc.gram, oc.n_occurrences, dc.n_docs,
+                  row_number() OVER (ORDER BY oc.n_occurrences DESC,
+                                              oc.gram) AS rank
+           FROM oc JOIN dc USING (gram))
+SELECT rank, gram, n_occurrences, n_docs
+FROM ranked WHERE rank <= {NGRAM_K} ORDER BY rank
+"""
+
+
 def q_fingerprint(spark, sf_dir):
     return TS.fingerprint(_t(spark, sf_dir, "documents"))
 
@@ -1166,6 +1198,7 @@ EXTRA_QUERIES: Dict[str, Callable] = {
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
+    "top_ngrams": q_top_ngrams,
     "repetition": q_repetition,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_similar_pairs": q_winnow_similar_pairs,
@@ -1192,6 +1225,7 @@ EXTRA_ORACLES: Dict[str, str] = {
     "quality_score": SQL_QUALITY_SCORE,
     "lang_id": SQL_LANG_ID,
     "fingerprint": SQL_FINGERPRINT,
+    "top_ngrams": SQL_TOP_NGRAMS,
     "repetition": SQL_REPETITION,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "pii_flags": SQL_PII_FLAGS,

@@ -248,3 +248,44 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
         word_rep.alias("word_rep_bp"),
         bi_rep.alias("bigram_rep_bp"))
         .orderBy(id_col))
+
+
+def top_ngrams(df: DataFrame, n: int = 2, k: int = 50,
+               text_col: str = "text") -> DataFrame:
+    """Corpus-wide top-k n-gram frequencies with document frequency —
+    the vocabulary-statistics pass (stop-shingle calibration, boilerplate
+    discovery, tokenizer sanity checks) over normalized tokens.
+
+    Returns (rank, gram, n_occurrences, n_docs), deterministic tiebreak
+    (count desc, gram asc). Scale shape: the n-gram array is a zip_with
+    over shifted slices (O(len), no per-position re-split); occurrences
+    aggregate with map-side partials — a boilerplate mega-gram collapses
+    to one row per map task before the exchange; doc frequency counts
+    the DISTINCT per-doc grams (array_distinct before the explode, so
+    the df-side traffic is bounded by vocabulary, not corpus length);
+    top-k executes as TakeOrderedAndProject, never a global sort. The
+    final rank window is deliberately unpartitioned: it runs AFTER
+    limit(k), over k rows on one task — the corpus never sees it."""
+    toks = _tokens(F.col(text_col))
+    joined = F.slice(toks, 1, F.size(toks) - (n - 1)) if n > 1 else toks
+    for i in range(1, n):
+        # zip_with is strictly binary: fold the n shifted slices
+        joined = F.zip_with(joined,
+                            F.slice(toks, 1 + i, F.size(toks) - (n - 1)),
+                            lambda a, b: F.concat(a, F.lit(" "), b))
+    grams = F.when(F.size(toks) >= n, joined).otherwise(
+        F.array().cast("array<string>"))
+    occ = (df.select(F.explode(grams).alias("gram"))
+           .groupBy("gram")
+           .agg(F.count(F.lit(1)).alias("n_occurrences")))
+    docs = (df.select(F.explode(F.array_distinct(grams)).alias("gram"))
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("n_docs")))
+    ranked = (occ.join(docs, "gram")
+              .orderBy(F.col("n_occurrences").desc(), F.col("gram"))
+              .limit(k))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("gram"))
+    return (ranked.withColumn("rank", F.row_number().over(w))
+            .select("rank", "gram", "n_occurrences", "n_docs")
+            .orderBy("rank"))
