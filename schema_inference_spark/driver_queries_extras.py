@@ -1132,6 +1132,35 @@ def q_mixture_sample(spark, sf_dir):
     return token_budget_sample(docs, budgets)
 
 
+SEQ_LEN = 512  # pack length for the packing-plan query
+
+
+def q_packing_plan(spark, sf_dir):
+    """Sequence-packing plan (operators/curation.py packing_plan):
+    concat-and-cut assignment of documents to fixed 512-token training
+    sequences via a distributed prefix sum — per-doc token intervals
+    and pack spans, fully integer-exact."""
+    from .operators.curation import packing_plan
+    return packing_plan(_t(spark, sf_dir, "documents"), seq_len=SEQ_LEN)
+
+
+SQL_PACKING_PLAN = f"""
+WITH t AS (SELECT doc_id,
+                  len(string_split({_NORM}, ' ')) AS ws_tokens
+           FROM documents),
+c AS (SELECT doc_id, ws_tokens,
+             coalesce(sum(ws_tokens) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0) AS start_offset
+      FROM t)
+SELECT doc_id, ws_tokens, start_offset,
+       start_offset + ws_tokens - 1 AS end_offset,
+       start_offset // {SEQ_LEN} AS first_pack,
+       (start_offset + ws_tokens - 1) // {SEQ_LEN} AS last_pack
+FROM c ORDER BY doc_id
+"""
+
+
 SQL_MIXTURE_SAMPLE = f"""
 WITH t AS (SELECT doc_id, source,
                   len(string_split({_NORM}, ' ')) AS ws_tokens,
@@ -1207,6 +1236,7 @@ EXTRA_QUERIES: Dict[str, Callable] = {
     "contamination": q_contamination,
     "curation_pipeline": q_curation_pipeline,
     "mixture_sample": q_mixture_sample,
+    "packing_plan": q_packing_plan,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
 }
@@ -1233,6 +1263,7 @@ EXTRA_ORACLES: Dict[str, str] = {
     "contamination": SQL_CONTAMINATION,
     "curation_pipeline": SQL_CURATION_PIPELINE,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
+    "packing_plan": SQL_PACKING_PLAN,
     # two-stage: the engine-hashed artifact (fingerprints, candidate
     # pairs, block assignments) is exported to a parquet seam; the
     # downstream stage itself is fully rows+schema+hash gated

@@ -166,6 +166,56 @@ def _bucketize(sig: DataFrame, dup_cond, lang_keep: str,
                           .otherwise(F.lit("kept")))
 
 
+def packing_plan(df: DataFrame, seq_len: int, id_col: str = "doc_id",
+                 text_col: str = "text", n_buckets: int = 64) -> DataFrame:
+    """Sequence-packing plan: documents are concatenated in id order
+    into fixed ``seq_len``-token training sequences (documents split
+    across pack boundaries — the standard concat-and-cut packing), and
+    each document gets its token interval and pack span WITHOUT the
+    planner ever touching token text:
+    (doc_id, ws_tokens, start_offset, end_offset, first_pack,
+    last_pack).
+
+    The global running offset is a DISTRIBUTED prefix sum, not a
+    single-task global window: per-id-range bucket token totals (one
+    tiny row per bucket) collect to the driver, prefix-sum there, and
+    broadcast back as a literal bucket->offset map; inside a bucket the
+    cumsum is a bucket-partitioned window. At 100 TB, n_buckets scales
+    with the partition count and the driver still only sees one long
+    per bucket — no exchange ever carries more than the per-doc rows it
+    already had. (A plain ``sum() over (order by id)`` window would
+    funnel the whole corpus through ONE task; the plan test asserts no
+    unpartitioned window exists.)"""
+    t = F.col(text_col)
+    base = df.select(F.col(id_col),
+                     F.size(_tokens(t)).cast("bigint").alias("ws_tokens"))
+    lo, hi = base.agg(F.min(id_col), F.max(id_col)).first()
+    width = max(1, (int(hi) - int(lo) + n_buckets) // n_buckets)
+    b = base.withColumn(
+        "_bkt", ((F.col(id_col) - F.lit(int(lo))) / width).cast("bigint"))
+    sums = {int(r["_bkt"]): int(r["s"]) for r in
+            b.groupBy("_bkt").agg(F.sum("ws_tokens").alias("s")).collect()}
+    offsets, acc = {}, 0
+    for k in sorted(sums):
+        offsets[k] = acc
+        acc += sums[k]
+    omap = F.create_map(*[F.lit(x) for kv in sorted(offsets.items())
+                          for x in kv])
+    from pyspark.sql import Window
+    w = Window.partitionBy("_bkt").orderBy(id_col)
+    start = (F.sum("ws_tokens").over(w) - F.col("ws_tokens")
+             + omap[F.col("_bkt")])
+    return (b.withColumn("start_offset", start)
+            .withColumn("end_offset",
+                        F.col("start_offset") + F.col("ws_tokens") - 1)
+            .select(F.col(id_col).alias("doc_id"), "ws_tokens",
+                    "start_offset", "end_offset",
+                    F.expr(f"start_offset div {seq_len}")
+                    .alias("first_pack"),
+                    F.expr(f"end_offset div {seq_len}").alias("last_pack"))
+            .orderBy("doc_id"))
+
+
 def curation_summary(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", source_col: str = "source",
                      lang_keep: str = LANG_KEEP,

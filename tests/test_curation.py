@@ -217,3 +217,49 @@ def test_curation_stream_matches_per_batch_cascade(spark, tmp_path):
         want = {tuple(r) for r in
                 curation_summary_incremental(batch, index).collect()}
         assert got[epoch] == want, epoch
+
+
+def test_packing_plan_boundaries(spark):
+    """Concat-and-cut semantics: offsets tile the token stream with no
+    gaps or overlaps in id order; a document straddling a pack boundary
+    spans both packs; pack ids follow integer division of the interval
+    endpoints."""
+    from schema_inference_spark.operators.curation import packing_plan
+
+    # token counts 6, 3, 4, 10 at seq_len 8:
+    # doc1 [0,5] pack 0; doc2 [6,8] packs 0-1 (straddles);
+    # doc3 [9,12] pack 1; doc4 [13,22] packs 1-2
+    docs = spark.createDataFrame(
+        [(1, "a " * 6), (2, "b " * 3), (3, "c " * 4), (4, "d " * 10)],
+        "doc_id bigint, text string")
+    got = {r.doc_id: r for r in
+           packing_plan(docs, seq_len=8, n_buckets=3).collect()}
+
+    assert (got[1].start_offset, got[1].end_offset) == (0, 5)
+    assert (got[1].first_pack, got[1].last_pack) == (0, 0)
+    assert (got[2].start_offset, got[2].end_offset) == (6, 8)
+    assert (got[2].first_pack, got[2].last_pack) == (0, 1)
+    assert (got[3].first_pack, got[3].last_pack) == (1, 1)
+    assert (got[4].start_offset, got[4].end_offset) == (13, 22)
+    assert (got[4].first_pack, got[4].last_pack) == (1, 2)
+    # the stream tiles exactly: next start = prev end + 1
+    ordered = [got[i] for i in sorted(got)]
+    for prev, cur in zip(ordered, ordered[1:]):
+        assert cur.start_offset == prev.end_offset + 1
+
+
+def test_packing_plan_no_global_window(spark):
+    """The distributed-prefix-sum contract: the plan must not contain an
+    unpartitioned window (which would funnel the corpus through one
+    task) — every Window partitions by the range bucket."""
+    from schema_inference_spark.operators.curation import packing_plan
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (i + 1)) for i in range(20)],
+        "doc_id bigint, text string")
+    plan = (packing_plan(docs, seq_len=16, n_buckets=4)
+            ._jdf.queryExecution().executedPlan().toString())
+    import re
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert "_bkt" in m.group(1), plan
+    assert "Window" in plan  # the bucket-local cumsum is a window
