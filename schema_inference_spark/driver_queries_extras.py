@@ -803,6 +803,35 @@ FROM ranked WHERE rank <= {NGRAM_K} ORDER BY rank
 """
 
 
+TERMS_K = 3
+
+
+def q_top_terms(spark, sf_dir):
+    """Per-document keyword extraction (textstats.top_terms_per_doc):
+    top-3 terms by the integer-exact tf/df salience ratio."""
+    return TS.top_terms_per_doc(_t(spark, sf_dir, "documents"), k=TERMS_K)
+
+
+SQL_TOP_TERMS = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term
+              FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM toks GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*) AS df
+        FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+scored AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                  (10000 * tf.tf) // dfq.df AS score_bp,
+                  row_number() OVER (
+                      PARTITION BY tf.doc_id
+                      ORDER BY (10000 * tf.tf) // dfq.df DESC,
+                               tf.term) AS rank
+           FROM tf JOIN dfq USING (term))
+SELECT doc_id, rank, term, tf, df, score_bp
+FROM scored WHERE rank <= {TERMS_K}
+ORDER BY doc_id, rank
+"""
+
+
 def q_fingerprint(spark, sf_dir):
     return TS.fingerprint(_t(spark, sf_dir, "documents"))
 
@@ -1228,6 +1257,7 @@ EXTRA_QUERIES: Dict[str, Callable] = {
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "top_ngrams": q_top_ngrams,
+    "top_terms": q_top_terms,
     "repetition": q_repetition,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_similar_pairs": q_winnow_similar_pairs,
@@ -1256,6 +1286,7 @@ EXTRA_ORACLES: Dict[str, str] = {
     "lang_id": SQL_LANG_ID,
     "fingerprint": SQL_FINGERPRINT,
     "top_ngrams": SQL_TOP_NGRAMS,
+    "top_terms": SQL_TOP_TERMS,
     "repetition": SQL_REPETITION,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "pii_flags": SQL_PII_FLAGS,

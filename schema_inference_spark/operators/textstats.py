@@ -289,3 +289,39 @@ def top_ngrams(df: DataFrame, n: int = 2, k: int = 50,
     return (ranked.withColumn("rank", F.row_number().over(w))
             .select("rank", "gram", "n_occurrences", "n_docs")
             .orderBy("rank"))
+
+
+def top_terms_per_doc(df: DataFrame, k: int = 3,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Per-document keyword extraction: top-k terms by an integer-exact
+    tf/df salience score, ``score_bp = (10000 * tf) // df`` — the
+    tf-idf ranking shape without float logarithms (a log-based idf can
+    flip ties between engines/libms; the floor-divided ratio cannot).
+    Deterministic tiebreak (score desc, term asc).
+
+    Returns (doc_id, rank, term, tf, df, score_bp). Scale: term counts
+    are one partial+final aggregate on (doc, term); the document
+    frequency table is vocabulary-sized and joins on the term key
+    (broadcast under AQE at small vocabularies); the top-k window
+    partitions by document, so its partitions are bounded by document
+    length."""
+    toks = _tokens(F.col(text_col))
+    tf = (df.select(F.col(id_col), F.explode(toks).alias("term"))
+          .groupBy(id_col, "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = (df.select(F.explode(F.array_distinct(toks)).alias("term"))
+             .groupBy("term")
+             .agg(F.count(F.lit(1)).alias("df")))
+    from pyspark.sql import Window
+    scored = (tf.join(dfreq, "term")
+              .withColumn("score_bp",
+                          F.expr("(10000 * tf) div df").cast("bigint")))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_bp").desc(), F.col("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col(id_col).alias("doc_id"), "rank", "term",
+                    F.col("tf").cast("bigint").alias("tf"),
+                    F.col("df").cast("bigint").alias("df"), "score_bp")
+            .orderBy("doc_id", "rank"))
