@@ -140,6 +140,54 @@ ORDER BY b.doc_id
 """
 
 
+def q_segment_dedup_incremental(spark, sf_dir):
+    """Incremental segment-level dedup (operators/dedup.py
+    build_segment_index + segment_dedup_against_index): the even-id
+    half of the corpus is the indexed history; the odd-id batch keeps
+    only segments neither indexed nor already seen earlier in the
+    batch. O(new segments) per ingest; gated byte-for-byte on the
+    cleaned text."""
+    docs = _t(spark, sf_dir, "documents")
+    index = D.build_segment_index(docs.filter("doc_id % 2 = 0"),
+                                  seg_words=SEG_WORDS)
+    return D.segment_dedup_against_index(docs.filter("doc_id % 2 = 1"),
+                                         index, seg_words=SEG_WORDS)
+
+
+SQL_SEGMENT_DEDUP_INCREMENTAL = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         CAST(ceil(array_length(string_split(text, ' ')) / {SEG_WORDS}.0)
+              AS BIGINT) AS n_segs
+  FROM documents),
+ex AS (SELECT doc_id, w, unnest(range(0, n_segs)) AS i FROM base),
+segs AS (
+  SELECT doc_id, i AS seg_idx,
+         array_to_string(w[(i*{SEG_WORDS}+1):(i*{SEG_WORDS}+{SEG_WORDS})],
+                         ' ') AS seg
+  FROM ex),
+idx AS (SELECT DISTINCT md5(seg) AS seg_hash FROM segs
+        WHERE doc_id % 2 = 0),
+ranked AS (
+  SELECT doc_id, seg_idx, seg, md5(seg) AS h,
+         row_number() OVER (PARTITION BY seg
+                            ORDER BY doc_id, seg_idx) AS rn
+  FROM segs WHERE doc_id % 2 = 1),
+recon AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+  FROM ranked
+  WHERE rn = 1 AND h NOT IN (SELECT seg_hash FROM idx)
+  GROUP BY doc_id)
+SELECT b.doc_id, b.n_segs,
+       coalesce(r.n_kept, 0) AS n_kept,
+       coalesce(r.clean_text, '') AS clean_text
+FROM base b LEFT JOIN recon r USING (doc_id)
+WHERE b.doc_id % 2 = 1
+ORDER BY b.doc_id
+"""
+
+
 def _dup_aug(cast: str) -> str:
     """Deterministic duplicate planting for the incremental-dedup gate
     (same pattern as _pii_aug: the synthetic documents corpus has no
@@ -1239,6 +1287,7 @@ def q_multimodal_features(spark, sf_dir):
 EXTRA_QUERIES: Dict[str, Callable] = {
     "dedup_exact": q_dedup_exact,
     "dedup_segments": q_dedup_segments,
+    "segment_dedup_incremental": q_segment_dedup_incremental,
     "dedup_incremental": q_dedup_incremental,
     "near_dup_incremental": q_near_dup_incremental,
     "dedup_jaccard": q_dedup_jaccard,
@@ -1274,6 +1323,7 @@ EXTRA_QUERIES: Dict[str, Callable] = {
 EXTRA_ORACLES: Dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_segments": SQL_DEDUP_SEGMENTS,
+    "segment_dedup_incremental": SQL_SEGMENT_DEDUP_INCREMENTAL,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "near_dup_incremental": SQL_NEAR_DUP_INCREMENTAL,
     "dedup_jaccard": SQL_DEDUP_JACCARD,

@@ -170,19 +170,7 @@ def segment_dedup(df: DataFrame, id_col: str = "doc_id",
                             F.lit(0).cast("bigint").alias("n_kept"),
                             F.lit("").alias("clean_text")))
         return base.unionByName(dup_rows).orderBy("doc_id")
-    # null text folds to one empty segment (sequence(0, -1) would
-    # otherwise generate a DESCENDING two-element array)
-    words = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
-    n_segs = F.ceil(F.size(words) / F.lit(seg_words)).cast("bigint")
-    segs = df.select(
-        F.col(id_col),
-        n_segs.alias("n_segs"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), (n_segs - 1).cast("int")),
-                lambda i: F.array_join(
-                    F.slice(words, i * seg_words + 1, seg_words), " "))
-        ).alias("seg_idx", "seg"))
+    segs = _segments(df, id_col, text_col, seg_words)
     winners = (segs.groupBy("seg")
                .agg(F.min(F.struct(F.col(id_col).alias("i"),
                                    F.col("seg_idx").alias("s"))).alias("w")))
@@ -205,6 +193,104 @@ def segment_dedup(df: DataFrame, id_col: str = "doc_id",
             .select(F.col(id_col).alias("doc_id"),
                     "n_segs", "n_kept", "clean_text")
             .orderBy("doc_id"))
+
+
+def _segments(df: DataFrame, id_col: str, text_col: str,
+              seg_words: int) -> DataFrame:
+    """(id, n_segs, seg_idx, seg) — the shared segmentation projection
+    of ``segment_dedup`` (narrow transform+slice, null text folds to
+    one empty segment)."""
+    words = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    n_segs = F.ceil(F.size(words) / F.lit(seg_words)).cast("bigint")
+    return df.select(
+        F.col(id_col),
+        n_segs.alias("n_segs"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), (n_segs - 1).cast("int")),
+                lambda i: F.array_join(
+                    F.slice(words, i * seg_words + 1, seg_words), " "))
+        ).alias("seg_idx", "seg"))
+
+
+def build_segment_index(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        seg_words: int = 10) -> DataFrame:
+    """Segment-hash index of a corpus: (seg_hash, doc, seg_idx) — one
+    row per DISTINCT segment value, attributed to its first corpus-wide
+    occurrence (min (doc, seg_idx)) — the artifact incremental
+    segment-level dedup probes. md5 of the segment string so the index
+    never stores segment text; updating after an ingest is
+    ``index.unionByName(build_segment_index(new)).groupBy(seg_hash)
+    .min(...)`` — append-shaped. At the warehouse the index is written
+    bucketed by seg_hash so per-ingest probes co-locate (same seam
+    note as ``build_hash_index``)."""
+    segs = _segments(df, id_col, text_col, seg_words)
+    return (segs.groupBy(F.md5("seg").alias("seg_hash"))
+            .agg(F.min(F.struct(F.col(id_col).alias("doc"),
+                                F.col("seg_idx").alias("idx"))).alias("w"))
+            .select("seg_hash", F.col("w.doc").alias("doc"),
+                    F.col("w.idx").alias("seg_idx")))
+
+
+def segment_dedup_against_index(new_df: DataFrame, index: DataFrame,
+                                id_col: str = "doc_id",
+                                text_col: str = "text",
+                                seg_words: int = 10) -> DataFrame:
+    """Incremental segment-level dedup: clean an arriving batch against
+    the persistent segment-hash index — a new document keeps a segment
+    only if it is NOT indexed and first occurs (by (id, seg_idx)) within
+    the batch. O(new segments) per ingest: the batch's segments probe
+    the index with one equi-join on seg_hash (co-located when the index
+    is hash-bucketed) and never re-scan the historical corpus — the
+    ingest-time form of ``segment_dedup``, same output shape
+    (doc_id, n_segs, n_kept, clean_text).
+
+    Re-ingest idempotence matches the doc-level cycle: an indexed
+    segment is dropped from EVERY new document, including a re-ingested
+    copy of its original owner (the cleaned artifact of that owner was
+    already emitted when it was first ingested)."""
+    segs = _segments(new_df, id_col, text_col, seg_words)
+    hashed = segs.withColumn("seg_hash", F.md5("seg"))
+    winners = (hashed.groupBy("seg_hash")
+               .agg(F.min(F.struct(F.col(id_col).alias("i"),
+                                   F.col("seg_idx").alias("s"))).alias("w")))
+    marked = (hashed
+              .join(winners, "seg_hash")
+              .join(index.select("seg_hash",
+                                 F.lit(True).alias("_indexed")),
+                    "seg_hash", "left")
+              .withColumn("_keep",
+                          F.col("_indexed").isNull()
+                          & (F.col(id_col) == F.col("w.i"))
+                          & (F.col("seg_idx") == F.col("w.s"))))
+    return (marked.groupBy(id_col)
+            .agg(F.first("n_segs").alias("n_segs"),
+                 F.sum(F.col("_keep").cast("bigint")).alias("n_kept"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(F.col("_keep"),
+                                    F.struct("seg_idx", "seg")))),
+                         lambda t: t.seg), " ").alias("clean_text"))
+            .select(F.col(id_col).alias("doc_id"),
+                    "n_segs", "n_kept", "clean_text")
+            .orderBy("doc_id"))
+
+
+def update_segment_index(index: DataFrame, new_df: DataFrame,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         seg_words: int = 10) -> DataFrame:
+    """Append an ingested batch to the segment index and restore the
+    one-row-per-hash / first-occurrence invariant. Idempotent under
+    re-ingest (min is idempotent); only the batch is segmented."""
+    fresh = build_segment_index(new_df, id_col, text_col, seg_words)
+    return (index.unionByName(fresh)
+            .groupBy("seg_hash")
+            .agg(F.min(F.struct(F.col("doc"),
+                                F.col("seg_idx").alias("idx"))).alias("w"))
+            .select("seg_hash", F.col("w.doc").alias("doc"),
+                    F.col("w.idx").alias("seg_idx")))
 
 
 def build_minhash_index(df: DataFrame, id_col: str = "doc_id",

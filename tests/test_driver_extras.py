@@ -499,3 +499,46 @@ def test_segment_dedup_exact_first_identical(spark):
     got = dict((r[0], r) for r in fast)
     assert got[2][2] == 0 and got[2][3] == ""
     assert got[6][2] == 1                                # kept seg_c only
+
+
+def test_segment_index_two_ingest_cycle(spark):
+    """The segment-index maintenance cycle: ingest A cleans against the
+    initial index, the index updates, ingest B drops segments first
+    seen in A, and re-ingesting A's docs yields empty cleans
+    (idempotence) while the index does not grow."""
+    from schema_inference_spark.operators.dedup import (
+        build_segment_index,
+        segment_dedup_against_index,
+        update_segment_index,
+    )
+
+    seg = lambda c: " ".join(f"{c}{i}" for i in range(10))  # noqa: E731
+    hist = spark.createDataFrame([(1, f"{seg('a')} {seg('b')}")],
+                                 "doc_id bigint, text string")
+    idx0 = build_segment_index(hist)
+
+    batch_a = spark.createDataFrame(
+        [(10, f"{seg('a')} {seg('c')}")],  # seg_a indexed, seg_c new
+        "doc_id bigint, text string")
+    got_a = segment_dedup_against_index(batch_a, idx0).collect()[0]
+    assert (got_a.n_segs, got_a.n_kept, got_a.clean_text) \
+        == (2, 1, seg('c'))
+
+    idx1 = update_segment_index(idx0, batch_a)
+    # seg_c now indexed and attributed to doc 10; a/b keep doc 1
+    owners = {r.seg_hash: r.doc for r in idx1.collect()}
+    assert sorted(owners.values()) == [1, 1, 10]
+
+    batch_b = spark.createDataFrame(
+        [(20, f"{seg('c')} {seg('d')}")],  # seg_c seen in ingest A
+        "doc_id bigint, text string")
+    got_b = segment_dedup_against_index(batch_b, idx1).collect()[0]
+    assert (got_b.n_kept, got_b.clean_text) == (1, seg('d'))
+
+    # idempotent re-ingest: everything already indexed -> empty clean,
+    # and updating with the same batch changes nothing
+    again = segment_dedup_against_index(batch_a, idx1).collect()[0]
+    assert (again.n_kept, again.clean_text) == (0, "")
+    idx2 = update_segment_index(idx1, batch_a)
+    assert sorted(map(tuple, idx2.collect())) \
+        == sorted(map(tuple, idx1.collect()))
