@@ -279,6 +279,27 @@ def curation_stream(sdf: DataFrame, index: DataFrame, emit,
     return sdf.writeStream.foreachBatch(_probe)
 
 
+def segment_dedup_stream(sdf: DataFrame, index: DataFrame, emit,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         seg_words: int = 10):
+    """Streaming form of ``operators.dedup.segment_dedup_against_index``:
+    each micro-batch's documents are cleaned against the persistent
+    segment-hash index and ``emit(clean_df, epoch_id)`` receives the
+    batch's (doc_id, n_segs, n_kept, clean_text) rows. Same doctrine as
+    the other index probes: ``foreachBatch``, cross-batch segment
+    memory is the index's job (``update_segment_index`` off-path); a
+    stateful streaming formulation would accumulate every segment hash
+    ever seen as store state to duplicate what the index already
+    persists."""
+    from ..operators.dedup import segment_dedup_against_index
+
+    def _probe(batch_df: DataFrame, epoch_id: int) -> None:
+        emit(segment_dedup_against_index(batch_df, index, id_col,
+                                         text_col, seg_words), epoch_id)
+
+    return sdf.writeStream.foreachBatch(_probe)
+
+
 # ---------------------------------------------------------------------------
 # stateful: uniqueness + ordering per conversation (D10 + D12)
 # ---------------------------------------------------------------------------

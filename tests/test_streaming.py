@@ -518,3 +518,62 @@ def test_dedup_stream_expands_batch_groups(spark, tmp_path):
     assert {(r.content_hash, r.doc_id, r.canonical_id) for r in got} == want
     assert len(got) == len(want)        # each duplicate reported once
     assert want                          # fixture really planted dups
+
+
+def test_segment_dedup_stream_matches_per_batch_probe(spark, tmp_path):
+    """segment_dedup_stream cleans each micro-batch against the STATIC
+    segment index exactly as the batch operator would clean that
+    ingest; batches never see each other's segments (cross-batch
+    memory is the index's job)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from schema_inference_spark.operators.dedup import (
+        build_segment_index,
+        segment_dedup_against_index,
+    )
+    from schema_inference_spark.streaming.stream_checks import (
+        segment_dedup_stream,
+    )
+
+    seg = lambda c: " ".join(f"{c}{i}" for i in range(10))  # noqa: E731
+    hist = spark.createDataFrame([(1, f"{seg('a')} {seg('b')}")],
+                                 "doc_id bigint, text string")
+    idx = build_segment_index(hist)
+
+    part0 = [(10, f"{seg('a')} {seg('c')}")]     # a indexed, c new
+    part1 = [(20, f"{seg('c')} {seg('d')}")]     # c NOT indexed here:
+    # the static index was never updated, so epoch 1 keeps c AND d —
+    # exactly what the batch probe against the same index computes
+    stream_dir = tmp_path / "seg_stream"
+    stream_dir.mkdir()
+    for age, (name, rows) in enumerate(
+            (("part-0.parquet", part0), ("part-1.parquet", part1))):
+        pq.write_table(pa.table({
+            "doc_id": pa.array([i for i, _ in rows], pa.int64()),
+            "text": pa.array([t for _, t in rows], pa.string()),
+        }), str(stream_dir / name))
+        os.utime(str(stream_dir / name), (1_000_000 + age,) * 2)
+
+    sdf = (spark.readStream.schema("doc_id bigint, text string")
+           .option("maxFilesPerTrigger", "1")
+           .parquet(str(stream_dir)))
+    got = {}
+
+    def emit(clean, epoch_id):
+        got[epoch_id] = {tuple(r) for r in clean.collect()}
+
+    q = (segment_dedup_stream(sdf, idx, emit)
+         .option("checkpointLocation", str(tmp_path / "ckpt_seg"))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+
+    assert len(got) == 2
+    for epoch, rows in enumerate((part0, part1)):
+        batch = spark.createDataFrame(rows, "doc_id bigint, text string")
+        want = {tuple(r) for r in
+                segment_dedup_against_index(batch, idx).collect()}
+        assert got[epoch] == want, epoch
+    # and the epoch-1 content is the documented static-index semantics
+    assert any(r[3] == f"{seg('c')} {seg('d')}" for r in got[1])
