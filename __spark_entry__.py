@@ -19,6 +19,10 @@ from schema_inference_spark.driver_queries import (  # noqa: E402
     CORE_ORACLES,
     CORE_QUERIES,
 )
+from schema_inference_spark.driver_queries_conv import (  # noqa: E402
+    CONV_ORACLES,
+    CONV_QUERIES,
+)
 from schema_inference_spark.driver_queries_extras import (  # noqa: E402
     EXTRA_ORACLES,
     EXTRA_QUERIES,
@@ -53,8 +57,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {**CORE_QUERIES, **EXTRA_QUERIES}
+    return {**CORE_QUERIES, **EXTRA_QUERIES, **CONV_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {**CORE_ORACLES, **EXTRA_ORACLES}
+    return {**CORE_ORACLES, **EXTRA_ORACLES, **CONV_ORACLES}

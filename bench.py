@@ -19,10 +19,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from schema_inference_spark.driver_queries import CORE_QUERIES  # noqa: E402
+from schema_inference_spark.driver_queries_conv import CONV_QUERIES  # noqa: E402
 from schema_inference_spark.driver_queries_extras import EXTRA_QUERIES  # noqa: E402
 from schema_inference_spark.functions import get_spark  # noqa: E402
 
-ALL_QUERIES = {**CORE_QUERIES, **EXTRA_QUERIES}
+ALL_QUERIES = {**CORE_QUERIES, **EXTRA_QUERIES, **CONV_QUERIES}
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 

@@ -1,0 +1,171 @@
+"""Driver queries: temporal enrichment + conversation-level operators.
+
+`events` stands in for the transcripts table (user_id ~ conv_id,
+event_type ~ role, (ts, event_id) ~ the stable turn ordering of the
+per-turn invariant). Four fully oracle-gated queries:
+
+- asof_enrich      : operators/temporal.asof_join (union-window plan)
+                     vs DuckDB's native ASOF LEFT JOIN — the strongest
+                     possible oracle: a different algorithm entirely.
+- conv_assembly    : operators/conversations.assemble_conversations vs
+                     string_agg(... ORDER BY) — the SFT-export fold.
+- turn_transitions : transition_counts vs a lag-window GROUP BY.
+- protocol_check   : invalid_transitions violation rows vs the directly
+                     stated SQL rule (demo protocol: 'signup' may only
+                     follow 'view' or 'signup').
+
+Timestamp convention: epoch microseconds as bigint on both engines
+(Spark unix_micros after the NTZ->TIMESTAMP hop, DuckDB epoch_us) —
+exact integers, no double rounding at microsecond precision.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import functions as F
+
+from .driver_queries import _t
+
+EVENT_TYPES = ["click", "purchase", "signup", "view", "error"]
+# demo conversation protocol: a signup turn may only follow view/signup
+ALLOWED_TRANSITIONS = {
+    (a, b) for a in EVENT_TYPES for b in EVENT_TYPES
+    if not (b == "signup" and a not in ("view", "signup"))
+}
+
+
+def _us(col):
+    # NTZ needs the hop via TIMESTAMP before unix_micros (UTC session)
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+def q_asof_enrich(spark, sf_dir):
+    """For every planted 'error' event: the most recent purchase value
+    at-or-before it for the same user (the point-in-time enrichment a
+    validation run does to contextualize anomalies). Right side is
+    pre-aggregated to one row per (user, ts) so the as-of match is
+    tie-free on both engines."""
+    from .operators.temporal import asof_join
+    ev = _t(spark, sf_dir, "events")
+    pur = (ev.filter(F.col("event_type") == "purchase")
+             .groupBy("user_id", "ts")
+             .agg(F.max("value").alias("purchase_value")))
+    err = (ev.filter(F.col("event_type") == "error")
+             .select("event_id", "user_id", "ts"))
+    j = asof_join(err, pur, on=["user_id"], left_ts="ts", right_ts="ts",
+                  value_cols=["purchase_value"], direction="backward")
+    return (j.select(
+                "event_id", "user_id",
+                _us("ts").alias("err_us"),
+                F.unix_micros(F.col("matched_ts")).alias("purchase_us"),
+                F.round("purchase_value", 4).alias("purchase_value"))
+             .orderBy("event_id"))
+
+
+SQL_ASOF_ENRICH = """
+WITH err AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+), pur AS (
+  SELECT user_id, ts, max(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT e.event_id, e.user_id,
+       epoch_us(e.ts) AS err_us,
+       epoch_us(p.ts) AS purchase_us,
+       round(p.purchase_value, 4) AS purchase_value
+FROM err e ASOF LEFT JOIN pur p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+ORDER BY e.event_id
+"""
+
+
+def q_conv_assembly(spark, sf_dir):
+    """Fold each user's event stream into one export row (ordered type
+    sequence, count, span)."""
+    from .operators.conversations import assemble_conversations
+    ev = _t(spark, sf_dir, "events")
+    return (assemble_conversations(ev, key_col="user_id", ts_col="ts",
+                                   seq_col="event_type",
+                                   tiebreak_col="event_id")
+            .orderBy("user_id"))
+
+
+SQL_CONV_ASSEMBLY = """
+SELECT user_id,
+       count(*) AS n_turns,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS seq,
+       epoch_us(min(ts)) AS first_us,
+       epoch_us(max(ts)) AS last_us
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def q_turn_transitions(spark, sf_dir):
+    """Corpus-wide (prev -> cur) transition matrix."""
+    from .operators.conversations import transition_counts
+    ev = _t(spark, sf_dir, "events")
+    return (transition_counts(ev, key_col="user_id", ts_col="ts",
+                              seq_col="event_type", tiebreak_col="event_id")
+            .orderBy("prev", "cur"))
+
+
+SQL_TURN_TRANSITIONS = """
+WITH lagged AS (
+  SELECT event_type AS cur,
+         lag(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT prev, cur, count(*) AS n
+FROM lagged WHERE prev IS NOT NULL
+GROUP BY prev, cur
+ORDER BY prev, cur
+"""
+
+
+def q_protocol_check(spark, sf_dir):
+    """Violation rows for the demo protocol (signup only after
+    view/signup) — the conversation-protocol analog of D11, emitted
+    per-row like every other check."""
+    from .operators.conversations import invalid_transitions
+    ev = _t(spark, sf_dir, "events")
+    v = invalid_transitions(ev, key_col="user_id", ts_col="ts",
+                            seq_col="event_type", tiebreak_col="event_id",
+                            allowed=ALLOWED_TRANSITIONS,
+                            extra_cols=("event_id",))
+    return (v.select("user_id", _us("ts").alias("ts_us"),
+                     "prev", "cur", "event_id")
+             .orderBy("event_id"))
+
+
+SQL_PROTOCOL_CHECK = """
+WITH lagged AS (
+  SELECT user_id, event_id, ts, event_type AS cur,
+         lag(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT user_id, epoch_us(ts) AS ts_us, prev, cur, event_id
+FROM lagged
+WHERE prev IS NOT NULL
+  AND cur = 'signup' AND prev NOT IN ('view', 'signup')
+ORDER BY event_id
+"""
+
+
+CONV_QUERIES: Dict[str, Callable] = {
+    "asof_enrich": q_asof_enrich,
+    "conv_assembly": q_conv_assembly,
+    "turn_transitions": q_turn_transitions,
+    "protocol_check": q_protocol_check,
+}
+
+CONV_ORACLES: Dict[str, str] = {
+    "asof_enrich": SQL_ASOF_ENRICH,
+    "conv_assembly": SQL_CONV_ASSEMBLY,
+    "turn_transitions": SQL_TURN_TRANSITIONS,
+    "protocol_check": SQL_PROTOCOL_CHECK,
+}

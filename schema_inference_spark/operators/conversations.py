@@ -1,0 +1,111 @@
+"""Conversation-level operators over turn-per-row transcript tables.
+
+The north-rule input is turn-per-row (conv_id, turn_idx, role, text,
+tool, ts); training-data export and conversation-level QA both need the
+per-conversation view:
+
+- ``assemble_conversations``: fold each conversation's turns into ONE
+  row (ordered role/text sequence, turn count, time span) — the export
+  shape an SFT pipeline writes. One shuffle on the conversation key;
+  the per-group state is a single conversation (bounded by max dialogue
+  length, thousands of turns, never corpus-sized), so ``collect_list``
+  here is per-key bounded, not a driver collect. ``max_turns`` guards
+  against pathological mega-conversations by keeping the earliest N
+  turns (deterministic: the sort is by (ts, tiebreak) inside the
+  aggregated array, applied AFTER array_sort, so truncation is stable).
+- ``transition_counts``: the (prev -> cur) transition matrix over an
+  ordered per-key sequence (lag window + groupBy) — the corpus-level
+  fingerprint of dialogue structure. Drift in this matrix between
+  snapshots catches role-protocol regressions (e.g. assistant turns
+  that stop following user turns) that per-column stats never see.
+- ``invalid_transitions``: violation rows for transitions outside an
+  allowed set — the conversation-protocol analog of the D11 vocabulary
+  check, emitted in the same per-row violation shape so it composes
+  with the audit sink.
+
+All three are pure built-in-function plans (window + groupBy; no Python
+in the hot path) sharing one Exchange on the conversation key.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Set, Tuple
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assemble_conversations(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    seq_col: str,
+    tiebreak_col: str,
+    sep: str = ">",
+    max_turns: Optional[int] = None,
+) -> DataFrame:
+    """One row per key: ``n_turns``, ``seq`` (ordered ``seq_col`` values
+    joined by ``sep``), ``first_us``/``last_us`` (epoch microseconds of
+    the span). Ordering is (ts, tiebreak) — stable under the per-turn
+    text-equality invariant's "stable turn ordering" clause."""
+    ts = F.col(ts_col).cast("timestamp")
+    turn = F.struct(
+        F.unix_micros(ts).alias("us"),
+        F.col(tiebreak_col).alias("tb"),
+        F.col(seq_col).alias("v"))
+    turns = F.array_sort(F.collect_list(turn))
+    if max_turns is not None:
+        turns = F.slice(turns, 1, int(max_turns))
+    return (df
+            .groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("n_turns"),
+                 F.array_join(
+                     F.transform(turns, lambda x: x["v"]), sep).alias("seq"),
+                 F.unix_micros(F.min(ts)).alias("first_us"),
+                 F.unix_micros(F.max(ts)).alias("last_us")))
+
+
+def _with_prev(df: DataFrame, key_col: str, ts_col: str,
+               seq_col: str, tiebreak_col: str) -> Tuple[DataFrame, str]:
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).cast("timestamp"), F.col(tiebreak_col))
+    return df.withColumn("prev_" + seq_col,
+                         F.lag(seq_col).over(w)), "prev_" + seq_col
+
+
+def transition_counts(df: DataFrame, key_col: str, ts_col: str,
+                      seq_col: str, tiebreak_col: str) -> DataFrame:
+    """(prev, cur, n) transition matrix across all keys. The first turn
+    of each key has no predecessor and is excluded (count it separately
+    as the start-distribution if needed)."""
+    lagged, prev = _with_prev(df, key_col, ts_col, seq_col, tiebreak_col)
+    return (lagged
+            .filter(F.col(prev).isNotNull())
+            .groupBy(F.col(prev).alias("prev"), F.col(seq_col).alias("cur"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def invalid_transitions(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    seq_col: str,
+    tiebreak_col: str,
+    allowed: Set[Tuple[str, str]],
+    extra_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Violation rows: every turn whose (prev -> cur) transition is not
+    in ``allowed``. The allowed set is a protocol matrix (small — roles
+    x roles), broadcast as a literal array; the scan stays one window +
+    one filter, no second join. First turns (no predecessor) are never
+    violations — start-state validation is a separate vocabulary check."""
+    lagged, prev = _with_prev(df, key_col, ts_col, seq_col, tiebreak_col)
+    pairs = F.array(*[F.lit(f"{a}\x1f{b}") for a, b in sorted(allowed)])
+    edge = F.concat_ws("\x1f", F.col(prev), F.col(seq_col))
+    return (lagged
+            .filter(F.col(prev).isNotNull()
+                    & ~F.array_contains(pairs, edge))
+            .select(key_col, ts_col,
+                    F.col(prev).alias("prev"),
+                    F.col(seq_col).alias("cur"),
+                    *extra_cols))

@@ -1,0 +1,141 @@
+"""Temporal (as-of join) + conversation-level operators: semantics,
+oracle parity, and plan shape."""
+
+import datetime as dt
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from schema_inference_spark.driver_queries_conv import (
+    CONV_ORACLES,
+    CONV_QUERIES,
+)
+from schema_inference_spark.operators.conversations import (
+    assemble_conversations,
+    invalid_transitions,
+    transition_counts,
+)
+from schema_inference_spark.operators.temporal import asof_join
+
+from tests.test_driver_queries import duck_conn, normalize
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [(1, _ts("2026-01-01T00:00:10"), 100.0),
+         (1, _ts("2026-01-01T00:00:20"), 110.0),
+         (1, _ts("2026-01-01T00:00:40"), None),   # legit NULL payload
+         (2, _ts("2026-01-01T00:01:00"), 99.0)],
+        "k int, ts timestamp, v double")
+
+
+@pytest.fixture(scope="module")
+def probes(spark):
+    return spark.createDataFrame(
+        [(1, _ts("2026-01-01T00:00:05"), "p_before_any"),
+         (1, _ts("2026-01-01T00:00:10"), "p_exact"),
+         (1, _ts("2026-01-01T00:00:25"), "p_mid"),
+         (1, _ts("2026-01-01T00:00:50"), "p_after_null"),
+         (2, _ts("2026-01-01T00:00:30"), "p_no_prior"),
+         (3, _ts("2026-01-01T00:00:30"), "p_no_key")],
+        "k int, ts timestamp, pid string")
+
+
+def test_asof_backward_semantics(quotes, probes):
+    out = {r.pid: r for r in
+           asof_join(probes, quotes, on=["k"], value_cols=["v"]).collect()}
+    assert out["p_before_any"].matched_ts is None
+    assert out["p_exact"].v == 100.0          # inclusive at equal ts
+    assert out["p_mid"].v == 110.0
+    # the matched quote EXISTS but carries a NULL value — the struct
+    # wrapper must preserve it (not fall back to the previous quote)
+    assert out["p_after_null"].matched_ts == _ts("2026-01-01T00:00:40")
+    assert out["p_after_null"].v is None
+    assert out["p_no_prior"].matched_ts is None
+    assert out["p_no_key"].matched_ts is None
+
+
+def test_asof_forward_and_tolerance(quotes, probes):
+    fwd = {r.pid: r for r in
+           asof_join(probes, quotes, on=["k"], value_cols=["v"],
+                     direction="forward").collect()}
+    assert fwd["p_before_any"].v == 100.0     # nearest at-or-after
+    assert fwd["p_exact"].v == 100.0          # inclusive
+    assert fwd["p_mid"].matched_ts == _ts("2026-01-01T00:00:40")
+    assert fwd["p_after_null"].matched_ts is None
+
+    tol = {r.pid: r for r in
+           asof_join(probes, quotes, on=["k"], value_cols=["v"],
+                     tolerance_s=7.0).collect()}
+    assert tol["p_exact"].v == 100.0              # delta 0s <= 7
+    assert tol["p_mid"].v == 110.0                # delta 5s <= 7
+    assert tol["p_after_null"].matched_ts is None  # delta 10s > 7
+
+
+def test_asof_plan_single_exchange_no_amplification(quotes, probes):
+    """The union-window plan must shuffle once on the key and never
+    produce a nested-loop / cartesian join."""
+    plan = (asof_join(probes, quotes, on=["k"], value_cols=["v"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_assemble_conversations_max_turns(spark):
+    rows = [("c1", _ts(f"2026-01-01T00:00:{i:02d}"), i, f"t{i}")
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "cid string, ts timestamp, i long, v string")
+    full = assemble_conversations(df, "cid", "ts", "v", "i").first()
+    assert full.n_turns == 6 and full.seq == "t0>t1>t2>t3>t4>t5"
+    cut = assemble_conversations(df, "cid", "ts", "v", "i",
+                                 max_turns=3).first()
+    assert cut.seq == "t0>t1>t2"              # earliest-N, deterministic
+    assert cut.n_turns == 6                   # count is the TRUE length
+
+
+def test_transition_counts_and_protocol(spark):
+    rows = [("c1", _ts("2026-01-01T00:00:01"), 1, "user"),
+            ("c1", _ts("2026-01-01T00:00:02"), 2, "assistant"),
+            ("c1", _ts("2026-01-01T00:00:03"), 3, "user"),
+            ("c1", _ts("2026-01-01T00:00:04"), 4, "assistant"),
+            ("c2", _ts("2026-01-01T00:00:01"), 5, "user"),
+            ("c2", _ts("2026-01-01T00:00:02"), 6, "user")]   # violation
+    df = spark.createDataFrame(rows, "cid string, ts timestamp, i long, r string")
+    counts = {(r.prev, r.cur): r.n for r in
+              transition_counts(df, "cid", "ts", "r", "i").collect()}
+    assert counts == {("user", "assistant"): 2,
+                      ("assistant", "user"): 1,
+                      ("user", "user"): 1}
+    allowed = {("user", "assistant"), ("assistant", "user")}
+    viol = invalid_transitions(df, "cid", "ts", "r", "i", allowed,
+                               extra_cols=("i",)).collect()
+    assert len(viol) == 1
+    assert viol[0].cid == "c2" and viol[0].prev == "user" \
+        and viol[0].cur == "user" and viol[0].i == 6
+
+
+@pytest.mark.parametrize("name", sorted(CONV_ORACLES))
+def test_conv_query_matches_oracle(spark, sf_dir, name):
+    sdf = CONV_QUERIES[name](spark, sf_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duck_conn(sf_dir)
+    res = con.execute(CONV_ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    con.close()
+
+    assert sorted(spark_cols) == sorted(duck_cols), \
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    assert len(spark_rows) == len(duck_rows), \
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    assert normalize(spark_rows, spark_cols) == normalize(duck_rows, duck_cols), \
+        f"{name}: value mismatch"
