@@ -319,6 +319,48 @@ def check_ordering_blocked(df: DataFrame, snapshot_id: str,
 
 
 # ---------------------------------------------------------------------------
+# Conversation-protocol check: role-transition matrix (opt-in)
+# ---------------------------------------------------------------------------
+
+def check_role_protocol(df: DataFrame, snapshot_id: str,
+                        allowed, partition_col: str = "bucket"
+                        ) -> DataFrame:
+    """Violation rows for turns whose (prev_role -> role) transition is
+    outside the ``allowed`` protocol matrix — the conversation-protocol
+    analog of the D11 vocabulary check, at transition granularity.
+
+    ``allowed`` is a set of (prev, cur) string pairs (roles x roles —
+    tiny), compiled into a literal array tested per row inside
+    whole-stage codegen: no second join, no broadcast table. The window
+    is the SAME (conv_id ORDER BY turn_idx, ts) ordering the D12 checks
+    use (the stable-turn-ordering invariant), so under composition the
+    Exchange is shared. A conversation's first turn has no predecessor
+    and never violates (start-state validation is a vocabulary check).
+    A NULL role on either side of a transition is left to the D11
+    referential check — protocol rows require both roles present.
+
+    Ties on (turn_idx, ts) — e.g. duplicated turns — are broken by the
+    role string itself, so the transition sequence (and therefore the
+    violation set) is deterministic and identical between the batch and
+    streaming forms regardless of physical row order."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts", "role")
+    base = (df.select(partition_col, "conv_id", "turn_idx", "ts", "role")
+            .withColumn("_prev_role", F.lag("role").over(w)))
+    pairs = F.array(*[F.lit(f"{a}\x1f{b}") for a, b in sorted(allowed)])
+    bad = base.filter(
+        F.col("_prev_role").isNotNull() & F.col("role").isNotNull()
+        & ~F.array_contains(
+            pairs, F.concat_ws("\x1f", F.col("_prev_role"), F.col("role"))))
+    return _shape(
+        bad.withColumnRenamed(partition_col, "partition_id"),
+        snapshot_id, "role_protocol",
+        payload_col=F.to_json(F.struct(
+            F.col("_prev_role").alias("prev"),
+            F.col("role").alias("cur"))),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Fused row-level checks: D10 + D11 (x2) + D12 in ONE scan, ONE shuffle
 # ---------------------------------------------------------------------------
 

@@ -89,6 +89,7 @@ def validate(
     baseline_sketches: Optional[Dict[str, bytes]] = None,
     baseline_schema: Optional[Dict[str, Dict]] = None,
     contract: Optional[Dict[str, Dict]] = None,
+    role_protocol: Optional[set] = None,
     resume: bool = True,
     write_audit: bool = True,
     write_violations: Optional[bool] = None,
@@ -289,6 +290,23 @@ def validate(
                     violations = v_parts[0]
                     for v in v_parts[1:]:
                         violations = violations.unionByName(v)
+
+            if role_protocol:
+                # opt-in conversation-protocol check (role-transition
+                # matrix, checks.check_role_protocol). It needs the
+                # per-conv (turn_idx, ts) window, which the clustered
+                # kernel does not compute — so when enabled it adds one
+                # windowed pass over the tolerant read plan (shared with
+                # the D12 Exchange on the shuffle paths; a second scan
+                # on the clustered path, paid only by callers that
+                # configure a protocol).
+                if df is None:
+                    df = read_snapshot_tolerant(spark, catalog,
+                                                snapshot_id, pending,
+                                                census)
+                violations = violations.unionByName(
+                    C.check_role_protocol(df, snapshot_id, role_protocol,
+                                          partition_col))
 
             # -- driver-side violations: schema merge, drift, compat --------
             driver_rows: List[Dict] = list(inf.violations)

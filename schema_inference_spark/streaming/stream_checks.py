@@ -421,6 +421,93 @@ def conv_state_checks(sdf: DataFrame, snapshot_id: str,
 
 
 # ---------------------------------------------------------------------------
+# conversation-protocol check on a stream (role-transition matrix)
+# ---------------------------------------------------------------------------
+
+PROTO_STATE_SCHEMA = ("turn_idx array<bigint>, ts_us array<bigint>, "
+                      "bucket array<int>, role array<string>")
+
+
+def protocol_stream(sdf: DataFrame, snapshot_id: str, allowed,
+                    state_ttl_ms: int | None = None) -> DataFrame:
+    """Stateful stream form of ``checks.check_role_protocol``: per
+    conversation, every (prev_role -> role) transition outside the
+    ``allowed`` protocol matrix becomes a violation row (canonical
+    VIOLATION_DDL shape, check_id='role_protocol').
+
+    Same contract as ``conv_state_checks`` — UPDATE semantics (a touched
+    conversation re-emits its full current violation set; keep latest per
+    conv downstream), convergence to the batch check's rows once the
+    conversation is fully ingested (tested), state = the conversation's
+    (turn_idx, ts_us, bucket, role) arrays bounded by conversation
+    length, optional processing-time TTL eviction with the same
+    late-arrival tradeoff. Kept separate from conv_state_checks so the
+    protocol matrix stays opt-in there exactly as in the batch pipeline
+    (validate(role_protocol=...)).
+    """
+    allowed_set = {(a, b) for a, b in allowed}
+
+    def _viol(conv_id: str, turn: np.ndarray, ts_us: np.ndarray,
+              bucket: np.ndarray, role: np.ndarray) -> pd.DataFrame:
+        # same (turn_idx, ts, role) tie order as the batch check — a
+        # duplicated turn's transition sequence must not depend on
+        # arrival order (role cast to str: None sorts as 'None', fine —
+        # NULL-role transitions are skipped below anyway)
+        role_key = np.asarray([str(x) for x in role])
+        order = np.lexsort((role_key, ts_us, turn))
+        t, b, r = turn[order], bucket[order], role[order]
+        rows: List[Tuple] = []
+        for i in range(1, len(t)):
+            prev, cur = r[i - 1], r[i]
+            if prev is None or cur is None:
+                continue  # NULL roles belong to the D11 referential check
+            if (prev, cur) not in allowed_set:
+                rows.append((snapshot_id, int(b[i]), "role_protocol",
+                             None, None, None, conv_id, int(t[i]),
+                             json.dumps({"prev": prev, "cur": cur},
+                                        separators=(",", ":"))))
+        return pd.DataFrame(rows, columns=_VIOLATION_COLS)
+
+    def fn(key: Tuple[str], pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        conv_id = key[0]
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=_VIOLATION_COLS)
+            return
+        t_prev, s_prev, b_prev, r_prev = (state.get if state.exists
+                                          else ([], [], [], []))
+        t_new, s_new, b_new, r_new = [], [], [], []
+        for pdf in pdfs:
+            t_new.append(pdf["turn_idx"].to_numpy(dtype=np.int64))
+            s_new.append(pdf["ts"].astype("datetime64[us]")
+                         .to_numpy().astype(np.int64))
+            b_new.append(pdf["bucket"].to_numpy(dtype=np.int32))
+            r_new.append(pdf["role"].to_numpy(dtype=object))
+        turn = np.concatenate([np.asarray(t_prev, dtype=np.int64)] + t_new)
+        ts_us = np.concatenate([np.asarray(s_prev, dtype=np.int64)] + s_new)
+        bucket = np.concatenate([np.asarray(b_prev, dtype=np.int32)] + b_new)
+        role = np.concatenate(
+            [np.asarray(r_prev, dtype=object)] + r_new)
+        state.update((turn.tolist(), ts_us.tolist(), bucket.tolist(),
+                      [None if x is None else str(x) for x in role]))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        yield _viol(conv_id, turn, ts_us, bucket, role)
+
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if state_ttl_ms is not None else GroupStateTimeout.NoTimeout)
+    return (sdf.select("conv_id", "turn_idx", "ts", "bucket", "role")
+            .groupBy("conv_id")
+            .applyInPandasWithState(
+                fn,
+                outputStructType=VIOLATION_DDL,
+                stateStructType=PROTO_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=timeout))
+
+
+# ---------------------------------------------------------------------------
 # windowed column stats on a stream (D7, stream form)
 # ---------------------------------------------------------------------------
 
