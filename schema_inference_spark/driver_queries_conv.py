@@ -156,11 +156,49 @@ ORDER BY event_id
 """
 
 
+def q_transition_drift(spark, sf_dir):
+    """Structure drift: PSI terms of the transition matrix, first half
+    vs second half of the observed transition times."""
+    from .operators.conversations import transition_drift
+    ev = _t(spark, sf_dir, "events")
+    return (transition_drift(ev, key_col="user_id", ts_col="ts",
+                             seq_col="event_type", tiebreak_col="event_id")
+            .orderBy("prev", "cur"))
+
+
+SQL_TRANSITION_DRIFT = """
+WITH lagged AS (
+  SELECT epoch_us(ts) AS us, event_type AS cur,
+         lag(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), b AS (
+  SELECT * FROM lagged WHERE prev IS NOT NULL
+), m AS (
+  SELECT CAST(floor((min(us) + max(us)) / 2.0) AS BIGINT) AS mid FROM b
+), h AS (
+  SELECT prev, cur,
+         sum(CASE WHEN us < mid THEN 1 ELSE 0 END) AS n_early,
+         sum(CASE WHEN us >= mid THEN 1 ELSE 0 END) AS n_late
+  FROM b, m GROUP BY prev, cur
+)
+SELECT prev, cur, n_early, n_late,
+       round((greatest(n_late * 1.0 / sum(n_late) OVER (), 1e-6)
+              - greatest(n_early * 1.0 / sum(n_early) OVER (), 1e-6))
+             * ln(greatest(n_late * 1.0 / sum(n_late) OVER (), 1e-6)
+                  / greatest(n_early * 1.0 / sum(n_early) OVER (), 1e-6)),
+             4) AS psi_term
+FROM h
+ORDER BY prev, cur
+"""
+
+
 CONV_QUERIES: Dict[str, Callable] = {
     "asof_enrich": q_asof_enrich,
     "conv_assembly": q_conv_assembly,
     "turn_transitions": q_turn_transitions,
     "protocol_check": q_protocol_check,
+    "transition_drift": q_transition_drift,
 }
 
 CONV_ORACLES: Dict[str, str] = {
@@ -168,4 +206,5 @@ CONV_ORACLES: Dict[str, str] = {
     "conv_assembly": SQL_CONV_ASSEMBLY,
     "turn_transitions": SQL_TURN_TRANSITIONS,
     "protocol_check": SQL_PROTOCOL_CHECK,
+    "transition_drift": SQL_TRANSITION_DRIFT,
 }

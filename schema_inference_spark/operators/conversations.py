@@ -85,6 +85,48 @@ def transition_counts(df: DataFrame, key_col: str, ts_col: str,
             .agg(F.count(F.lit(1)).alias("n")))
 
 
+def transition_drift(df: DataFrame, key_col: str, ts_col: str,
+                     seq_col: str, tiebreak_col: str,
+                     eps: float = 1e-6) -> DataFrame:
+    """Distribution drift of the (prev -> cur) transition matrix between
+    the two time-halves of the corpus (split at the midpoint of the
+    observed transition-time range — exact integer arithmetic, no
+    quantile interpolation to disagree across engines). Output: one row
+    per observed transition with its early/late counts and its PSI
+    term ``(q-p)*ln(q/p)`` (both proportions clamped at ``eps``, the
+    same clamp drift.py uses); sum the terms for the matrix PSI.
+
+    This is the D13 drift check lifted from column VALUES to dialogue
+    STRUCTURE: a role-protocol regression (assistant turns that stop
+    following user turns) shifts this matrix while every per-column
+    distribution stays flat. Plan: one lag window + one
+    |roles|^2-cardinality aggregate; the global sums run over the tiny
+    aggregated matrix, never the corpus."""
+    lagged, prev = _with_prev(df, key_col, ts_col, seq_col, tiebreak_col)
+    base = (lagged.filter(F.col(prev).isNotNull())
+            .select(F.col(prev).alias("prev"),
+                    F.col(seq_col).alias("cur"),
+                    F.unix_micros(
+                        F.col(ts_col).cast("timestamp")).alias("_us")))
+    mid = base.agg(F.floor((F.min("_us") + F.max("_us")) / 2)
+                   .cast("bigint").alias("_mid"))
+    halves = (base.join(F.broadcast(mid))
+              .groupBy("prev", "cur")
+              .agg(F.sum(F.when(F.col("_us") < F.col("_mid"), 1)
+                         .otherwise(0)).alias("n_early"),
+                   F.sum(F.when(F.col("_us") >= F.col("_mid"), 1)
+                         .otherwise(0)).alias("n_late")))
+    # totals as a broadcast 1-row join (not a global window: that plans
+    # a single-partition WindowExec even over the tiny matrix)
+    tot = halves.agg(F.sum("n_early").alias("_tot_early"),
+                     F.sum("n_late").alias("_tot_late"))
+    p = F.greatest(F.col("n_early") / F.col("_tot_early"), F.lit(eps))
+    q = F.greatest(F.col("n_late") / F.col("_tot_late"), F.lit(eps))
+    return (halves.join(F.broadcast(tot))
+            .select("prev", "cur", "n_early", "n_late",
+                    F.round((q - p) * F.log(q / p), 4).alias("psi_term")))
+
+
 def invalid_transitions(
     df: DataFrame,
     key_col: str,

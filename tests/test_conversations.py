@@ -121,6 +121,39 @@ def test_transition_counts_and_protocol(spark):
         and viol[0].cur == "user" and viol[0].i == 6
 
 
+def test_transition_drift_detects_structure_shift(spark):
+    """Early half alternates user/assistant; late half degenerates to
+    user->user loops — the (user, user) cell must carry a large positive
+    PSI term and the vanished (user, assistant) cell a large one too,
+    while a structure-stable corpus stays ~0."""
+    from schema_inference_spark.operators.conversations import (
+        transition_drift,
+    )
+    rows = []
+    for c in range(4):
+        for i in range(20):
+            # first 10 turns alternate; last 10 are user->user
+            role = ("user" if (i >= 10 or i % 2 == 0) else "assistant")
+            rows.append((f"c{c}", _ts("2026-01-01T00:00:00")
+                         + dt.timedelta(seconds=i), i, role))
+    df = spark.createDataFrame(
+        rows, "cid string, ts timestamp, i long, r string")
+    terms = {(r.prev, r.cur): r.psi_term for r in
+             transition_drift(df, "cid", "ts", "r", "i").collect()}
+    assert terms[("user", "user")] > 1.0        # appears only late
+    assert terms[("user", "assistant")] > 1.0   # vanishes late
+    # stable corpus: every cell's term ~0
+    stable = [(f"c{c}", _ts("2026-01-01T00:00:00")
+               + dt.timedelta(seconds=i), i,
+               "user" if i % 2 == 0 else "assistant")
+              for c in range(4) for i in range(20)]
+    sdf = spark.createDataFrame(
+        stable, "cid string, ts timestamp, i long, r string")
+    sterms = [r.psi_term for r in
+              transition_drift(sdf, "cid", "ts", "r", "i").collect()]
+    assert all(abs(t) < 0.05 for t in sterms)
+
+
 @pytest.mark.parametrize("name", sorted(CONV_ORACLES))
 def test_conv_query_matches_oracle(spark, sf_dir, name):
     sdf = CONV_QUERIES[name](spark, sf_dir)
