@@ -508,6 +508,76 @@ def protocol_stream(sdf: DataFrame, snapshot_id: str, allowed,
 
 
 # ---------------------------------------------------------------------------
+# conversation assembly on a stream (TTL-finalized SFT export)
+# ---------------------------------------------------------------------------
+
+ASSEMBLY_OUT_SCHEMA = ("conv_id string, n_turns bigint, seq string, "
+                       "first_us bigint, last_us bigint")
+ASSEMBLY_STATE_SCHEMA = ("turn_idx array<bigint>, ts_us array<bigint>, "
+                         "val array<string>")
+
+
+def assembly_stream(sdf: DataFrame, seq_col: str = "role",
+                    idle_ms: int = 60_000, sep: str = ">") -> DataFrame:
+    """Streaming form of ``conversations.assemble_conversations``: a
+    conversation is EXPORTED (one assembled row — ordered sequence,
+    turn count, span) when it goes idle for ``idle_ms`` — the natural
+    close signal on an endless turn stream, where no other event says
+    "this dialogue is finished". Arriving turns only update state (no
+    emission); the TTL timeout assembles, emits once, and drops the
+    state, so each conversation costs exactly one output row and zero
+    state afterwards.
+
+    Ordering matches the batch fold: (ts, turn_idx, value). A turn that
+    arrives after its conversation was exported restarts the state and
+    would export a second partial row on the next idle — the standard
+    late-data tradeoff (size ``idle_ms`` like a watermark); downstream
+    dedup on conv_id keeps the first (complete-at-eviction) row. State
+    per key is one conversation's (turn_idx, ts_us, value) arrays —
+    bounded by dialogue length, same boundedness as the batch fold."""
+    def fn(key: Tuple[str], pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        conv_id = key[0]
+        cols = ["conv_id", "n_turns", "seq", "first_us", "last_us"]
+        if state.hasTimedOut:
+            t_prev, s_prev, v_prev = state.get
+            state.remove()
+            t = np.asarray(t_prev, dtype=np.int64)
+            s = np.asarray(s_prev, dtype=np.int64)
+            v = np.asarray(v_prev, dtype=object)
+            vk = np.asarray([str(x) for x in v])
+            order = np.lexsort((vk, t, s))
+            yield pd.DataFrame(
+                [(conv_id, len(t), sep.join(str(x) for x in v[order]),
+                  int(s.min()), int(s.max()))], columns=cols)
+            return
+        t_prev, s_prev, v_prev = (state.get if state.exists
+                                  else ([], [], []))
+        t_new, s_new, v_new = [], [], []
+        for pdf in pdfs:
+            t_new.append(pdf["turn_idx"].to_numpy(dtype=np.int64))
+            s_new.append(pdf["ts"].astype("datetime64[us]")
+                         .to_numpy().astype(np.int64))
+            v_new.append(pdf[seq_col].to_numpy(dtype=object))
+        turn = np.concatenate([np.asarray(t_prev, dtype=np.int64)] + t_new)
+        ts_us = np.concatenate([np.asarray(s_prev, dtype=np.int64)] + s_new)
+        val = np.concatenate([np.asarray(v_prev, dtype=object)] + v_new)
+        state.update((turn.tolist(), ts_us.tolist(),
+                      [None if x is None else str(x) for x in val]))
+        state.setTimeoutDuration(idle_ms)
+        yield pd.DataFrame(columns=cols)
+
+    return (sdf.select("conv_id", "turn_idx", "ts", F.col(seq_col))
+            .groupBy("conv_id")
+            .applyInPandasWithState(
+                fn,
+                outputStructType=ASSEMBLY_OUT_SCHEMA,
+                stateStructType=ASSEMBLY_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
+
+
+# ---------------------------------------------------------------------------
 # windowed column stats on a stream (D7, stream form)
 # ---------------------------------------------------------------------------
 

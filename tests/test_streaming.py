@@ -577,3 +577,72 @@ def test_segment_dedup_stream_matches_per_batch_probe(spark, tmp_path):
         assert got[epoch] == want, epoch
     # and the epoch-1 content is the documented static-index semantics
     assert any(r[3] == f"{seg('c')} {seg('d')}" for r in got[1])
+
+
+def test_assembly_stream_exports_on_idle(spark, tmp_path):
+    """assembly_stream: a conversation is exported once when idle past
+    the TTL, with the row equal to the batch fold over the same turns;
+    state is dropped (no re-emission while idle continues)."""
+    import datetime
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from schema_inference_spark.operators.conversations import (
+        assemble_conversations,
+    )
+    from schema_inference_spark.streaming.stream_checks import (
+        assembly_stream,
+        read_turn_stream,
+    )
+
+    stream_dir = tmp_path / "asm_stream"
+    (stream_dir / "bucket=0").mkdir(parents=True)
+    base = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+    rows = [("A", 0, "system"), ("A", 1, "user"), ("A", 2, "assistant"),
+            ("B", 0, "user"), ("B", 1, "assistant")]
+
+    def to_table(rs):
+        return pa.table({
+            "conv_id": pa.array([r[0] for r in rs], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rs], pa.int32()),
+            "role": pa.array([r[2] for r in rs], pa.string()),
+            "text": pa.array(["t"] * len(rs), pa.string()),
+            "tool": pa.array([None] * len(rs), pa.string()),
+            "ts": pa.array([base + datetime.timedelta(minutes=r[1])
+                            for r in rs], pa.timestamp("us", tz="UTC")),
+        })
+
+    pq.write_table(to_table(rows), str(stream_dir / "bucket=0" / "f1.parquet"))
+
+    sdf = read_turn_stream(spark, str(stream_dir))
+    out = assembly_stream(sdf, seq_col="role", idle_ms=300)
+    got = []
+
+    def collect(df, _epoch):
+        got.extend(tuple(r) for r in df.collect())
+
+    q = (out.writeStream.outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt_asm"))
+         .foreachBatch(collect)
+         .start())
+    try:
+        deadline = time.monotonic() + 90
+        while time.monotonic() < deadline and len(got) < 2:
+            time.sleep(0.2)
+        assert len(got) == 2
+        # equality with the batch fold over the same turns
+        bdf = spark.createDataFrame(
+            [(c, i, r, base + datetime.timedelta(minutes=i))
+             for (c, i, r) in rows],
+            "conv_id string, turn_idx int, role string, ts timestamp")
+        want = {tuple(r) for r in assemble_conversations(
+            bdf, "conv_id", "ts", "role", "turn_idx").collect()}
+        assert {tuple(r) for r in got} == want
+        # idle continues: no re-emission (state dropped at export)
+        n = len(got)
+        time.sleep(1.5)
+        assert len(got) == n
+    finally:
+        q.stop()
