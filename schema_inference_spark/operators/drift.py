@@ -107,3 +107,58 @@ def schema_drift_violation(snapshot_id: str, column: str,
         "conv_id": None, "turn_idx": None,
         "payload": json.dumps({"column": column}, sort_keys=True),
     }
+
+
+def transition_matrix(df, key_col: str = "conv_id", ts_col: str = "ts",
+                      seq_col: str = "role", tiebreak_col: str = "turn_idx"
+                      ) -> Dict:
+    """Collect a snapshot's (prev -> cur) transition matrix as a driver
+    dict — the aggregate is |roles|^2 rows (metadata-sized; the corpus
+    shuffles once on the conversation key, same Exchange as every other
+    per-key check). This is the STRUCTURE baseline the value-level KLL
+    baseline cannot express."""
+    from .conversations import transition_counts
+    rows = transition_counts(df, key_col, ts_col, seq_col,
+                             tiebreak_col).collect()
+    return {(r.prev, r.cur): int(r.n) for r in rows}
+
+
+def transition_drift_violation(snapshot_id: str, baseline: Dict,
+                               current: Dict,
+                               threshold: float = PSI_THRESHOLD
+                               ) -> Optional[Dict]:
+    """PSI between two transition matrices over the union of observed
+    cells (eps-clamped like psi_ks_from_sketches). Emits ONE
+    snapshot-level violation row when the matrix as a whole drifts,
+    naming the largest-term cell — a role-protocol regression
+    (assistant turns that stop following user turns) moves this matrix
+    while every per-column value distribution stays flat."""
+    cells = sorted(set(baseline) | set(current))
+    if not cells:
+        return None
+    tb = sum(baseline.values()) or 1
+    tc = sum(current.values()) or 1
+    eps = 1e-6
+    psi = 0.0
+    top_cell, top_term = None, float("-inf")
+    for cell in cells:
+        p = max(baseline.get(cell, 0) / tb, eps)
+        q = max(current.get(cell, 0) / tc, eps)
+        term = (q - p) * math.log(q / p)
+        psi += term
+        if term > top_term:
+            top_term, top_cell = term, cell
+    if psi <= threshold:
+        return None
+    return {
+        "snapshot_id": snapshot_id,
+        "partition_id": -1,
+        "check_id": "transition_drift",
+        "mgu_failure": None,
+        "schema_1": None, "schema_2": None,
+        "conv_id": None, "turn_idx": None,
+        "payload": json.dumps(
+            {"psi": round(psi, 6), "threshold": threshold,
+             "top_cell": list(top_cell), "top_term": round(top_term, 6)},
+            sort_keys=True),
+    }

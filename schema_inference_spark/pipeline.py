@@ -90,6 +90,7 @@ def validate(
     baseline_schema: Optional[Dict[str, Dict]] = None,
     contract: Optional[Dict[str, Dict]] = None,
     role_protocol: Optional[set] = None,
+    baseline_transitions: Optional[Dict] = None,
     resume: bool = True,
     write_audit: bool = True,
     write_violations: Optional[bool] = None,
@@ -291,25 +292,40 @@ def validate(
                     for v in v_parts[1:]:
                         violations = violations.unionByName(v)
 
-            if role_protocol:
-                # opt-in conversation-protocol check (role-transition
-                # matrix, checks.check_role_protocol). It needs the
-                # per-conv (turn_idx, ts) window, which the clustered
-                # kernel does not compute — so when enabled it adds one
-                # windowed pass over the tolerant read plan (shared with
-                # the D12 Exchange on the shuffle paths; a second scan
-                # on the clustered path, paid only by callers that
-                # configure a protocol).
+            if role_protocol or baseline_transitions:
+                # opt-in conversation-structure checks: the protocol
+                # matrix (checks.check_role_protocol) and/or the
+                # snapshot-vs-baseline transition drift. Both need the
+                # per-conv (turn_idx, ts) ordering, which the clustered
+                # kernel does not compute — so when enabled they add
+                # windowed passes over the tolerant read plan (sharing
+                # the D12 Exchange on the shuffle paths; extra scans on
+                # the clustered path, paid only by configured callers).
                 if df is None:
                     df = read_snapshot_tolerant(spark, catalog,
                                                 snapshot_id, pending,
                                                 census)
-                violations = violations.unionByName(
-                    C.check_role_protocol(df, snapshot_id, role_protocol,
-                                          partition_col))
+                if role_protocol:
+                    violations = violations.unionByName(
+                        C.check_role_protocol(df, snapshot_id,
+                                              role_protocol,
+                                              partition_col))
 
             # -- driver-side violations: schema merge, drift, compat --------
             driver_rows: List[Dict] = list(inf.violations)
+            if baseline_transitions:
+                # structure drift: this snapshot's transition matrix
+                # (|roles|^2 rows collected) vs the baseline's — one
+                # snapshot-level row when the matrix PSI drifts
+                from .operators.drift import (
+                    transition_drift_violation,
+                    transition_matrix,
+                )
+                cur_matrix = transition_matrix(df)
+                row = transition_drift_violation(
+                    snapshot_id, baseline_transitions, cur_matrix)
+                if row:
+                    driver_rows.append(row)
             if contract:
                 # protocol-conformance gate (the reference's
                 # :protocol-invoke / sub-schema check, algo_w.clj:223-248)
@@ -449,6 +465,16 @@ def baseline_from_result(result: ValidationResult) -> Dict:
     for r in result.snapshot_stats.select("column", "kll").collect():
         sketches[r.column] = bytes(r.kll) if r.kll is not None else None
     return {"sketches": sketches, "schema": result.table_schema}
+
+
+def transition_baseline(spark: SparkSession, catalog: SnapshotCatalog,
+                        snapshot_id: str) -> Dict:
+    """Collect a validated snapshot's role-transition matrix as the
+    structure baseline for ``validate(baseline_transitions=...)`` on the
+    next snapshot — the dialogue-structure analog of
+    ``baseline_from_result``'s value sketches."""
+    from .operators.drift import transition_matrix
+    return transition_matrix(catalog.read_snapshot(spark, snapshot_id))
 
 
 def bind_baseline(table_schema: Dict[str, Dict],

@@ -98,3 +98,42 @@ def test_protocol_stream_converges_to_batch(spark, catalog, fixture_root,
     got = {(s, int(p) if p is not None else None, c, m, s1, s2, cv,
             int(t), pl) for (s, p, c, m, s1, s2, cv, t, pl) in got}
     assert got == batch
+
+
+def test_transition_drift_violation_unit():
+    from schema_inference_spark.operators.drift import (
+        transition_drift_violation,
+    )
+    base = {("user", "assistant"): 500, ("assistant", "user"): 500}
+    # same structure -> no row (scale invariant: counts x10)
+    assert transition_drift_violation(
+        "s", base, {k: v * 10 for k, v in base.items()}) is None
+    # structure collapse: user->user loops appear, alternation halves
+    cur = {("user", "assistant"): 250, ("assistant", "user"): 250,
+           ("user", "user"): 500}
+    row = transition_drift_violation("s", base, cur)
+    assert row is not None and row["check_id"] == "transition_drift"
+    payload = json.loads(row["payload"])
+    assert payload["top_cell"] == ["user", "user"]
+    assert payload["psi"] > 0.25 and row["partition_id"] == -1
+
+
+def test_pipeline_transition_baseline(spark, catalog):
+    from schema_inference_spark.pipeline import transition_baseline
+    base = transition_baseline(spark, catalog, "s1")
+    assert base and all(isinstance(v, int) for v in base.values())
+    # self-comparison: structurally identical -> no drift row
+    res = validate(spark, catalog, "s1", baseline_transitions=base,
+                   resume=False, write_audit=False)
+    assert res.violations.filter(
+        "check_id = 'transition_drift'").count() == 0
+    # doctored baseline (alternation-only) vs the fixture's 4-role
+    # cycle -> the matrix PSI fires exactly one snapshot-level row
+    doctored = {("user", "assistant"): 1000, ("assistant", "user"): 1000}
+    res2 = validate(spark, catalog, "s1", baseline_transitions=doctored,
+                    resume=False, write_audit=False)
+    rows = res2.violations.filter(
+        "check_id = 'transition_drift'").collect()
+    assert len(rows) == 1 and rows[0].partition_id == -1
+    res.violations.unpersist(blocking=False)
+    res2.violations.unpersist(blocking=False)
