@@ -254,6 +254,37 @@ def near_dup_stream(sdf: DataFrame, index: DataFrame,
     return sdf.writeStream.foreachBatch(_probe)
 
 
+def asof_stream(sdf: DataFrame, reference: DataFrame, emit,
+                on, left_ts: str = "ts", right_ts: str = "ts",
+                value_cols=None, direction: str = "backward",
+                tolerance_s=None):
+    """Streaming form of ``operators.temporal.asof_join``: each arriving
+    micro-batch of probe rows is point-in-time enriched against a
+    static reference table (the latest model-config/tool-registry/quote
+    snapshot) and ``emit(enriched_df, epoch_id)`` receives the batch's
+    result.
+
+    Deliberately ``foreachBatch``, not a stateful stream-stream join:
+    Spark's stream-stream join buffers BOTH sides within watermark
+    bounds, but an as-of reference must stay addressable arbitrarily
+    far back (the match is "most recent at-or-before", unbounded) — a
+    watermark either evicts matches or holds unbounded state. The
+    reference is an artifact: refresh it off-path (append the new
+    reference rows, like the dedup index cycle) and the next
+    micro-batch joins the refreshed frame. Per batch the union-window
+    plan costs one Exchange of |batch|+|reference| rows on the key.
+
+    Returns the ``DataStreamWriter`` (caller adds checkpoint/trigger
+    and ``.start()``s it)."""
+    from ..operators.temporal import asof_join
+
+    def _enrich(batch_df: DataFrame, epoch_id: int) -> None:
+        emit(asof_join(batch_df, reference, on, left_ts, right_ts,
+                       value_cols, direction, tolerance_s), epoch_id)
+
+    return sdf.writeStream.foreachBatch(_enrich)
+
+
 def curation_stream(sdf: DataFrame, index: DataFrame, emit,
                     id_col: str = "doc_id", text_col: str = "text",
                     source_col: str = "source", **thresholds):
