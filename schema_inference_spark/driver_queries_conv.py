@@ -193,12 +193,140 @@ ORDER BY prev, cur
 """
 
 
+def q_turn_latency(spark, sf_dir):
+    """Inter-turn latency stats per (prev -> cur) transition — exact
+    integer microseconds (n / sum / min / max; mean is the consumer's
+    division)."""
+    from .operators.conversations import turn_latency
+    ev = _t(spark, sf_dir, "events")
+    return (turn_latency(ev, key_col="user_id", ts_col="ts",
+                         seq_col="event_type", tiebreak_col="event_id")
+            .orderBy("prev", "cur"))
+
+
+SQL_TURN_LATENCY = """
+WITH lagged AS (
+  SELECT event_type AS cur,
+         lag(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT prev, cur, count(*) AS n,
+       sum(gap_us) AS sum_gap_us,
+       min(gap_us) AS min_gap_us,
+       max(gap_us) AS max_gap_us
+FROM lagged WHERE prev IS NOT NULL
+GROUP BY prev, cur
+ORDER BY prev, cur
+"""
+
+
+PREFIX_K = 3
+
+
+def q_conv_prefix_groups(spark, sf_dir):
+    """Conversations sharing an identical first-3-turn sequence (the
+    branched-rollout / shared-seed detection primitive)."""
+    from .operators.conversations import conv_prefix_groups
+    ev = _t(spark, sf_dir, "events")
+    return (conv_prefix_groups(ev, key_col="user_id", ts_col="ts",
+                               seq_col="event_type", tiebreak_col="event_id",
+                               k=PREFIX_K)
+            .orderBy("prefix_seq"))
+
+
+SQL_CONV_PREFIX_GROUPS = f"""
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), p AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS prefix_seq
+  FROM r WHERE rn <= {PREFIX_K} GROUP BY user_id
+)
+SELECT prefix_seq, count(*) AS n_convs, min(user_id) AS canonical_id,
+       string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY user_id) AS members
+FROM p GROUP BY prefix_seq HAVING count(*) > 1
+ORDER BY prefix_seq
+"""
+
+
+def _tier_aug(cast: str) -> str:
+    """Deterministic FD corruption (same planting pattern as the PII /
+    dup augmentations): every user's derived plan tier is user_id % 3,
+    except rows with event_id % 101 = 0 report tier + 1 — those users'
+    ``user_id -> plan_tier`` dependency is violated by exactly one
+    extra tier value."""
+    return ("concat('tier_', CAST(user_id % 3 + CASE WHEN "
+            f"event_id % 101 = 0 THEN 1 ELSE 0 END AS {cast}))")
+
+
+def q_fd_check(spark, sf_dir):
+    """Functional-dependency check (operators/constraints.fd_violations)
+    over the planted tier corruption: one row per user whose derived
+    plan_tier is inconsistent across their events."""
+    from .operators.constraints import fd_violations
+    ev = (_t(spark, sf_dir, "events")
+          .withColumn("plan_tier", F.expr(_tier_aug("STRING"))))
+    return (fd_violations(ev, determinants=["user_id"],
+                          dependents=["plan_tier"])
+            .orderBy("user_id"))
+
+
+SQL_FD_CHECK = f"""
+WITH aug AS (SELECT user_id, {_tier_aug('VARCHAR')} AS plan_tier FROM events)
+SELECT user_id, count(*) AS n_rows,
+       count(DISTINCT plan_tier) AS n_distinct,
+       min(plan_tier) AS dep_min, max(plan_tier) AS dep_max
+FROM aug GROUP BY user_id
+HAVING count(DISTINCT plan_tier) > 1
+ORDER BY user_id
+"""
+
+
+_VALUE_AUG = ("CASE WHEN event_type = 'purchase' AND event_id % 97 = 0 "
+              "THEN -value ELSE value END")
+
+
+def q_implication_check(spark, sf_dir):
+    """Implication constraint (operators/constraints
+    .implication_violations): 'purchase implies value >= 0' over the
+    planted sign corruption — the offending rows themselves, the
+    zero-shuffle scan-filter check shape."""
+    from .operators.constraints import implication_violations
+    ev = (_t(spark, sf_dir, "events")
+          .withColumn("value", F.expr(_VALUE_AUG)))
+    v = implication_violations(ev,
+                               antecedent="event_type = 'purchase'",
+                               consequent="value >= 0",
+                               cols=["event_id", "user_id", "value"])
+    return (v.select("event_id", "user_id",
+                     F.round("value", 4).alias("value"))
+            .orderBy("event_id"))
+
+
+SQL_IMPLICATION_CHECK = f"""
+WITH aug AS (
+  SELECT event_id, user_id, event_type, {_VALUE_AUG} AS value FROM events)
+SELECT event_id, user_id, round(value, 4) AS value
+FROM aug
+WHERE event_type = 'purchase' AND NOT (value >= 0)
+ORDER BY event_id
+"""
+
+
 CONV_QUERIES: Dict[str, Callable] = {
     "asof_enrich": q_asof_enrich,
     "conv_assembly": q_conv_assembly,
     "turn_transitions": q_turn_transitions,
     "protocol_check": q_protocol_check,
     "transition_drift": q_transition_drift,
+    "turn_latency": q_turn_latency,
+    "conv_prefix_groups": q_conv_prefix_groups,
+    "fd_check": q_fd_check,
+    "implication_check": q_implication_check,
 }
 
 CONV_ORACLES: Dict[str, str] = {
@@ -207,4 +335,8 @@ CONV_ORACLES: Dict[str, str] = {
     "turn_transitions": SQL_TURN_TRANSITIONS,
     "protocol_check": SQL_PROTOCOL_CHECK,
     "transition_drift": SQL_TRANSITION_DRIFT,
+    "turn_latency": SQL_TURN_LATENCY,
+    "conv_prefix_groups": SQL_CONV_PREFIX_GROUPS,
+    "fd_check": SQL_FD_CHECK,
+    "implication_check": SQL_IMPLICATION_CHECK,
 }

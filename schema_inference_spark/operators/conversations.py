@@ -127,6 +127,73 @@ def transition_drift(df: DataFrame, key_col: str, ts_col: str,
                     F.round((q - p) * F.log(q / p), 4).alias("psi_term")))
 
 
+def turn_latency(df: DataFrame, key_col: str, ts_col: str,
+                 seq_col: str, tiebreak_col: str) -> DataFrame:
+    """Inter-turn latency statistics per (prev -> cur) transition: for
+    every adjacent turn pair within a key, the gap in exact epoch
+    microseconds, aggregated to (prev, cur, n, sum_gap_us, min_gap_us,
+    max_gap_us). Exact integers end to end — mean is the consumer's
+    sum/n division, so no float crosses the engine boundary.
+
+    The operational QA this feeds: a spike in user->assistant gap is a
+    serving regression; assistant->tool near-zero gaps with huge
+    tool->assistant gaps localize latency to the tool, not the model.
+    Plan: the same single lag window the other transition operators
+    share (one Exchange on the key) + one tiny |roles|^2 aggregate."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy("_k").orderBy(F.col("_us"), F.col("_tb"))
+    lagged = (df.select(F.col(seq_col).alias("cur"), us.alias("_us"),
+                        F.col(key_col).alias("_k"),
+                        F.col(tiebreak_col).alias("_tb"))
+              .withColumn("prev", F.lag("cur").over(w))
+              .withColumn("gap_us", F.col("_us") - F.lag("_us").over(w)))
+    return (lagged.filter(F.col("prev").isNotNull())
+            .groupBy("prev", "cur")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("gap_us").alias("sum_gap_us"),
+                 F.min("gap_us").alias("min_gap_us"),
+                 F.max("gap_us").alias("max_gap_us")))
+
+
+def conv_prefix_groups(df: DataFrame, key_col: str, ts_col: str,
+                       seq_col: str, tiebreak_col: str,
+                       k: int, sep: str = ">") -> DataFrame:
+    """Conversations sharing an identical first-``k``-turn sequence:
+    one row per shared prefix with ``n_convs``, the canonical (min) key
+    and the sorted member list. The branch-detection primitive for
+    agent-rollout corpora — N rollouts forked from one seed prompt
+    share their prefix verbatim, and training on all N overweights the
+    seed; this surfaces every such family.
+
+    Conversations shorter than ``k`` group by their full (shorter)
+    sequence — two 2-turn twins are still twins. Plan: one window
+    shuffle on the key (rank the first k turns), one groupBy per key
+    (bounded k-element fold), one groupBy on the prefix string.
+    At 100 TB the member list is the only unbounded output column —
+    for a pathologically shared prefix (empty seed) swap the
+    ``collect_list`` for the count + canonical and cap members via
+    ``slice``, same guidance as assemble_conversations' max_turns."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).cast("timestamp"), F.col(tiebreak_col))
+    ranked = (df.select(F.col(key_col).alias("_k"),
+                        F.col(seq_col).alias("_v"),
+                        F.row_number().over(w).alias("_rn"))
+              .filter(F.col("_rn") <= int(k)))
+    prefixes = (ranked.groupBy("_k")
+                .agg(F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct(F.col("_rn"), F.col("_v").alias("v")))),
+                        lambda x: x["v"]), sep).alias("prefix_seq")))
+    return (prefixes.groupBy("prefix_seq")
+            .agg(F.count(F.lit(1)).alias("n_convs"),
+                 F.min("_k").alias("canonical_id"),
+                 F.concat_ws(",", F.transform(
+                     F.array_sort(F.collect_list("_k")),
+                     lambda x: x.cast("string"))).alias("members"))
+            .filter(F.col("n_convs") > 1))
+
+
 def invalid_transitions(
     df: DataFrame,
     key_col: str,

@@ -154,6 +154,52 @@ def test_transition_drift_detects_structure_shift(spark):
     assert all(abs(t) < 0.05 for t in sterms)
 
 
+def test_turn_latency_exact_gaps(spark):
+    from schema_inference_spark.operators.conversations import turn_latency
+    base = _ts("2026-01-01T00:00:00")
+    rows = [("c1", base, 0, "user"),
+            ("c1", base + dt.timedelta(seconds=2), 1, "assistant"),
+            ("c1", base + dt.timedelta(seconds=5), 2, "user"),
+            ("c2", base, 0, "user"),
+            ("c2", base + dt.timedelta(seconds=7), 1, "assistant")]
+    df = spark.createDataFrame(rows, "cid string, ts timestamp, i long, r string")
+    out = {(r.prev, r.cur): r for r in
+           turn_latency(df, "cid", "ts", "r", "i").collect()}
+    ua = out[("user", "assistant")]
+    assert (ua.n, ua.sum_gap_us, ua.min_gap_us, ua.max_gap_us) == \
+        (2, 9_000_000, 2_000_000, 7_000_000)
+    au = out[("assistant", "user")]
+    assert (au.n, au.sum_gap_us) == (1, 3_000_000)
+    # first turns contribute no gap; cross-conversation pairs never pair
+    assert sum(r.n for r in out.values()) == 3
+
+
+def test_conv_prefix_groups_semantics(spark):
+    from schema_inference_spark.operators.conversations import (
+        conv_prefix_groups,
+    )
+    base = _ts("2026-01-01T00:00:00")
+
+    def conv(cid, seq):
+        return [(cid, base + dt.timedelta(seconds=i), i, r)
+                for i, r in enumerate(seq)]
+
+    rows = (conv(10, ["a", "b", "c", "x"])    # shares a>b>c with 2
+            + conv(2, ["a", "b", "c", "y", "z"])
+            + conv(3, ["a", "b", "d"])        # differs at turn 3
+            + conv(4, ["q", "r"])             # short twin of 5
+            + conv(5, ["q", "r"]))
+    df = spark.createDataFrame(rows, "cid long, ts timestamp, i long, r string")
+    out = {r.prefix_seq: r for r in
+           conv_prefix_groups(df, "cid", "ts", "r", "i", k=3).collect()}
+    assert set(out) == {"a>b>c", "q>r"}
+    g = out["a>b>c"]
+    assert g.n_convs == 2 and g.canonical_id == 2
+    assert g.members == "2,10", "members sort numerically, not lexically"
+    assert out["q>r"].members == "4,5", \
+        "conversations shorter than k group by their full sequence"
+
+
 @pytest.mark.parametrize("name", sorted(CONV_ORACLES))
 def test_conv_query_matches_oracle(spark, sf_dir, name):
     sdf = CONV_QUERIES[name](spark, sf_dir)
