@@ -87,3 +87,90 @@ def implication_violations(df: DataFrame,
     a = F.expr(antecedent) if isinstance(antecedent, str) else antecedent
     c = F.expr(consequent) if isinstance(consequent, str) else consequent
     return df.filter(a & ~c).select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline integration: declared rules -> canonical violation rows
+# ---------------------------------------------------------------------------
+#
+# A rule is a plain dict (declarative, serializable — a rule set can live
+# next to the table contract in the catalog):
+#   {"check_id": "tool_required", "kind": "implication",
+#    "when": "role = 'tool'", "then": "tool IS NOT NULL",
+#    "payload_cols": ["role", "tool"]}            # optional
+#   {"check_id": "conv_owner_fd", "kind": "fd",
+#    "determinants": ["conv_id"], "dependents": ["bucket"]}
+# pipeline.validate(rules=[...]) evaluates each against the snapshot scan
+# and unions the results with the D10-D12 violations.
+
+
+def implication_rule_violations(df, snapshot_id: str, check_id: str,
+                                when: str, then: str,
+                                payload_cols: Iterable[str] = (),
+                                partition_col: str = "bucket"):
+    """``when => then`` as canonical violation rows: one per offending
+    turn, carrying the rule text in (schema_1, schema_2) and the
+    offending row's ``payload_cols`` values as the JSON payload. Plan:
+    the same zero-shuffle scan filter as implication_violations."""
+    from .checks import _shape
+    pc = list(payload_cols)
+    bad = (df.filter(F.expr(when) & ~F.expr(then))
+           .select(F.col(partition_col).alias("partition_id"),
+                   "conv_id", "turn_idx", *pc))
+    payload = (F.to_json(F.struct(*[F.col(c) for c in pc]))
+               if pc else F.lit(None))
+    return _shape(bad, snapshot_id, check_id, payload_col=payload,
+                  mgu_failure=None,
+                  schema_1=F.lit(when), schema_2=F.lit(then))
+
+
+def fd_rule_violations(df, snapshot_id: str, check_id: str,
+                       determinants: Iterable[str],
+                       dependents: Iterable[str],
+                       partition_col: str = "bucket"):
+    """``determinants -> dependents`` as canonical violation rows: one
+    per violated determinant value (aggregate — partition_id is -1,
+    the snapshot-level slot: the conflict spans partitions by nature,
+    and -1 is where the verdict tally picks it up). schema_1/schema_2
+    carry
+    the two example conflicting dependent tuples (the same two-sided
+    shape as a merge conflict); the payload carries the determinant
+    value and the counts. conv_id is filled when the determinant IS the
+    conversation key, so downstream triage joins stay natural."""
+    from .checks import _shape
+    det = list(determinants)
+    v = fd_violations(df, det, dependents)
+    conv = (F.col("conv_id").cast("string") if det == ["conv_id"]
+            else F.lit(None))
+    payload = F.to_json(F.struct(
+        *[F.col(c) for c in det],
+        F.col("n_rows"), F.col("n_distinct")))
+    return _shape(
+        v.withColumn("partition_id", F.lit(-1).cast("int"))
+         .withColumn("conv_id", conv)
+         .withColumn("turn_idx", F.lit(None).cast("bigint")),
+        snapshot_id, check_id, payload_col=payload,
+        mgu_failure="non_equal",
+        schema_1=F.col("dep_min"), schema_2=F.col("dep_max"))
+
+
+def rules_violations(df, snapshot_id: str, rules,
+                     partition_col: str = "bucket"):
+    """Evaluate a declared rule list; returns ONE unioned violation
+    frame (or None for an empty list). Unknown kinds raise at plan
+    time — a misdeclared rule is a caller bug, not a data error."""
+    out = None
+    for r in rules:
+        kind = r["kind"]
+        if kind == "implication":
+            v = implication_rule_violations(
+                df, snapshot_id, r["check_id"], r["when"], r["then"],
+                r.get("payload_cols", ()), partition_col)
+        elif kind == "fd":
+            v = fd_rule_violations(
+                df, snapshot_id, r["check_id"], r["determinants"],
+                r["dependents"], partition_col)
+        else:
+            raise ValueError(f"unknown rule kind: {kind!r}")
+        out = v if out is None else out.unionByName(v)
+    return out

@@ -91,6 +91,7 @@ def validate(
     contract: Optional[Dict[str, Dict]] = None,
     role_protocol: Optional[set] = None,
     baseline_transitions: Optional[Dict] = None,
+    rules: Optional[List[Dict]] = None,
     resume: bool = True,
     write_audit: bool = True,
     write_violations: Optional[bool] = None,
@@ -292,7 +293,7 @@ def validate(
                     for v in v_parts[1:]:
                         violations = violations.unionByName(v)
 
-            if role_protocol or baseline_transitions:
+            if role_protocol or baseline_transitions or rules:
                 # opt-in conversation-structure checks: the protocol
                 # matrix (checks.check_role_protocol) and/or the
                 # snapshot-vs-baseline transition drift. Both need the
@@ -310,6 +311,15 @@ def validate(
                         C.check_role_protocol(df, snapshot_id,
                                               role_protocol,
                                               partition_col))
+                if rules:
+                    # declared row-rule constraints (implication rules
+                    # share the snapshot scan — zero extra shuffle; FD
+                    # rules add one aggregation on their determinant)
+                    from .operators.constraints import rules_violations
+                    rv = rules_violations(df, snapshot_id, rules,
+                                          partition_col)
+                    if rv is not None:
+                        violations = violations.unionByName(rv)
 
             # -- driver-side violations: schema merge, drift, compat --------
             driver_rows: List[Dict] = list(inf.violations)

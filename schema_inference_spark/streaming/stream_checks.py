@@ -734,3 +734,125 @@ def window_stats_stream(sdf: DataFrame, window_duration: str = "1 hour",
                     F.col("w.end").alias("w_end"),
                     "n_rows", "n_tool_null", "min_turn", "max_turn",
                     "avg_text_len"))
+
+
+# ---------------------------------------------------------------------------
+# declared rule constraints on a stream (operators/constraints.py twins)
+# ---------------------------------------------------------------------------
+
+def implication_rules_stream(sdf: DataFrame, snapshot_id: str,
+                             rules, partition_col: str = "bucket"
+                             ) -> DataFrame:
+    """Implication rules (``when => then``) on a turn stream: the batch
+    compiler (constraints.implication_rule_violations) is a pure
+    project+filter, so the SAME plan runs on a streaming frame —
+    stateless, append mode, zero state, row-identical to the batch
+    rows for the same data (asserted in tests). The ingest-time form
+    of validate(rules=[...])'s implication subset.
+
+    FD rules are deliberately NOT accepted here: they need cross-batch
+    per-determinant memory — that's ``fd_rule_stream`` below."""
+    from ..operators.constraints import implication_rule_violations
+    out = None
+    for r in rules:
+        if r["kind"] != "implication":
+            raise ValueError(
+                f"implication_rules_stream got kind={r['kind']!r}; "
+                "use fd_rule_stream for stateful FD rules")
+        v = implication_rule_violations(
+            sdf, snapshot_id, r["check_id"], r["when"], r["then"],
+            r.get("payload_cols", ()), partition_col)
+        out = v if out is None else out.unionByName(v)
+    return out
+
+
+# FD state: the distinct dependent tuples seen (their sentinel-joined
+# string forms, sorted) + total rows under the determinant
+FD_STATE_SCHEMA = "deps array<string>, n_rows bigint"
+
+
+def fd_rule_stream(sdf: DataFrame, snapshot_id: str, check_id: str,
+                   determinants, dependents,
+                   state_ttl_ms: int | None = None) -> DataFrame:
+    """Streaming functional-dependency rule: per determinant value the
+    state holds the distinct dependent tuples seen so far; every
+    micro-batch that grows a key past one distinct tuple re-emits that
+    key's CURRENT violation row (update mode), converging to the batch
+    ``fd_rule_violations`` row once the corpus is fully ingested
+    (asserted row-for-row in tests — including the payload JSON, so
+    the stream feed and the snapshot validate() stay interchangeable;
+    to_json omits null fields, so parity is over non-null determinant
+    values — a null determinant key is a data-quality problem the
+    vocabulary checks own).
+
+    Scale: state per key is the distinct dependent SET — bounded by the
+    dependent's true cardinality under that key (an FD that's violated
+    by millions of distinct values is not an FD; a rule author caps it
+    by choosing real dependencies). Keys are unbounded over an infinite
+    feed: ``state_ttl_ms`` evicts idle determinants (the standard
+    late-data tradeoff — a conflict split around an eviction
+    under-counts, same contract as dedup_stream). One shuffle on the
+    determinant; Arrow-batched, never per-row Python."""
+    from ..operators.constraints import _dep_key
+
+    det = list(determinants)
+    is_conv = det == ["conv_id"]
+    keyed = sdf.select(
+        *[F.col(c) for c in det],
+        _dep_key(list(dependents)).alias("_dep"))
+
+    def fn(key: Tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        cols = ["snapshot_id", "partition_id", "check_id", "mgu_failure",
+                "schema_1", "schema_2", "conv_id", "turn_idx", "payload"]
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=cols)
+            return
+        fresh: List[str] = []
+        for pdf in pdfs:
+            fresh.extend(str(v) for v in pdf["_dep"])
+        if state.exists:
+            prev_deps, prev_n = state.get
+            dep_set = set(prev_deps)
+        else:
+            dep_set, prev_n = set(), 0
+        dep_set.update(fresh)
+        n_rows = int(prev_n) + len(fresh)
+        state.update((sorted(dep_set), n_rows))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        if len(dep_set) <= 1:
+            yield pd.DataFrame(columns=cols)
+            return
+        # payload mirrors the batch to_json(struct(det..., n_rows,
+        # n_distinct)) byte-for-byte: same key order, compact separators
+        kv = {}
+        for c, v in zip(det, key):
+            if v is not None:
+                kv[c] = v.item() if hasattr(v, "item") else v
+        kv["n_rows"] = n_rows
+        kv["n_distinct"] = len(dep_set)
+        ordered = sorted(dep_set)
+        yield pd.DataFrame({
+            "snapshot_id": [snapshot_id],
+            "partition_id": [-1],
+            "check_id": [check_id],
+            "mgu_failure": ["non_equal"],
+            "schema_1": [ordered[0]],
+            "schema_2": [ordered[-1]],
+            "conv_id": [str(key[0]) if is_conv and key[0] is not None
+                        else None],
+            "turn_idx": [None],
+            "payload": [json.dumps(kv, separators=(",", ":"))],
+        })
+
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if state_ttl_ms is not None else GroupStateTimeout.NoTimeout)
+    return (keyed.groupBy(*det)
+            .applyInPandasWithState(
+                fn,
+                outputStructType=VIOLATION_DDL,
+                stateStructType=FD_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=timeout))
