@@ -173,11 +173,17 @@ def conv_prefix_groups(df: DataFrame, key_col: str, ts_col: str,
     for a pathologically shared prefix (empty seed) swap the
     ``collect_list`` for the count + canonical and cap members via
     ``slice``, same guidance as assemble_conversations' max_turns."""
-    w = Window.partitionBy(key_col).orderBy(
-        F.col(ts_col).cast("timestamp"), F.col(tiebreak_col))
-    ranked = (df.select(F.col(key_col).alias("_k"),
-                        F.col(seq_col).alias("_v"),
-                        F.row_number().over(w).alias("_rn"))
+    # alias BEFORE the window so the window's hashpartitioning(_k) is
+    # the same attribute the downstream groupBy("_k") needs — the per-key
+    # fold then reuses the window Exchange instead of adding one. The
+    # rn <= k filter compiles to WindowGroupLimit (partial+final): only
+    # <= k rows per key per input partition ride that one Exchange.
+    base = df.select(F.col(key_col).alias("_k"),
+                     F.col(seq_col).alias("_v"),
+                     F.col(ts_col).cast("timestamp").alias("_ts"),
+                     F.col(tiebreak_col).alias("_tb"))
+    w = Window.partitionBy("_k").orderBy(F.col("_ts"), F.col("_tb"))
+    ranked = (base.withColumn("_rn", F.row_number().over(w))
               .filter(F.col("_rn") <= int(k)))
     prefixes = (ranked.groupBy("_k")
                 .agg(F.array_join(
