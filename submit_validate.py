@@ -32,6 +32,11 @@ def main() -> int:
                     help="parquet sink for violation rows")
     ap.add_argument("--baseline", default=None,
                     help="JSON file: {column -> kll sketch hex} drift baseline")
+    ap.add_argument("--rules", default=None,
+                    help="JSON file: list of declared rule constraints "
+                         "(operators/constraints.py dicts — kind: "
+                         "implication|fd) evaluated with the built-in "
+                         "checks")
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 
@@ -48,8 +53,14 @@ def main() -> int:
             baseline_sketches = {k: bytes.fromhex(v) if v else None
                                  for k, v in json.load(f).items()}
 
+    rules = None
+    if args.rules:
+        with open(args.rules) as f:
+            rules = json.load(f)
+
     result = validate(spark, catalog, args.snapshot,
                       baseline_sketches=baseline_sketches,
+                      rules=rules,
                       resume=not args.no_resume)
 
     if args.violations_out:
