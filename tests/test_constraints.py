@@ -133,6 +133,30 @@ def test_validate_with_rules(spark, catalog):
         "partition_id = -1").collect()} == {"fail"}
 
 
+def test_rules_identical_across_check_paths(spark, catalog):
+    """Path parity (the repo's standing invariant, extended to rules):
+    the clustered and shuffle check paths must emit identical rule
+    violation rows — the rules evaluate over the tolerant read plan on
+    both, so this pins that the plumbing doesn't diverge."""
+    from schema_inference_spark.pipeline import validate
+
+    rules = [
+        {"check_id": "moderator_tool", "kind": "implication",
+         "when": "role = 'moderator'", "then": "tool IS NOT NULL",
+         "payload_cols": ["role"]},
+        {"check_id": "role_tool_fd", "kind": "fd",
+         "determinants": ["role"], "dependents": ["tool"]},
+    ]
+    kw = dict(rules=rules, resume=False, write_audit=False)
+    clustered = validate(spark, catalog, "s1", clustered_checks=True, **kw)
+    fused = validate(spark, catalog, "s1", clustered_checks=False, **kw)
+    pick = lambda res: sorted(  # noqa: E731
+        tuple(r) for r in res.violations.filter(
+            "check_id IN ('moderator_tool', 'role_tool_fd')").collect())
+    a, b = pick(clustered), pick(fused)
+    assert a == b and len(a) > 0
+
+
 def test_unknown_rule_kind_raises(spark, catalog):
     from schema_inference_spark.pipeline import validate
     with pytest.raises(ValueError, match="unknown rule kind"):
