@@ -317,6 +317,70 @@ ORDER BY event_id
 """
 
 
+# run-over-run repair/corruption planting for the violation diff: the
+# "current" run sees events where some protocol-violating signups were
+# repaired (event_id % 3 = 0 signups become views -> their violations
+# resolve) and some views were corrupted (event_id % 101 = 0 views
+# become errors -> any signup following one becomes a NEW violation)
+_REPAIR = ("CASE WHEN event_type = 'signup' AND event_id % 3 = 0 "
+           "THEN 'view' "
+           "WHEN event_type = 'view' AND event_id % 101 = 0 "
+           "THEN 'error' ELSE event_type END")
+
+
+def q_violation_diff(spark, sf_dir):
+    """Run-over-run violation regression diff
+    (operators/checks.violations_diff): the protocol check's violations
+    before vs after a planted repair+corruption pass, one row per
+    violation key with status new/resolved/persisting — the CI-gate
+    composition (validate run N vs run N+1)."""
+    from .operators.checks import violations_diff
+    from .operators.conversations import invalid_transitions
+
+    def viol(df):
+        return invalid_transitions(
+            df, key_col="user_id", ts_col="ts", seq_col="event_type",
+            tiebreak_col="event_id", allowed=ALLOWED_TRANSITIONS,
+            extra_cols=("event_id",))
+
+    ev = _t(spark, sf_dir, "events")
+    prev = viol(ev)
+    cur = viol(ev.withColumn("event_type", F.expr(_REPAIR)))
+    return (violations_diff(cur, prev, keys=["event_id"])
+            .orderBy("event_id"))
+
+
+SQL_VIOLATION_DIFF = f"""
+WITH lag_prev AS (
+  SELECT event_id, event_type AS cur,
+         lag(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), v_prev AS (
+  SELECT event_id FROM lag_prev
+  WHERE prev IS NOT NULL AND cur = 'signup'
+    AND prev NOT IN ('view', 'signup')
+), rep AS (
+  SELECT event_id, user_id, ts, {_REPAIR} AS event_type FROM events
+), lag_cur AS (
+  SELECT event_id, event_type AS cur,
+         lag(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM rep
+), v_cur AS (
+  SELECT event_id FROM lag_cur
+  WHERE prev IS NOT NULL AND cur = 'signup'
+    AND prev NOT IN ('view', 'signup')
+)
+SELECT coalesce(p.event_id, c.event_id) AS event_id,
+       CASE WHEN p.event_id IS NULL THEN 'new'
+            WHEN c.event_id IS NULL THEN 'resolved'
+            ELSE 'persisting' END AS status
+FROM v_prev p FULL OUTER JOIN v_cur c ON p.event_id = c.event_id
+ORDER BY event_id
+"""
+
+
 CONV_QUERIES: Dict[str, Callable] = {
     "asof_enrich": q_asof_enrich,
     "conv_assembly": q_conv_assembly,
@@ -327,6 +391,7 @@ CONV_QUERIES: Dict[str, Callable] = {
     "conv_prefix_groups": q_conv_prefix_groups,
     "fd_check": q_fd_check,
     "implication_check": q_implication_check,
+    "violation_diff": q_violation_diff,
 }
 
 CONV_ORACLES: Dict[str, str] = {
@@ -339,4 +404,5 @@ CONV_ORACLES: Dict[str, str] = {
     "conv_prefix_groups": SQL_CONV_PREFIX_GROUPS,
     "fd_check": SQL_FD_CHECK,
     "implication_check": SQL_IMPLICATION_CHECK,
+    "violation_diff": SQL_VIOLATION_DIFF,
 }

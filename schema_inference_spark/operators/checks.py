@@ -555,3 +555,34 @@ def vocab_diff(df: DataFrame, column: str, vocab: List[str]) -> DataFrame:
     vocab_df = spark.createDataFrame([(v,) for v in vocab], f"{column} string")
     return (df.select(column).filter(F.col(column).isNotNull())
             .distinct().exceptAll(vocab_df))
+
+
+# ---------------------------------------------------------------------------
+# run-over-run violation regression diff (the CI-gate shape)
+# ---------------------------------------------------------------------------
+
+def violations_diff(cur: DataFrame, prev: DataFrame,
+                    keys: List[str]) -> DataFrame:
+    """Diff two violation sets by ``keys``: one row per key with
+    ``status`` in {'new', 'resolved', 'persisting'} — "did this ingest
+    (or this repair) introduce or fix violations?" as a relational
+    check rather than an eyeball over two audit tables. The CI gate
+    consumes ``status = 'new'``; the repair queue drains on
+    ``'resolved'``.
+
+    Inputs are any two frames sharing the key columns (two snapshots'
+    violation stores read back via catalog.read_violations, or two
+    in-session check outputs). Duplicate keys within one side collapse
+    to one row (a key either violates or doesn't — multiplicity diffs
+    are a count check, not a set diff). Plan: two distinct aggregates +
+    ONE full-outer sort-merge join on the key — violation stores are
+    orders of magnitude smaller than the corpus, so this never touches
+    corpus rows."""
+    c = cur.select(*keys).distinct().withColumn("_c", F.lit(1))
+    p = prev.select(*keys).distinct().withColumn("_p", F.lit(1))
+    joined = c.join(p, on=keys, how="full_outer")
+    return joined.select(
+        *keys,
+        F.when(F.col("_p").isNull(), F.lit("new"))
+         .when(F.col("_c").isNull(), F.lit("resolved"))
+         .otherwise(F.lit("persisting")).alias("status"))

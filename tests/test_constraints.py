@@ -92,6 +92,17 @@ def test_implication_null_consequent_contract(spark):
     assert [r.id for r in strict] == [1, 2]
 
 
+def test_violations_diff_statuses(spark):
+    """Set-diff semantics: within-side duplicates collapse; the three
+    statuses partition the key union."""
+    from schema_inference_spark.operators.checks import violations_diff
+    cur = spark.createDataFrame([(1,), (2,), (2,)], "k long")
+    prev = spark.createDataFrame([(2,), (3,)], "k long")
+    out = {r.k: r.status for r in
+           violations_diff(cur, prev, ["k"]).collect()}
+    assert out == {1: "new", 2: "persisting", 3: "resolved"}
+
+
 def test_validate_with_rules(spark, catalog):
     """Declared rules run inside validate() and land in the canonical
     violation stream: an implication rule catches the planted
