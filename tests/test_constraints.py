@@ -4,6 +4,8 @@ semantics, the documented NULL contracts, and plan shape."""
 import json
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from schema_inference_spark.operators.constraints import (
@@ -90,6 +92,38 @@ def test_implication_null_consequent_contract(spark):
     strict = implication_violations(
         df, "et = 'purchase'", "coalesce(v >= 0, false)", ["id"]).collect()
     assert [r.id for r in strict] == [1, 2]
+
+
+# property: fd_violations agrees with a pure-Python model on arbitrary
+# small frames (keys 0-3, deps from a 3-value-or-NULL alphabet); 30
+# examples keeps the per-example Spark job cost bounded (the session
+# fixture is session-scoped, which hypothesis permits inside @given)
+_fd_rows = st.lists(
+    st.tuples(st.integers(0, 3),
+              st.sampled_from(["a", "b", "c", None])),
+    min_size=1, max_size=12)
+
+
+@settings(max_examples=30, deadline=None)
+@given(rows=_fd_rows)
+def test_fd_violations_matches_model(spark, rows):
+    df = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(rows)],
+        "k long, dep string, i long")
+    got = {r.k: (r.n_rows, r.n_distinct, r.dep_min, r.dep_max)
+           for r in fd_violations(df, ["k"], ["dep"]).collect()}
+
+    from schema_inference_spark.operators.constraints import _NULL_SENTINEL
+    model = {}
+    for k, v in rows:
+        model.setdefault(k, []).append(
+            _NULL_SENTINEL if v is None else v)
+    want = {}
+    for k, deps in model.items():
+        d = set(deps)
+        if len(d) > 1:
+            want[k] = (len(deps), len(d), min(d), max(d))
+    assert got == want
 
 
 def test_violations_diff_statuses(spark):
