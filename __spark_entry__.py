@@ -19,6 +19,10 @@ from schema_inference_spark.driver_queries import (  # noqa: E402
     CORE_ORACLES,
     CORE_QUERIES,
 )
+from schema_inference_spark.driver_queries_anomaly import (  # noqa: E402
+    ANOMALY_ORACLES,
+    ANOMALY_QUERIES,
+)
 from schema_inference_spark.driver_queries_conv import (  # noqa: E402
     CONV_ORACLES,
     CONV_QUERIES,
@@ -57,8 +61,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {**CORE_QUERIES, **EXTRA_QUERIES, **CONV_QUERIES}
+    return {**CORE_QUERIES, **EXTRA_QUERIES, **CONV_QUERIES,
+            **ANOMALY_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {**CORE_ORACLES, **EXTRA_ORACLES, **CONV_ORACLES}
+    return {**CORE_ORACLES, **EXTRA_ORACLES, **CONV_ORACLES,
+            **ANOMALY_ORACLES}
