@@ -19,11 +19,15 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from schema_inference_spark.driver_queries import CORE_QUERIES  # noqa: E402
+from schema_inference_spark.driver_queries_anomaly import (  # noqa: E402
+    ANOMALY_QUERIES,
+)
 from schema_inference_spark.driver_queries_conv import CONV_QUERIES  # noqa: E402
 from schema_inference_spark.driver_queries_extras import EXTRA_QUERIES  # noqa: E402
 from schema_inference_spark.functions import get_spark  # noqa: E402
 
-ALL_QUERIES = {**CORE_QUERIES, **EXTRA_QUERIES, **CONV_QUERIES}
+ALL_QUERIES = {**CORE_QUERIES, **EXTRA_QUERIES, **CONV_QUERIES,
+               **ANOMALY_QUERIES}
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
