@@ -736,6 +736,56 @@ def window_stats_stream(sdf: DataFrame, window_duration: str = "1 hour",
                     "avg_text_len"))
 
 
+def volume_stream(sdf: DataFrame, expected_daily: float,
+                  ts_col: str = "ts", low_bp: int = 5000,
+                  high_bp: int = 15000,
+                  watermark: str | None = None) -> DataFrame:
+    """Ingest-time twin of ``anomaly.volume_anomaly``: per-day row
+    counts verdicted against a SUPPLIED expected daily volume in basis
+    points (``low`` < ``low_bp``, ``high`` > ``high_bp``, else ``ok``).
+
+    Two deliberate asymmetries vs the batch operator, both inherent to
+    streaming rather than implementation shortcuts:
+
+    - the expectation is a parameter, not a computed median — a stream
+      cannot see the corpus history; operationally the value comes from
+      the last validated snapshot's batch profile (the median
+      ``volume_anomaly`` reports), so the stream judges arriving days
+      against the committed baseline, the same baseline-vs-current
+      shape as ``drift_stream``. The column is named ``expected_n``
+      (not ``median_n``) to keep that provenance visible.
+    - a MISSING day never self-reports: a day with zero rows produces
+      no window on a stream, so there is nothing to emit a verdict
+      from. Retrospective completeness (the densified calendar with
+      ``missing`` rows) stays the batch operator's job; the stream
+      covers the at-ingest low/high half of the contract. Row-value
+      convergence to the batch formula for every day that DOES arrive
+      is asserted in tests.
+
+    Scale shape: one built-in incremental window aggregation — |days|
+    state rows total, map-side partials absorb the per-batch volume
+    before the exchange (same argument as the batch groupBy). Complete
+    or update mode without a watermark; append with one.
+    """
+    base = sdf
+    if watermark is not None:
+        base = base.withWatermark(ts_col, watermark)
+    exp = F.lit(float(expected_daily))
+    counts = (base.groupBy(F.window(ts_col, "1 day").alias("w"))
+              .agg(F.count(F.lit(1)).alias("n_rows")))
+    n = F.col("n_rows")
+    ratio = F.floor(n.cast("double") * 10000.0 / exp).cast("bigint")
+    verdict = (F.when(ratio < low_bp, F.lit("low"))
+               .when(ratio > high_bp, F.lit("high"))
+               .otherwise(F.lit("ok")))
+    return counts.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+        n.alias("n_rows"),
+        F.round(exp, 4).alias("expected_n"),
+        ratio.alias("ratio_bp"),
+        verdict.alias("verdict"))
+
+
 # ---------------------------------------------------------------------------
 # declared rule constraints on a stream (operators/constraints.py twins)
 # ---------------------------------------------------------------------------

@@ -646,3 +646,36 @@ def test_assembly_stream_exports_on_idle(spark, tmp_path):
         assert len(got) == n
     finally:
         q.stop()
+
+
+def test_volume_stream_matches_batch(spark, snap_dir, batch_df, tmp_path):
+    """Per-day volume verdicts on the stream converge row-for-row to the
+    batch formula for every day that arrives, given the batch profile's
+    median as the expectation; batch-'missing' days are exactly the days
+    the stream (by design) never emits."""
+    from schema_inference_spark.operators.anomaly import volume_anomaly
+    from schema_inference_spark.streaming.stream_checks import volume_stream
+
+    batch = volume_anomaly(batch_df, "ts").collect()
+    med = batch[0].median_n
+
+    sdf = read_turn_stream(spark, snap_dir, max_files_per_trigger=4)
+    out = volume_stream(sdf, expected_daily=med)
+    q = (out.writeStream.outputMode("complete")
+         .format("memory").queryName("vol_stream")
+         .option("checkpointLocation", str(tmp_path / "ckpt_vol"))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r.day: r for r in spark.table("vol_stream").collect()}
+    present = {r.day: r for r in batch if r.n_rows > 0}
+    missing = [r.day for r in batch if r.n_rows == 0]
+    assert len(present) > 1           # fixture spans multiple days
+    assert set(got) == set(present)   # every arrived day emitted once
+    for day, r in got.items():
+        b = present[day]
+        assert (r.n_rows, r.ratio_bp) == (b.n_rows, b.ratio_bp)
+        assert r.expected_n == b.median_n
+        assert r.verdict == b.verdict  # never 'missing' for arrived days
+    assert all(d not in got for d in missing)
