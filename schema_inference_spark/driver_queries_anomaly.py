@@ -198,11 +198,135 @@ ORDER BY event_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Embedding quality: planted corruption — every 89th vector zeroed
+# (zero_norm), every 97th gets a NaN element 0 (nonfinite), every 101st
+# truncated to 63 elements (bad_dim). Norms are fixed-point bigints
+# (floor(double(x)*1e6)^2 summed) so both engines hash byte-identically:
+# float->double widening, double multiply, and floor are IEEE-exact.
+# ---------------------------------------------------------------------------
+
+def _corrupted_embeddings(spark, sf_dir):
+    emb = F.col("embedding")
+    vid = F.col("vec_id")
+    zero = F.transform(emb, lambda x: F.lit(0.0).cast("float"))
+    nan_head = F.concat(F.array(F.lit(float("nan")).cast("float")),
+                        F.slice(emb, 2, 63))
+    planted = (F.when(vid % 89 == 0, zero)
+               .when(vid % 97 == 0, nan_head)
+               .when(vid % 101 == 0, F.slice(emb, 1, 63))
+               .otherwise(emb))
+    return (_t(spark, sf_dir, "embeddings")
+            .select("vec_id", planted.alias("embedding")))
+
+
+def q_embedding_quality(spark, sf_dir):
+    from .operators import embeddings as E
+    q = E.embedding_quality(_corrupted_embeddings(spark, sf_dir),
+                            expected_dim=64)
+    return q.filter(F.col("verdict") != "ok").orderBy("vec_id")
+
+
+SQL_EMBEDDING_QUALITY = """
+WITH v AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 89 = 0
+              THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+              WHEN vec_id % 97 = 0
+              THEN list_concat([CAST('nan' AS FLOAT)], embedding[2:])
+              WHEN vec_id % 101 = 0
+              THEN embedding[1:63]
+              ELSE embedding END AS emb
+  FROM embeddings),
+q AS (
+  SELECT vec_id,
+         CAST(len(emb) AS INTEGER) AS dim,
+         CAST(len(emb) - len(list_filter(emb, x -> isfinite(x)))
+              AS BIGINT) AS n_nonfinite,
+         CAST(coalesce(list_sum(list_transform(
+                list_filter(emb, x -> isfinite(x)),
+                x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)
+                   * CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT))),
+              0) AS BIGINT) AS norm_sq_fp
+  FROM v)
+SELECT vec_id, dim, n_nonfinite, norm_sq_fp,
+       CASE WHEN dim <> 64 THEN 'bad_dim'
+            WHEN n_nonfinite > 0 THEN 'nonfinite'
+            WHEN norm_sq_fp = 0 THEN 'zero_norm'
+            ELSE 'ok' END AS verdict
+FROM q
+WHERE dim <> 64 OR n_nonfinite > 0 OR norm_sq_fp = 0
+ORDER BY vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding norm fences: the corpus is unit-normalized (norm_sq_fp
+# ~ 1e12 within +-4e6), so rescaled vectors are planted — every 79th
+# vector scaled x0.5 (low_norm), every 83rd x2 (high_norm). Powers of
+# two are EXACT in float arithmetic, so both engines see identical
+# floats; ratio is floored basis points of the ok-population median.
+# ---------------------------------------------------------------------------
+
+def q_embedding_norm_fence(spark, sf_dir):
+    from .operators import embeddings as E
+    emb = F.col("embedding")
+    vid = F.col("vec_id")
+    half = F.transform(emb, lambda x: (x * F.lit(0.5).cast("float"))
+                       .cast("float"))
+    twice = F.transform(emb, lambda x: (x * F.lit(2.0).cast("float"))
+                        .cast("float"))
+    planted = (F.when(vid % 79 == 0, half)
+               .when(vid % 83 == 0, twice)
+               .otherwise(emb))
+    df = (_t(spark, sf_dir, "embeddings")
+          .select("vec_id", planted.alias("embedding")))
+    q = E.embedding_quality(df, expected_dim=64)
+    return (E.embedding_norm_fences(q, low_bp=9000, high_bp=11000)
+            .select("vec_id", "norm_sq_fp", "ratio_bp", "fence")
+            .orderBy("vec_id"))
+
+
+SQL_EMBEDDING_NORM_FENCE = """
+WITH v AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 79 = 0
+              THEN list_transform(embedding,
+                     x -> CAST(x * CAST(0.5 AS FLOAT) AS FLOAT))
+              WHEN vec_id % 83 = 0
+              THEN list_transform(embedding,
+                     x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT))
+              ELSE embedding END AS emb
+  FROM embeddings),
+q AS (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(
+                list_filter(emb, x -> isfinite(x)),
+                x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)
+                   * CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)))
+              AS BIGINT) AS norm_sq_fp
+  FROM v),
+m AS (SELECT median(norm_sq_fp) AS med FROM q),
+r AS (
+  SELECT vec_id, norm_sq_fp,
+         CAST(floor(norm_sq_fp * 10000.0 / med) AS BIGINT) AS ratio_bp
+  FROM q, m)
+SELECT vec_id, norm_sq_fp, ratio_bp,
+       CASE WHEN ratio_bp < 9000 THEN 'low_norm'
+            ELSE 'high_norm' END AS fence
+FROM r
+WHERE ratio_bp < 9000 OR ratio_bp > 11000
+ORDER BY vec_id
+"""
+
+
 ANOMALY_QUERIES = {
     "outlier_fences": q_outlier_fences,
     "volume_anomaly": q_volume_anomaly,
     "key_skew": q_key_skew,
     "snapshot_diff": q_snapshot_diff,
+    "embedding_quality": q_embedding_quality,
+    "embedding_norm_fence": q_embedding_norm_fence,
 }
 
 ANOMALY_ORACLES = {
@@ -210,4 +334,6 @@ ANOMALY_ORACLES = {
     "volume_anomaly": SQL_VOLUME_ANOMALY,
     "key_skew": SQL_KEY_SKEW,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
+    "embedding_quality": SQL_EMBEDDING_QUALITY,
+    "embedding_norm_fence": SQL_EMBEDDING_NORM_FENCE,
 }
