@@ -138,6 +138,46 @@ def pii_stream(sdf: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# stateless: embedding quality on a vector ingest feed (embeddings.py,
+# stream form)
+# ---------------------------------------------------------------------------
+
+EMBEDDING_STREAM_SCHEMA = "vec_id bigint, embedding array<float>"
+
+
+def read_embedding_stream(spark: SparkSession, snapshot_dir: str,
+                          max_files_per_trigger: int | None = None
+                          ) -> DataFrame:
+    """File-source stream over a directory of embedding parquet files —
+    the sandbox stand-in for a vector ingest feed (encoder output
+    landing next to the turn stream)."""
+    reader = spark.readStream.schema(EMBEDDING_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    return reader.parquet(snapshot_dir)
+
+
+def embedding_stream(sdf: DataFrame, vec_col: str = "embedding",
+                     id_col: str = "vec_id",
+                     expected_dim: int = 64) -> DataFrame:
+    """Ingest-time twin of ``embeddings.embedding_quality``: vectors
+    failing any per-row quality verdict (null, wrong dimension,
+    NaN/Inf elements, zero norm), surfaced as they land so a bad
+    encoder deploy is caught in the batch it ships in, not at the next
+    snapshot validation. Same column expressions as the batch operator
+    (batch row-identity asserted in tests); stateless project+filter,
+    append mode, zero state — the quarantine-queue feed shape. Norm
+    FENCES stay batch-side by design: they need the corpus median,
+    which a stream cannot see (the same asymmetry as
+    ``volume_stream``'s supplied expectation)."""
+    from ..operators.embeddings import embedding_quality
+    return (embedding_quality(sdf, vec_col=vec_col, id_col=id_col,
+                              expected_dim=expected_dim)
+            .filter(F.col("verdict") != "ok"))
+
+
+# ---------------------------------------------------------------------------
 # stateful: streaming exact dedup on a document ingest feed (dedup.py,
 # stream form)
 # ---------------------------------------------------------------------------

@@ -679,3 +679,63 @@ def test_volume_stream_matches_batch(spark, snap_dir, batch_df, tmp_path):
         assert r.expected_n == b.median_n
         assert r.verdict == b.verdict  # never 'missing' for arrived days
     assert all(d not in got for d in missing)
+
+
+def test_embedding_stream_matches_batch(spark, tmp_path):
+    """embedding_stream is the stateless stream form of
+    embeddings.embedding_quality: streaming the files in micro-batches
+    yields exactly the batch operator's non-ok rows, once each (append
+    mode), with identical measurements."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from schema_inference_spark.operators.embeddings import embedding_quality
+    from schema_inference_spark.streaming.stream_checks import (
+        embedding_stream,
+        read_embedding_stream,
+    )
+
+    stream_dir = tmp_path / "emb_stream"
+    stream_dir.mkdir()
+    nan, inf = float("nan"), float("inf")
+    vecs = [
+        (0, [0.5, -0.25, 0.125, 0.75]),       # ok
+        (1, [0.0, 0.0, 0.0, 0.0]),            # zero_norm
+        (2, [nan, 0.5, 0.25, 0.1]),           # nonfinite
+        (3, [0.5, -0.25, 0.125]),             # bad_dim
+        (4, None),                             # null_vec
+        (5, [0.1, 0.2, 0.3, 0.4]),            # ok
+        (6, [inf, 1.0, 1.0, 1.0]),            # nonfinite
+        (7, [0.9, 0.8, 0.7, 0.6, 0.5]),       # bad_dim (too long)
+    ]
+    typ = pa.list_(pa.float32())
+    for i, chunk in enumerate((vecs[:4], vecs[4:])):
+        t = pa.table({
+            "vec_id": pa.array([v[0] for v in chunk], pa.int64()),
+            "embedding": pa.array([v[1] for v in chunk], typ),
+        })
+        pq.write_table(t, str(stream_dir / f"part-{i}.parquet"))
+
+    sdf = read_embedding_stream(spark, str(stream_dir),
+                                max_files_per_trigger=1)
+    got = []
+    q = (embedding_stream(sdf, expected_dim=4)
+         .writeStream.outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_emb"))
+         .foreachBatch(lambda df, _eid: got.extend(df.collect()))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+
+    batch = spark.read.schema(
+        "vec_id bigint, embedding array<float>").parquet(str(stream_dir))
+    want = {r.vec_id: r for r in
+            embedding_quality(batch, expected_dim=4)
+            .filter(F.col("verdict") != "ok").collect()}
+    got_by_id = {r.vec_id: r for r in got}
+    assert set(got_by_id) == set(want) == {1, 2, 3, 4, 6, 7}
+    assert len(got) == len(got_by_id)  # append mode: no duplicates
+    for vid, w in want.items():
+        g = got_by_id[vid]
+        assert (g.dim, g.n_nonfinite, g.norm_sq_fp, g.verdict) == \
+            (w.dim, w.n_nonfinite, w.norm_sq_fp, w.verdict), vid
