@@ -1284,6 +1284,60 @@ def q_multimodal_features(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+# ---------------------------------------------------------------------------
+# Text validity: planted encoding corruption — every 61st doc gets a
+# raw BEL control byte prepended (control_chars), every 67th a U+FFFD
+# replacement char appended (replacement_char), every 71st is blanked
+# to whitespace (empty). Both engines derive the identical corrupted
+# view from pristine parquet; the character-class regex counts match
+# between Java regex and RE2.
+# ---------------------------------------------------------------------------
+
+def q_text_validity(spark, sf_dir):
+    from .operators import textstats as TSV
+    did = F.col("doc_id")
+    t = F.col("text")
+    planted = (F.when(did % 61 == 0, F.concat(F.lit("\x07"), t))
+               .when(did % 67 == 0, F.concat(t, F.lit("�")))
+               .when(did % 71 == 0, F.lit("   "))
+               .otherwise(t))
+    df = (_t(spark, sf_dir, "documents")
+          .select("doc_id", planted.alias("text")))
+    return (TSV.text_validity(df)
+            .filter(F.col("verdict") != "ok")
+            .orderBy("doc_id"))
+
+
+SQL_TEXT_VALIDITY = r"""
+WITH v AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 61 = 0 THEN chr(7) || text
+              WHEN doc_id % 67 = 0 THEN text || chr(65533)
+              WHEN doc_id % 71 = 0 THEN '   '
+              ELSE text END AS text
+  FROM documents),
+q AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         CAST(len(regexp_extract_all(text,
+              '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]')) AS BIGINT) AS n_control,
+         CAST(len(regexp_extract_all(text, chr(65533))) AS BIGINT)
+           AS n_replacement,
+         length(trim(text)) AS n_trimmed
+  FROM v)
+SELECT doc_id, n_chars, n_control, n_replacement,
+       CASE WHEN n_chars IS NULL THEN 'null_text'
+            WHEN n_trimmed = 0 THEN 'empty'
+            WHEN n_control > 0 THEN 'control_chars'
+            WHEN n_replacement > 0 THEN 'replacement_char'
+            ELSE 'ok' END AS verdict
+FROM q
+WHERE n_chars IS NULL OR n_trimmed = 0 OR n_control > 0
+   OR n_replacement > 0
+ORDER BY doc_id
+"""
+
+
 EXTRA_QUERIES: Dict[str, Callable] = {
     "dedup_exact": q_dedup_exact,
     "dedup_segments": q_dedup_segments,
@@ -1302,6 +1356,7 @@ EXTRA_QUERIES: Dict[str, Callable] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_incremental": q_ann_incremental,
     "token_counts": q_token_counts,
+    "text_validity": q_text_validity,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -1332,6 +1387,7 @@ EXTRA_ORACLES: Dict[str, str] = {
     "cosine_near_dup": SQL_COSINE_NEAR_DUP,
     "cosine_near_dup_lsh": SQL_COSINE_NEAR_DUP_LSH,
     "token_counts": SQL_TOKEN_COUNTS,
+    "text_validity": SQL_TEXT_VALIDITY,
     "quality_score": SQL_QUALITY_SCORE,
     "lang_id": SQL_LANG_ID,
     "fingerprint": SQL_FINGERPRINT,

@@ -325,3 +325,47 @@ def top_terms_per_doc(df: DataFrame, k: int = 3,
                     F.col("tf").cast("bigint").alias("tf"),
                     F.col("df").cast("bigint").alias("df"), "score_bp")
             .orderBy("doc_id", "rank"))
+
+
+# control chars except \t \n \r — the bytes a healthy transcript never
+# contains; identical character-class semantics in Java regex and RE2,
+# so the Spark expression and the DuckDB oracle count the same matches
+CONTROL_CHAR_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+REPLACEMENT_CHAR = "�"
+
+
+def text_validity(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Encoding-corruption verdicts per document: the text-column twin
+    of ``embeddings.embedding_quality`` (value-domain checks the type
+    system cannot see). Catches how transcript text actually rots:
+    NULL payloads, whitespace-only/empty turns from truncated writes,
+    raw control bytes from terminal capture or binary bleed-through,
+    and U+FFFD replacement characters — the scar tissue a lossy
+    re-encode leaves behind (mojibake's tombstone).
+
+    Verdict priority: null_text > empty > control_chars >
+    replacement_char > ok; measurement columns (``n_chars``,
+    ``n_control``, ``n_replacement``) ride along so fences can run on
+    the same scan.
+
+    Scale shape: one scan, pure JVM regex/string expressions in
+    WholeStageCodegen — no shuffle, no Python, no collect; consumers
+    filter ``verdict != 'ok'`` so output is |bad|-sized.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("bigint")
+    n_control = F.regexp_count(t, F.lit(CONTROL_CHAR_RE)).cast("bigint")
+    n_replacement = F.regexp_count(
+        t, F.lit(REPLACEMENT_CHAR)).cast("bigint")
+    verdict = (F.when(t.isNull(), "null_text")
+               .when(F.length(F.trim(t)) == 0, "empty")
+               .when(n_control > 0, "control_chars")
+               .when(n_replacement > 0, "replacement_char")
+               .otherwise("ok"))
+    return df.select(
+        F.col(id_col),
+        F.when(t.isNull(), None).otherwise(n_chars).alias("n_chars"),
+        F.coalesce(n_control, F.lit(0)).alias("n_control"),
+        F.coalesce(n_replacement, F.lit(0)).alias("n_replacement"),
+        verdict.alias("verdict"))
