@@ -353,6 +353,14 @@ def text_validity(df: DataFrame, id_col: str = "doc_id",
     WholeStageCodegen — no shuffle, no Python, no collect; consumers
     filter ``verdict != 'ok'`` so output is |bad|-sized.
     """
+    return df.select(F.col(id_col), *text_validity_columns(text_col))
+
+
+def text_validity_columns(text_col: str = "text") -> list:
+    """The four validity columns (n_chars, n_control, n_replacement,
+    verdict) as reusable expressions — ONE definition shared by the
+    batch operator and ``streaming.text_validity_stream`` so the two
+    paths cannot drift."""
     t = F.col(text_col)
     n_chars = F.length(t).cast("bigint")
     n_control = F.regexp_count(t, F.lit(CONTROL_CHAR_RE)).cast("bigint")
@@ -363,9 +371,9 @@ def text_validity(df: DataFrame, id_col: str = "doc_id",
                .when(n_control > 0, "control_chars")
                .when(n_replacement > 0, "replacement_char")
                .otherwise("ok"))
-    return df.select(
-        F.col(id_col),
+    return [
         F.when(t.isNull(), None).otherwise(n_chars).alias("n_chars"),
         F.coalesce(n_control, F.lit(0)).alias("n_control"),
         F.coalesce(n_replacement, F.lit(0)).alias("n_replacement"),
-        verdict.alias("verdict"))
+        verdict.alias("verdict"),
+    ]

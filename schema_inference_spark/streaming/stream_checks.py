@@ -138,6 +138,29 @@ def pii_stream(sdf: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# stateless: text validity on a turn stream (textstats.py, stream form)
+# ---------------------------------------------------------------------------
+
+def text_validity_stream(sdf: DataFrame,
+                         text_col: str = "text") -> DataFrame:
+    """Ingest-time twin of ``textstats.text_validity``: turns whose
+    text fails an encoding-corruption verdict (null, empty, control
+    bytes, U+FFFD), surfaced as they land — the quarantine-queue feed
+    for a corrupted capture pipeline. The column expressions are
+    SHARED with the batch operator (``text_validity_columns``, the
+    ``pii_count_columns`` pattern) keyed by (conv_id, turn_idx)
+    instead of doc_id; stateless project+filter, append mode, zero
+    state (the ``pii_stream`` shape)."""
+    from ..operators.textstats import text_validity_columns
+    return (sdf.select(
+                F.col("conv_id").cast("string").alias("conv_id"),
+                F.col("turn_idx").cast("bigint").alias("turn_idx"),
+                F.col("bucket").cast("int").alias("partition_id"),
+                *text_validity_columns(text_col))
+            .filter(F.col("verdict") != "ok"))
+
+
+# ---------------------------------------------------------------------------
 # stateless: embedding quality on a vector ingest feed (embeddings.py,
 # stream form)
 # ---------------------------------------------------------------------------

@@ -739,3 +739,75 @@ def test_embedding_stream_matches_batch(spark, tmp_path):
         g = got_by_id[vid]
         assert (g.dim, g.n_nonfinite, g.norm_sq_fp, g.verdict) == \
             (w.dim, w.n_nonfinite, w.norm_sq_fp, w.verdict), vid
+
+
+def test_text_validity_stream_matches_batch(spark, tmp_path):
+    """text_validity_stream is the stateless stream form of
+    textstats.text_validity: streaming the files in micro-batches
+    yields exactly the batch operator's non-ok rows, once each (append
+    mode), with identical measurements."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from schema_inference_spark.operators.textstats import text_validity
+    from schema_inference_spark.streaming.stream_checks import (
+        text_validity_stream,
+    )
+
+    stream_dir = tmp_path / "tv_stream"
+    base = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+    texts = [
+        "clean turn",
+        None,                      # null_text
+        "   ",                     # empty
+        "ctl\x07byte",             # control_chars
+        "scar � here",        # replacement_char
+        "tabs\tare\nfine",         # ok
+    ]
+    for bucket in (0, 1):
+        (stream_dir / f"bucket={bucket}").mkdir(parents=True)
+        rows = list(enumerate(texts))
+        t = pa.table({
+            "conv_id": pa.array([f"c{bucket}"] * len(rows), pa.string()),
+            "turn_idx": pa.array([i for i, _ in rows], pa.int32()),
+            "role": pa.array(["user"] * len(rows), pa.string()),
+            "text": pa.array([tx for _, tx in rows], pa.string()),
+            "tool": pa.array([None] * len(rows), pa.string()),
+            "ts": pa.array([base + datetime.timedelta(minutes=i)
+                            for i, _ in rows], pa.timestamp("us", tz="UTC")),
+        })
+        pq.write_table(t.slice(0, 3), str(stream_dir / f"bucket={bucket}"
+                                          / "part-0.parquet"))
+        pq.write_table(t.slice(3), str(stream_dir / f"bucket={bucket}"
+                                       / "part-1.parquet"))
+
+    sdf = read_turn_stream(spark, str(stream_dir), max_files_per_trigger=1)
+    got = []
+    q = (text_validity_stream(sdf).writeStream.outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_tv"))
+         .foreachBatch(lambda df, _eid: got.extend(df.collect()))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+
+    batch = spark.read.schema(
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp, bucket int"
+    ).option("basePath", str(stream_dir)).parquet(str(stream_dir / "bucket=*"))
+    want = {(r._k.split("#")[0], int(r._k.split("#")[1])): r
+            for r in text_validity(
+                batch.withColumn(
+                    "_k", F.concat_ws("#", "conv_id",
+                                      F.col("turn_idx").cast("bigint"))),
+                id_col="_k")
+            .filter(F.col("verdict") != "ok").collect()}
+    got_by_key = {(r.conv_id, r.turn_idx): r for r in got}
+    assert set(got_by_key) == set(want)
+    assert {t for _, t in got_by_key} == {1, 2, 3, 4}
+    assert len(got) == len(got_by_key)  # append mode: no duplicates
+    for key, w in want.items():
+        g = got_by_key[key]
+        assert (g.n_chars, g.n_control, g.n_replacement, g.verdict) == \
+            (w.n_chars, w.n_control, w.n_replacement, w.verdict), key
