@@ -89,3 +89,13 @@ def test_norm_fences_skip_non_ok_vectors(spark):
     fenced = E.embedding_norm_fences(q, low_bp=9000, high_bp=11000).collect()
     # the NaN vector's huge finite tail must not enter the fence pass
     assert [r.vec_id for r in fenced] == []
+
+
+def test_norm_fence_plan_broadcasts_median(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = E.embedding_quality(df)
+    plan = (E.embedding_norm_fences(q)
+            ._jdf.queryExecution().executedPlan().toString())
+    # the 1-row median frame must ride a broadcast, never a shuffle join
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
