@@ -585,6 +585,32 @@ ORDER BY r_name
 
 
 # ---------------------------------------------------------------------------
+# D11 large-dim form — FK orphans via shuffle anti-join (fk_orphans).
+# Planted lagging dimension: every 13th customer key is dropped from the
+# dim, so events referencing those users surface as orphan groups. Both
+# engines derive the identical thinned dim from pristine parquet.
+# ---------------------------------------------------------------------------
+
+def q_fk_orphans(spark, sf_dir):
+    from .operators.checks import fk_orphans
+    fact = _t(spark, sf_dir, "events")
+    dim = (_t(spark, sf_dir, "customer")
+           .filter(F.col("c_custkey") % 13 != 0))
+    return (fk_orphans(fact, dim, "user_id", "c_custkey")
+            .orderBy("user_id"))
+
+
+SQL_FK_ORPHANS = """
+WITH dim AS (SELECT c_custkey FROM customer WHERE c_custkey % 13 <> 0)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_orphan_rows
+FROM events e
+WHERE NOT EXISTS (SELECT 1 FROM dim WHERE dim.c_custkey = e.user_id)
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -600,6 +626,7 @@ CORE_QUERIES: Dict[str, Callable] = {
     "quantiles_kll": q_quantiles_kll,
     "unique_key": q_unique_key,
     "ref_vocab": q_ref_vocab,
+    "fk_orphans": q_fk_orphans,
     "vocab_diff": q_vocab_diff,
     "ordering": q_ordering,
     "session_stats": q_session_stats,
@@ -622,6 +649,7 @@ CORE_ORACLES: Dict[str, str] = {
     "quantiles_value": SQL_QUANTILES_VALUE,
     "unique_key": SQL_UNIQUE_KEY,
     "ref_vocab": SQL_REF_VOCAB,
+    "fk_orphans": SQL_FK_ORPHANS,
     "vocab_diff": SQL_VOCAB_DIFF,
     "ordering": SQL_ORDERING,
     "session_stats": SQL_SESSION_STATS,

@@ -146,6 +146,34 @@ def check_referential(df: DataFrame, snapshot_id: str, column: str,
     )
 
 
+def fk_orphans(fact: DataFrame, dim: DataFrame, fact_key: str,
+               dim_key: str) -> DataFrame:
+    """D11's LARGE-dimension form: FK orphan detection when the
+    dimension is NOT broadcastable (billions of conv/user keys — the
+    100-TB case ``check_referential``'s broadcast vocab cannot cover).
+
+    LEFT ANTI equi-join on the key, then a per-key count — output is
+    |missing keys|-sized, never |orphan rows|-sized, so a hot missing
+    key (one deleted user with 10^9 events) costs one output row. The
+    groupBy reuses the anti-join's key partitioning, so the aggregate
+    adds no second exchange on the fact side.
+
+    Scale shape: both sides shuffle on the key (AQE will still
+    broadcast a small dim at runtime; a plan test pins the SortMergeJoin
+    LeftAnti form with broadcast disabled). At warehouse scale, bucket
+    both tables on the key — or use Iceberg storage-partitioned joins —
+    and both exchanges disappear; skewed fact keys are safe because an
+    anti join never expands rows. NULL fact keys never match the dim
+    (SQL equality), so they surface as an orphan group under the NULL
+    key — dirty data reports, not vanishes.
+    """
+    keys = dim.select(F.col(dim_key).alias(fact_key))
+    return (fact.select(fact_key)
+            .join(keys, on=fact_key, how="left_anti")
+            .groupBy(fact_key)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphan_rows")))
+
+
 # ---------------------------------------------------------------------------
 # D12 — turn ordering: gaps, duplicates, ts regressions in ONE window pass
 # ---------------------------------------------------------------------------
