@@ -138,6 +138,29 @@ def pii_stream(sdf: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# stateless: FK orphans on a stream vs a static dimension (checks.py
+# fk_orphans, stream form)
+# ---------------------------------------------------------------------------
+
+def fk_orphans_stream(sdf: DataFrame, dim: DataFrame, fact_key: str,
+                      dim_key: str) -> DataFrame:
+    """Ingest-time twin of ``checks.fk_orphans``: arriving rows whose
+    FK has no match in a STATIC dimension snapshot, emitted as
+    individual orphan rows (stream-static LEFT ANTI join — an
+    append-mode-supported shape, no watermark, no state).
+
+    Two deliberate asymmetries vs the batch operator, both inherent:
+    the dim is the last validated snapshot (a stream cannot re-resolve
+    against a moving dimension without stream-stream state), and the
+    output is per-ROW rather than per-key counts — counting would need
+    a stateful aggregation; at ingest time the quarantine queue wants
+    the rows themselves, and retrospective per-key totals stay
+    batch-side (the ``volume_stream`` division of labor)."""
+    return sdf.join(dim.select(F.col(dim_key).alias(fact_key)),
+                    on=fact_key, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
 # stateless: text validity on a turn stream (textstats.py, stream form)
 # ---------------------------------------------------------------------------
 
