@@ -381,6 +381,54 @@ ORDER BY event_id
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Conversation completeness: turn_idx derived as the per-user rank over
+# the stable (ts, event_id) order, then every 17th event dropped — so
+# some conversations lose their HEAD turn (head_truncated: invisible to
+# the lag-window gap check) and others interior turns (gapped). Both
+# engines derive the identical corrupted sequence from pristine parquet.
+# ---------------------------------------------------------------------------
+
+def q_conv_completeness(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from .operators.conversations import conv_completeness
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("event_id", "user_id",
+                    (F.row_number().over(w) - 1).alias("turn_idx"))
+    corrupted = seq.filter(F.col("event_id") % 17 != 0)
+    return (conv_completeness(corrupted, conv_col="user_id")
+            .filter(F.col("verdict") != "ok")
+            .orderBy("user_id"))
+
+
+SQL_CONV_COMPLETENESS = """
+WITH seq AS (
+  SELECT event_id, user_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) - 1 AS turn_idx
+  FROM events),
+c AS (SELECT user_id, turn_idx FROM seq WHERE event_id % 17 <> 0),
+a AS (
+  SELECT user_id,
+         CAST(count(DISTINCT turn_idx) AS BIGINT) AS n_turns,
+         CAST(min(turn_idx) AS BIGINT) AS min_turn,
+         CAST(max(turn_idx) AS BIGINT) AS max_turn
+  FROM c GROUP BY user_id)
+SELECT user_id, n_turns, min_turn, max_turn,
+       min_turn AS head_missing,
+       max_turn - min_turn + 1 - n_turns AS n_missing,
+       CASE WHEN min_turn > 0 THEN 'head_truncated'
+            WHEN max_turn - min_turn + 1 - n_turns > 0 THEN 'gapped'
+            ELSE 'ok' END AS verdict
+FROM a
+WHERE min_turn > 0 OR max_turn - min_turn + 1 - n_turns > 0
+ORDER BY user_id
+"""
+
+
 CONV_QUERIES: Dict[str, Callable] = {
     "asof_enrich": q_asof_enrich,
     "conv_assembly": q_conv_assembly,
@@ -392,6 +440,7 @@ CONV_QUERIES: Dict[str, Callable] = {
     "fd_check": q_fd_check,
     "implication_check": q_implication_check,
     "violation_diff": q_violation_diff,
+    "conv_completeness": q_conv_completeness,
 }
 
 CONV_ORACLES: Dict[str, str] = {
@@ -405,4 +454,5 @@ CONV_ORACLES: Dict[str, str] = {
     "fd_check": SQL_FD_CHECK,
     "implication_check": SQL_IMPLICATION_CHECK,
     "violation_diff": SQL_VIOLATION_DIFF,
+    "conv_completeness": SQL_CONV_COMPLETENESS,
 }

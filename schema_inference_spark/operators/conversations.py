@@ -224,3 +224,48 @@ def invalid_transitions(
                     F.col(prev).alias("prev"),
                     F.col(seq_col).alias("cur"),
                     *extra_cols))
+
+
+def conv_completeness(df: DataFrame, conv_col: str = "conv_id",
+                      turn_col: str = "turn_idx",
+                      expected_start: int = 0) -> DataFrame:
+    """Per-conversation completeness verdicts — the aggregate
+    complement of the window-based ordering check (checks.py D12).
+
+    The lag-window check sees a gap only BETWEEN two surviving turns;
+    a conversation whose head was truncated (first rows lost to a bad
+    ingest, so ``min(turn_idx) > expected_start``) produces no lag pair
+    at all and sails through. This operator closes that blind spot and
+    totals internal gaps per conversation:
+
+    - ``head_missing``   = min_turn - expected_start
+    - ``n_missing``      = (max_turn - min_turn + 1) - n_distinct
+      (distinct, so duplicated turn_idx — the unique-key family's
+      finding — does not mask a real hole)
+    - verdict priority: head_truncated > gapped > ok
+
+    Scale shape: ONE groupBy shuffle on the conversation key with
+    map-side partial min/max/count(distinct turn) — no window, no
+    per-conv co-residency requirement (this is why it complements
+    rather than extends check_ordering: it aggregates, so a
+    pathological 10^8-turn conversation costs a partial per partition,
+    not a sort). Output is per-conversation; violation consumers
+    filter ``verdict != 'ok'``.
+    """
+    agg = (df.groupBy(F.col(conv_col))
+           .agg(F.countDistinct(turn_col).alias("n_distinct"),
+                F.min(turn_col).cast("bigint").alias("min_turn"),
+                F.max(turn_col).cast("bigint").alias("max_turn")))
+    head_missing = (F.col("min_turn") - F.lit(expected_start))
+    n_missing = (F.col("max_turn") - F.col("min_turn") + 1
+                 - F.col("n_distinct"))
+    verdict = (F.when(head_missing > 0, "head_truncated")
+               .when(n_missing > 0, "gapped")
+               .otherwise("ok"))
+    return agg.select(
+        F.col(conv_col),
+        F.col("n_distinct").cast("bigint").alias("n_turns"),
+        "min_turn", "max_turn",
+        head_missing.cast("bigint").alias("head_missing"),
+        n_missing.cast("bigint").alias("n_missing"),
+        verdict.alias("verdict"))
