@@ -146,6 +146,38 @@ def check_referential(df: DataFrame, snapshot_id: str, column: str,
     )
 
 
+def check_conv_completeness(df: DataFrame, snapshot_id: str,
+                            expected_start: int = 0,
+                            partition_col: str = "bucket") -> DataFrame:
+    """Violation-store form of ``conversations.conv_completeness``: one
+    row per incomplete conversation — check_id ``conv_head_truncated``
+    (min turn above ``expected_start``; invisible to the D12 lag-window
+    pass) or ``conv_gap`` (interior holes, the per-conv TOTAL the
+    row-level ``turn_gap`` findings sum to). ``turn_idx`` carries the
+    conversation's min turn; payload carries the full measurement.
+
+    One groupBy on (bucket, conv) with map-side partials — a
+    conversation lives in exactly one bucket (the catalog hash-buckets
+    by conv_id), so the partition attribution is exact, not a vote.
+    """
+    from .conversations import conv_completeness
+    cc = conv_completeness(
+        df.select(partition_col, "conv_id", "turn_idx"),
+        expected_start=expected_start,
+        extra_group_cols=[partition_col])
+    bad = (cc.filter(F.col("verdict") != "ok")
+           .withColumnRenamed(partition_col, "partition_id")
+           .withColumn("turn_idx", F.col("min_turn")))
+    payload = F.to_json(F.struct(
+        F.col("n_turns"), F.col("min_turn"), F.col("max_turn"),
+        F.col("head_missing"), F.col("n_missing")))
+    head = _shape(bad.filter(F.col("verdict") == "head_truncated"),
+                  snapshot_id, "conv_head_truncated", payload_col=payload)
+    gap = _shape(bad.filter(F.col("verdict") == "gapped"),
+                 snapshot_id, "conv_gap", payload_col=payload)
+    return head.unionByName(gap)
+
+
 def fk_orphans(fact: DataFrame, dim: DataFrame, fact_key: str,
                dim_key: str) -> DataFrame:
     """D11's LARGE-dimension form: FK orphan detection when the

@@ -228,7 +228,8 @@ def invalid_transitions(
 
 def conv_completeness(df: DataFrame, conv_col: str = "conv_id",
                       turn_col: str = "turn_idx",
-                      expected_start: int = 0) -> DataFrame:
+                      expected_start: int = 0,
+                      extra_group_cols: Sequence[str] = ()) -> DataFrame:
     """Per-conversation completeness verdicts — the aggregate
     complement of the window-based ordering check (checks.py D12).
 
@@ -252,7 +253,8 @@ def conv_completeness(df: DataFrame, conv_col: str = "conv_id",
     not a sort). Output is per-conversation; violation consumers
     filter ``verdict != 'ok'``.
     """
-    agg = (df.groupBy(F.col(conv_col))
+    agg = (df.groupBy(F.col(conv_col),
+                      *[F.col(c) for c in extra_group_cols])
            .agg(F.countDistinct(turn_col).alias("n_distinct"),
                 F.min(turn_col).cast("bigint").alias("min_turn"),
                 F.max(turn_col).cast("bigint").alias("max_turn")))
@@ -264,6 +266,7 @@ def conv_completeness(df: DataFrame, conv_col: str = "conv_id",
                .otherwise("ok"))
     return agg.select(
         F.col(conv_col),
+        *[F.col(c) for c in extra_group_cols],
         F.col("n_distinct").cast("bigint").alias("n_turns"),
         "min_turn", "max_turn",
         head_missing.cast("bigint").alias("head_missing"),

@@ -92,6 +92,7 @@ def validate(
     role_protocol: Optional[set] = None,
     baseline_transitions: Optional[Dict] = None,
     rules: Optional[List[Dict]] = None,
+    completeness: bool = False,
     resume: bool = True,
     write_audit: bool = True,
     write_violations: Optional[bool] = None,
@@ -293,7 +294,8 @@ def validate(
                     for v in v_parts[1:]:
                         violations = violations.unionByName(v)
 
-            if role_protocol or baseline_transitions or rules:
+            if role_protocol or baseline_transitions or rules \
+                    or completeness:
                 # opt-in conversation-structure checks: the protocol
                 # matrix (checks.check_role_protocol) and/or the
                 # snapshot-vs-baseline transition drift. Both need the
@@ -311,6 +313,14 @@ def validate(
                         C.check_role_protocol(df, snapshot_id,
                                               role_protocol,
                                               partition_col))
+                if completeness:
+                    # per-conv head-truncation/gap totals: one groupBy
+                    # on (bucket, conv) with map-side partials — no
+                    # window, so it shares nothing with D12 and adds no
+                    # sort
+                    violations = violations.unionByName(
+                        C.check_conv_completeness(df, snapshot_id,
+                                                  partition_col=partition_col))
                 if rules:
                     # declared row-rule constraints (implication rules
                     # share the snapshot scan — zero extra shuffle; FD

@@ -49,3 +49,32 @@ def test_head_truncation_invisible_to_lag_window_check(spark):
     assert check_ordering(df, "snap").count() == 0
     r = conv_completeness(df).collect()[0]
     assert r.verdict == "head_truncated" and r.head_missing == 2
+
+
+def test_check_shape_and_pipeline_optin(spark, catalog):
+    """Violation-store form + pipeline opt-in: the fixture's planted
+    gap conv (c000023 skips turn 2, FIXTURES.md F1) must surface as a
+    conv_gap violation on both check paths; no head truncations exist
+    in the fixture."""
+    from schema_inference_spark.pipeline import validate
+
+    res = validate(spark, catalog, "s1", completeness=True,
+                   resume=False, write_audit=False)
+    rows = (res.violations
+            .filter("check_id in ('conv_gap', 'conv_head_truncated')")
+            .collect())
+    by_conv = {r.conv_id: r for r in rows}
+    assert "c000023" in by_conv
+    g = by_conv["c000023"]
+    assert g.check_id == "conv_gap"
+    import json
+    assert json.loads(g.payload)["n_missing"] == 1
+    assert all(r.check_id == "conv_gap" for r in rows)
+
+    res_sep = validate(spark, catalog, "s1", completeness=True,
+                       resume=False, write_audit=False,
+                       fused_checks=False)
+    sep = {tuple(r) for r in res_sep.violations
+           .filter("check_id in ('conv_gap', 'conv_head_truncated')")
+           .collect()}
+    assert sep == {tuple(r) for r in rows}
