@@ -37,6 +37,9 @@ def main() -> int:
                          "(operators/constraints.py dicts — kind: "
                          "implication|fd) evaluated with the built-in "
                          "checks")
+    ap.add_argument("--completeness", action="store_true",
+                    help="also emit per-conversation head-truncation/"
+                         "gap violations (conv_head_truncated/conv_gap)")
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 
@@ -61,6 +64,7 @@ def main() -> int:
     result = validate(spark, catalog, args.snapshot,
                       baseline_sketches=baseline_sketches,
                       rules=rules,
+                      completeness=args.completeness,
                       resume=not args.no_resume)
 
     if args.violations_out:
