@@ -78,3 +78,35 @@ def test_check_shape_and_pipeline_optin(spark, catalog):
            .filter("check_id in ('conv_gap', 'conv_head_truncated')")
            .collect()}
     assert sep == {tuple(r) for r in rows}
+
+
+# property: conv_completeness agrees with a pure-Python model on
+# arbitrary small (conv, turn) multisets — same budget rationale as
+# test_fd_violations_matches_model (30 examples, session-scoped spark)
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_cc_rows = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 9)),
+    min_size=1, max_size=14)
+
+
+@settings(max_examples=30, deadline=None)
+@given(rows=_cc_rows)
+def test_conv_completeness_matches_model(spark, rows):
+    df = _df(spark, [(c, t) for c, t in rows])
+    got = {r.conv_id: (r.n_turns, r.min_turn, r.max_turn,
+                       r.head_missing, r.n_missing, r.verdict)
+           for r in conv_completeness(df).collect()}
+
+    model = {}
+    for c, t in rows:
+        model.setdefault(c, set()).add(t)
+    want = {}
+    for c, turns in model.items():
+        lo, hi, n = min(turns), max(turns), len(turns)
+        head, miss = lo, hi - lo + 1 - n
+        verdict = ("head_truncated" if head > 0
+                   else "gapped" if miss > 0 else "ok")
+        want[c] = (n, lo, hi, head, miss, verdict)
+    assert got == want
