@@ -320,6 +320,59 @@ ORDER BY vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Embedding centroid drift: snapshots = even vs odd vec_ids, with the
+# "new" half's dimension 7 shifted by +0.25 (float addition of two
+# exactly-representable floats is correctly rounded and identical in
+# the JVM and DuckDB). Only dim 7 crosses the 0.1 threshold; the other
+# 63 dims establish the no-false-positive baseline.
+# ---------------------------------------------------------------------------
+
+def q_embedding_drift(spark, sf_dir):
+    from .operators import embeddings as E
+    emb_t = _t(spark, sf_dir, "embeddings")
+    old = emb_t.filter(F.col("vec_id") % 2 == 0).select("embedding")
+    shifted = F.transform(
+        F.col("embedding"),
+        lambda x, i: F.when(i == 7, (x + F.lit(0.25).cast("float"))
+                            .cast("float")).otherwise(x))
+    new = (emb_t.filter(F.col("vec_id") % 2 == 1)
+           .select(shifted.alias("embedding")))
+    return E.embedding_centroid_drift(old, new, threshold_fp=100_000)
+
+
+SQL_EMBEDDING_DRIFT = """
+WITH old_v AS (
+  SELECT embedding AS emb FROM embeddings WHERE vec_id % 2 = 0),
+new_v AS (
+  SELECT list_concat(list_concat(embedding[1:7],
+           [CAST(embedding[8] + CAST(0.25 AS FLOAT) AS FLOAT)]),
+           embedding[9:]) AS emb
+  FROM embeddings WHERE vec_id % 2 = 1),
+o AS (
+  SELECT dim, CAST(floor(sum(CAST(floor(CAST(x AS DOUBLE)*1000000)
+                                  AS BIGINT)) * 1.0 / count(*))
+              AS BIGINT) AS mean_fp_old
+  FROM (SELECT CAST(unnest(generate_series(1, len(emb))) - 1
+               AS INTEGER) AS dim,
+               unnest(emb) AS x FROM old_v)
+  GROUP BY dim),
+n AS (
+  SELECT dim, CAST(floor(sum(CAST(floor(CAST(x AS DOUBLE)*1000000)
+                                  AS BIGINT)) * 1.0 / count(*))
+              AS BIGINT) AS mean_fp_new
+  FROM (SELECT CAST(unnest(generate_series(1, len(emb))) - 1
+               AS INTEGER) AS dim,
+               unnest(emb) AS x FROM new_v)
+  GROUP BY dim)
+SELECT o.dim, mean_fp_old, mean_fp_new,
+       mean_fp_new - mean_fp_old AS delta_fp,
+       abs(mean_fp_new - mean_fp_old) > 100000 AS drifted
+FROM o JOIN n ON o.dim = n.dim
+ORDER BY o.dim
+"""
+
+
 ANOMALY_QUERIES = {
     "outlier_fences": q_outlier_fences,
     "volume_anomaly": q_volume_anomaly,
@@ -327,6 +380,7 @@ ANOMALY_QUERIES = {
     "snapshot_diff": q_snapshot_diff,
     "embedding_quality": q_embedding_quality,
     "embedding_norm_fence": q_embedding_norm_fence,
+    "embedding_drift": q_embedding_drift,
 }
 
 ANOMALY_ORACLES = {
@@ -336,4 +390,5 @@ ANOMALY_ORACLES = {
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "embedding_quality": SQL_EMBEDDING_QUALITY,
     "embedding_norm_fence": SQL_EMBEDDING_NORM_FENCE,
+    "embedding_drift": SQL_EMBEDDING_DRIFT,
 }

@@ -109,3 +109,53 @@ def embedding_norm_fences(quality: DataFrame, low_bp: int = 2500,
             .withColumn("fence", F.when(F.col("ratio_bp") < low_bp,
                                         "low_norm").otherwise("high_norm"))
             .drop("_med"))
+
+
+def embedding_centroid_drift(old: DataFrame, new: DataFrame,
+                             vec_col: str = "embedding",
+                             scale: int = 1_000_000,
+                             threshold_fp: int = 100_000) -> DataFrame:
+    """Per-dimension centroid shift between two embedding snapshots —
+    the distribution-drift check (D13) lifted to vector space. A new
+    encoder deploy that rescales, re-centers, or rotates its output
+    moves per-dimension means long before any per-vector verdict
+    fires; this is the "did the embedding space silently move" gate a
+    retrieval index cares about.
+
+    Output: one row per dimension with both fixed-point means, the
+    delta, and a ``drifted`` flag (|delta| > ``threshold_fp``, i.e.
+    threshold_fp/scale in embedding units).
+
+    Exactness: per-dimension SUMS are exact bigints (same fixed-point
+    floor as ``embedding_quality``); the mean is floor(sum·1.0/n),
+    bit-identical across engines while |sum| < 2^53 (~10^9 unit-norm
+    vectors at 1e-6 scale — beyond that, switch the mean to exact
+    decimal division or compare via the cross-multiplied integer form
+    |s_new·n_old - s_old·n_new| > threshold·n_old·n_new, which never
+    leaves bigint/int128).
+
+    Scale shape: ``posexplode`` multiplies rows ×dim, but the
+    partial HashAggregate collapses each task to ≤dim rows BEFORE the
+    exchange, so the shuffle moves dim rows per partition regardless
+    of corpus size; the final aggregate is |dim|-sized. Two scans
+    (one per snapshot), no join on the big side — the two |dim|-row
+    aggregates meet in a trivially small equi-join.
+    """
+    def centroid(df: DataFrame, mean_alias: str) -> DataFrame:
+        e = F.posexplode(F.col(vec_col)).alias("dim", "x")
+        flat = df.select(e)
+        return (flat.groupBy("dim")
+                .agg(F.sum(_fp(F.col("x"), scale)).alias("s"),
+                     F.count(F.lit(1)).alias("n"))
+                .select(F.col("dim").cast("int").alias("dim"),
+                        F.floor(F.col("s") * F.lit(1.0) / F.col("n"))
+                        .cast("long").alias(mean_alias)))
+
+    o = centroid(old, "mean_fp_old")
+    n = centroid(new, "mean_fp_new")
+    delta = F.col("mean_fp_new") - F.col("mean_fp_old")
+    return (o.join(n, "dim")
+            .select("dim", "mean_fp_old", "mean_fp_new",
+                    delta.cast("long").alias("delta_fp"),
+                    (F.abs(delta) > F.lit(threshold_fp)).alias("drifted"))
+            .orderBy("dim"))

@@ -99,3 +99,28 @@ def test_norm_fence_plan_broadcasts_median(spark, sf_dir):
     # the 1-row median frame must ride a broadcast, never a shuffle join
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_centroid_drift_semantics(spark):
+    old = _df(spark, [(0, [0.0, 0.5]), (1, [0.0, 0.5])])
+    # dim 0 shifted by +0.25 (exact), dim 1 unchanged
+    new = _df(spark, [(0, [0.25, 0.5]), (1, [0.25, 0.5])])
+    out = {r.dim: r for r in
+           E.embedding_centroid_drift(old, new,
+                                      threshold_fp=100_000).collect()}
+    assert out[0].mean_fp_old == 0 and out[0].mean_fp_new == 250_000
+    assert out[0].delta_fp == 250_000 and out[0].drifted
+    assert out[1].delta_fp == 0 and not out[1].drifted
+
+
+def test_centroid_drift_partial_agg_before_exchange(spark, sf_dir):
+    """The posexplode fan-out must collapse to <= dim rows per task
+    BEFORE the shuffle: a partial HashAggregate precedes the first
+    Exchange in each centroid subtree."""
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    half = df.limit(100)
+    plan = (E.embedding_centroid_drift(half, df)
+            ._jdf.queryExecution().executedPlan().toString())
+    first_exchange = plan.find("Exchange hashpartitioning")
+    first_partial = plan.find("HashAggregate")
+    assert 0 <= first_partial < first_exchange, plan
