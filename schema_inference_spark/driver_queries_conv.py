@@ -429,6 +429,124 @@ ORDER BY user_id
 """
 
 
+MIN_RUN = 3            # stuck-loop threshold: 3+ identical consecutive turns
+CONTEXT_BUDGET = 600   # demo context budget (chars of props per conversation)
+
+
+def q_stuck_loops(spark, sf_dir):
+    """Maximal runs of >=3 consecutive identical event types per user —
+    the retry-loop / echo pathology detector for agent transcripts."""
+    from .operators.conversations import repeated_runs
+    ev = _t(spark, sf_dir, "events")
+    return (repeated_runs(ev, key_col="user_id", ts_col="ts",
+                          seq_col="event_type", tiebreak_col="event_id",
+                          min_run=MIN_RUN)
+            .orderBy("user_id", "start_idx"))
+
+
+SQL_STUCK_LOOPS = f"""
+WITH base AS (
+  SELECT user_id AS k, event_type AS v,
+         row_number() OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         CASE WHEN lag(event_type) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id)
+              IS NOT DISTINCT FROM event_type THEN 0 ELSE 1 END AS chg
+  FROM events
+), runs AS (
+  SELECT k, v, rn,
+         sum(chg) OVER (PARTITION BY k ORDER BY rn) AS run_id
+  FROM base
+)
+SELECT k AS user_id, v AS value, count(*) AS run_len,
+       min(rn) AS start_idx, max(rn) AS end_idx
+FROM runs GROUP BY k, run_id, v
+HAVING count(*) >= {MIN_RUN}
+ORDER BY user_id, start_idx
+"""
+
+
+def q_context_overflow(spark, sf_dir):
+    """Conversations whose running payload cost crosses the context
+    budget, with the crossing turn index — integer-exact cost
+    (coalesced char length) so no float summation order crosses the
+    engine boundary."""
+    from .operators.conversations import context_overflow
+    ev = _t(spark, sf_dir, "events")
+    return (context_overflow(ev, key_col="user_id", ts_col="ts",
+                             tiebreak_col="event_id",
+                             cost=F.coalesce(F.length("props"), F.lit(0)),
+                             budget=CONTEXT_BUDGET)
+            .orderBy("user_id"))
+
+
+SQL_CONTEXT_OVERFLOW = f"""
+WITH base AS (
+  SELECT user_id AS k,
+         row_number() OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         sum(coalesce(length(props), 0)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM events
+)
+SELECT k AS user_id, count(*) AS n_turns, max(cum) AS total_cost,
+       sum(CASE WHEN cum > {CONTEXT_BUDGET} THEN 1 ELSE 0 END) AS n_over,
+       min(CASE WHEN cum > {CONTEXT_BUDGET} THEN rn END) AS first_over_idx
+FROM base GROUP BY k
+HAVING sum(CASE WHEN cum > {CONTEXT_BUDGET} THEN 1 ELSE 0 END) > 0
+ORDER BY user_id
+"""
+
+
+def q_json_census(spark, sf_dir):
+    """Per-key typed census of the semi-structured `props` payload —
+    the schema-inference engine pointed at the one UNdeclared column."""
+    from .operators.semistructured import json_key_census
+    ev = _t(spark, sf_dir, "events")
+    return json_key_census(ev, "props").orderBy("key")
+
+
+SQL_JSON_CENSUS = """
+WITH e AS (
+  SELECT props FROM events
+  WHERE props IS NOT NULL
+    AND coalesce(CASE WHEN json_valid(props)
+                      THEN json_type(props) END, '') = 'OBJECT'
+), x AS (
+  SELECT props, unnest(json_keys(props)) AS key FROM e
+), v AS (
+  SELECT key, json_extract_string(props, '$.' || key) AS val FROM x
+), t AS (
+  SELECT key, CASE WHEN regexp_matches(val, '^-?[0-9]+$')
+                   THEN CAST(val AS BIGINT) END AS iv
+  FROM v
+)
+SELECT key, count(*) AS n_present, count(iv) AS n_int,
+       min(iv) AS min_int, max(iv) AS max_int
+FROM t GROUP BY key ORDER BY key
+"""
+
+
+def q_json_validity(spark, sf_dir):
+    """One-row object-validity summary of `props` (text_validity's
+    semi-structured sibling)."""
+    from .operators.semistructured import json_validity
+    ev = _t(spark, sf_dir, "events")
+    return json_validity(ev, "props")
+
+
+SQL_JSON_VALIDITY = """
+SELECT count(*) AS n_rows, count(props) AS n_present,
+       sum(CASE WHEN props IS NOT NULL
+                AND coalesce(CASE WHEN json_valid(props)
+                                  THEN json_type(props) END, '')
+                    <> 'OBJECT'
+                THEN 1 ELSE 0 END) AS n_invalid
+FROM events
+"""
+
+
 CONV_QUERIES: Dict[str, Callable] = {
     "asof_enrich": q_asof_enrich,
     "conv_assembly": q_conv_assembly,
@@ -441,6 +559,10 @@ CONV_QUERIES: Dict[str, Callable] = {
     "implication_check": q_implication_check,
     "violation_diff": q_violation_diff,
     "conv_completeness": q_conv_completeness,
+    "stuck_loops": q_stuck_loops,
+    "context_overflow": q_context_overflow,
+    "json_census": q_json_census,
+    "json_validity": q_json_validity,
 }
 
 CONV_ORACLES: Dict[str, str] = {
@@ -455,4 +577,8 @@ CONV_ORACLES: Dict[str, str] = {
     "implication_check": SQL_IMPLICATION_CHECK,
     "violation_diff": SQL_VIOLATION_DIFF,
     "conv_completeness": SQL_CONV_COMPLETENESS,
+    "stuck_loops": SQL_STUCK_LOOPS,
+    "context_overflow": SQL_CONTEXT_OVERFLOW,
+    "json_census": SQL_JSON_CENSUS,
+    "json_validity": SQL_JSON_VALIDITY,
 }

@@ -226,6 +226,86 @@ def invalid_transitions(
                     *extra_cols))
 
 
+def repeated_runs(df: DataFrame, key_col: str, ts_col: str,
+                  seq_col: str, tiebreak_col: str,
+                  min_run: int = 3) -> DataFrame:
+    """Stuck-loop detection: maximal runs of CONSECUTIVE identical
+    ``seq_col`` values within a key, of length >= ``min_run`` — the
+    agent-transcript retry-loop pathology (an assistant re-emitting the
+    same turn, a tool erroring in a tight loop). Output one row per
+    run: (key, value, run_len, start_idx, end_idx) with 1-based turn
+    indexes in the (ts, tiebreak) stable order.
+
+    Gaps-and-islands with ONE window Exchange: a null-safe
+    change-detection flag (``eqNullSafe`` against the lag — consecutive
+    nulls therefore DO form a run, matching SQL's IS NOT DISTINCT FROM)
+    and its running sum assign a run id; row_number, lag and the
+    running sum all share one (key) partitioning + (ts, tiebreak) sort,
+    so they compile into a single WindowExec. The run fold is then a
+    groupBy on (key, run_id) — map-side partial count/min/max, never a
+    per-key sort. At 100 TB runs are bounded by conversation length, so
+    no aggregate state exceeds a scalar per run."""
+    w = Window.partitionBy("_k").orderBy(F.col("_ts"), F.col("_tb"))
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    base = df.select(F.col(key_col).alias("_k"),
+                     F.col(ts_col).cast("timestamp").alias("_ts"),
+                     F.col(tiebreak_col).alias("_tb"),
+                     F.col(seq_col).alias("_v"))
+    chg = F.when(F.lag("_v").over(w).eqNullSafe(F.col("_v")), 0).otherwise(1)
+    ranked = (base.withColumn("_rn", F.row_number().over(w))
+              .withColumn("_run", F.sum(chg).over(cum)))
+    return (ranked.groupBy("_k", "_run")
+            .agg(F.min("_v").alias("value"),
+                 F.count(F.lit(1)).alias("run_len"),
+                 F.min("_rn").alias("start_idx"),
+                 F.max("_rn").alias("end_idx"))
+            .filter(F.col("run_len") >= int(min_run))
+            .select(F.col("_k").alias(key_col), "value",
+                    F.col("run_len").cast("bigint").alias("run_len"),
+                    F.col("start_idx").cast("bigint").alias("start_idx"),
+                    F.col("end_idx").cast("bigint").alias("end_idx")))
+
+
+def context_overflow(df: DataFrame, key_col: str, ts_col: str,
+                     tiebreak_col: str, cost, budget: int) -> DataFrame:
+    """Context-window overflow verdicts: running-total ``cost`` per key
+    in stable (ts, tiebreak) turn order, flagging every conversation
+    whose cumulative cost crosses ``budget`` — with WHERE it crossed
+    (``first_over_idx``, 1-based) and how many turns ran past it
+    (``n_over``). The validation twin of packing_plan: instead of
+    packing documents INTO a budget it audits conversations that
+    outgrew one (a serving context limit, an export row cap).
+
+    ``cost`` is a Column of exact integers (e.g. ``F.length`` or a
+    token count) so the running sum is integer-exact on every engine —
+    no float summation-order hazard. Plan shape: one window Exchange on
+    the key (running sum + row_number in one WindowExec), then a
+    groupBy on the SAME key that reuses that Exchange (aliased before
+    the window, the conv_prefix_groups trick) — map-side partials, no
+    second shuffle."""
+    w = Window.partitionBy("_k").orderBy(F.col("_ts"), F.col("_tb"))
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    base = df.select(F.col(key_col).alias("_k"),
+                     F.col(ts_col).cast("timestamp").alias("_ts"),
+                     F.col(tiebreak_col).alias("_tb"),
+                     cost.cast("bigint").alias("_c"))
+    ranked = (base.withColumn("_rn", F.row_number().over(w))
+              .withColumn("_cum", F.sum("_c").over(cum)))
+    over = F.col("_cum") > F.lit(int(budget))
+    return (ranked.groupBy("_k")
+            .agg(F.count(F.lit(1)).alias("n_turns"),
+                 F.max("_cum").alias("total_cost"),
+                 F.sum(over.cast("int")).alias("n_over"),
+                 F.min(F.when(over, F.col("_rn"))).alias("first_over_idx"))
+            .filter(F.col("n_over") > 0)
+            .select(F.col("_k").alias(key_col),
+                    F.col("n_turns").cast("bigint").alias("n_turns"),
+                    F.col("total_cost").cast("bigint").alias("total_cost"),
+                    F.col("n_over").cast("bigint").alias("n_over"),
+                    F.col("first_over_idx").cast("bigint")
+                     .alias("first_over_idx")))
+
+
 def conv_completeness(df: DataFrame, conv_col: str = "conv_id",
                       turn_col: str = "turn_idx",
                       expected_start: int = 0,
