@@ -469,6 +469,54 @@ ORDER BY canonical_id
 """
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware canonical selection over the same dup groups:
+    keep the highest-quality member of each group (ties -> min id) —
+    the curation policy refinement of dedup_groups' min-id canonical.
+    Fully oracle-gated: quality_bp is integer basis points, so the
+    argmax agrees exactly across engines."""
+    from .operators.components import keep_best
+
+    pairs = _jaccard_pairs_cached(spark, sf_dir)
+    quality = TS.quality_score(_t(spark, sf_dir, "documents"))
+    return keep_best(pairs, quality).orderBy("canonical_id")
+
+
+# the quality_bp formula, verbatim from SQL_QUALITY_SCORE's select —
+# shared so the keep-best oracle scores docs identically
+_QUALITY_BP = f"""least(20 * length(text), 4000)
+         + (3000 - CASE WHEN length(text) > 0
+                        THEN least((15000 * (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))) // length(text), 3000)
+                        ELSE 0 END)
+         + CASE WHEN len(string_split({_NORM}, ' ')) > 0
+                THEN least((375 * length(replace({_NORM}, ' ', ''))) // len(string_split({_NORM}, ' ')), 3000)
+                ELSE 0 END"""
+
+SQL_DEDUP_KEEP_BEST = f"""
+WITH RECURSIVE {_JACCARD_CTES},
+edges AS (SELECT d1 AS a, d2 AS b FROM jp
+          UNION SELECT d2, d1 FROM jp),
+reach(node, other) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+    UNION
+    SELECT r.node, e.b FROM reach r JOIN edges e ON r.other = e.a
+),
+cc AS (SELECT node, min(other) AS comp FROM reach GROUP BY node),
+qd AS (SELECT doc_id, {_QUALITY_BP} AS quality_bp FROM documents),
+ranked AS (
+    SELECT c.comp, c.node, q.quality_bp,
+           count(*) OVER (PARTITION BY c.comp) AS n_docs,
+           row_number() OVER (
+               PARTITION BY c.comp
+               ORDER BY q.quality_bp DESC, c.node) AS rn
+    FROM cc c JOIN qd q ON q.doc_id = c.node)
+SELECT comp AS canonical_id, n_docs, node AS keep_id,
+       quality_bp AS keep_quality_bp, n_docs - 1 AS n_dropped
+FROM ranked WHERE rn = 1 AND n_docs > 1
+ORDER BY canonical_id
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash fingerprints per doc. Rows-only (engine hash)."""
     return D.simhash(_t(spark, sf_dir, "documents"))
@@ -1347,6 +1395,7 @@ EXTRA_QUERIES: Dict[str, Callable] = {
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_groups": q_dedup_groups,
+    "dedup_keep_best": q_dedup_keep_best,
     "dedup_simhash": q_dedup_simhash,
     "simhash_near_pairs": q_simhash_near_pairs,
     "cosine_topk": q_cosine_topk,
@@ -1383,6 +1432,7 @@ EXTRA_ORACLES: Dict[str, str] = {
     "near_dup_incremental": SQL_NEAR_DUP_INCREMENTAL,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
     "dedup_groups": SQL_DEDUP_GROUPS,
+    "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "cosine_topk": SQL_COSINE_TOPK,
     "cosine_near_dup": SQL_COSINE_NEAR_DUP,
     "cosine_near_dup_lsh": SQL_COSINE_NEAR_DUP_LSH,

@@ -146,3 +146,37 @@ def dedup_groups(pairs: DataFrame, src: str = "d1", dst: str = "d2",
                  F.sort_array(F.collect_list("node")).alias("members"))
             .filter(F.col("n_docs") > 1)
             .orderBy("canonical_id"))
+
+
+def keep_best(pairs: DataFrame, scores: DataFrame,
+              id_col: str = "doc_id", score_col: str = "quality_bp",
+              src: str = "d1", dst: str = "d2",
+              max_iter: int = 25) -> DataFrame:
+    """Quality-aware canonical selection: for every duplicate group in
+    the near-dup pair graph, KEEP the highest-``score_col`` member
+    (ties -> smallest id) instead of the naive min-id canonical — the
+    curation policy a training-data dedup actually wants ("of N copies,
+    keep the cleanest one"). Output one row per multi-member group:
+    (canonical_id, n_docs, keep_id, keep_score, n_dropped); singleton
+    nodes never appear (nothing to drop).
+
+    The argmax is a map-side ``max(struct(score, -id))`` aggregate —
+    never a per-group sort or window — so group state is one scalar
+    pair regardless of group size. Join shape at 100 TB: the component
+    map is dup-graph-sized (sparse vs the corpus); the score side is
+    pruned to (id, score) before the equi-join, and AQE broadcasts the
+    component map when it fits."""
+    cc = connected_components(pairs, src, dst, max_iter)
+    sc = scores.select(F.col(id_col).alias("node"),
+                       F.col(score_col).cast("bigint").alias("_score"))
+    best = F.max(F.struct(F.col("_score").alias("s"),
+                          (-F.col("node")).alias("neg_id")))
+    return (cc.join(sc, "node")
+            .groupBy(F.col("component").alias("canonical_id"))
+            .agg(F.count(F.lit(1)).alias("n_docs"), best.alias("_b"))
+            .filter(F.col("n_docs") > 1)
+            .select("canonical_id",
+                    F.col("n_docs").cast("bigint").alias("n_docs"),
+                    (-F.col("_b.neg_id")).cast("bigint").alias("keep_id"),
+                    F.col("_b.s").alias("keep_" + score_col),
+                    (F.col("n_docs") - 1).cast("bigint").alias("n_dropped")))

@@ -109,3 +109,23 @@ def test_components_determinism(pair_df):
     a = sorted(map(tuple, connected_components(df).collect()))
     b = sorted(map(tuple, connected_components(df).collect()))
     assert a == b
+
+
+def test_keep_best_argmax_and_ties(spark):
+    """keep_best: highest score wins, ties go to the smallest id,
+    singletons never emit, and n_dropped = group size - 1."""
+    from schema_inference_spark.operators.components import keep_best
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3),      # group {1,2,3}
+         (10, 11)],           # group {10,11}
+        "d1 bigint, d2 bigint")
+    scores = spark.createDataFrame(
+        [(1, 50), (2, 90), (3, 90),     # tie at 90 -> keep id 2
+         (10, 10), (11, 99),
+         (42, 100)],                    # singleton: must not appear
+        "doc_id bigint, quality_bp bigint")
+    out = {r.canonical_id: r for r in keep_best(pairs, scores).collect()}
+    assert set(out) == {1, 10}
+    g = out[1]
+    assert (g.n_docs, g.keep_id, g.keep_quality_bp, g.n_dropped) == (3, 2, 90, 2)
+    assert (out[10].keep_id, out[10].keep_quality_bp) == (11, 99)
