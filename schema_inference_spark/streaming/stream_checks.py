@@ -992,3 +992,96 @@ def fd_rule_stream(sdf: DataFrame, snapshot_id: str, check_id: str,
                 stateStructType=FD_STATE_SCHEMA,
                 outputMode="update",
                 timeoutConf=timeout))
+
+
+# ---------------------------------------------------------------------------
+# stateful: stuck-loop detection on a turn stream (conversations.py
+# repeated_runs, stream form)
+# ---------------------------------------------------------------------------
+
+STUCK_STATE_SCHEMA = "last_val string, run_len bigint, n_seen bigint"
+STUCK_OUT_DDL = ("conv_id string, value string, run_len bigint, "
+                 "start_idx bigint, end_idx bigint")
+
+
+def stuck_loop_stream(sdf: DataFrame, key_col: str = "conv_id",
+                      ts_col: str = "ts", seq_col: str = "role",
+                      tiebreak_col: str = "turn_idx",
+                      min_run: int = 3,
+                      state_ttl_ms: int | None = None) -> DataFrame:
+    """Ingest-time stuck-loop detection: the streaming twin of
+    ``operators.conversations.repeated_runs``. State per conversation is
+    three scalars — (last value, current run length, turns seen) — so a
+    10^9-conversation feed holds one tiny row each, never a turn buffer.
+
+    Emission contract (update mode): a run that ENDS inside a batch is
+    emitted once, final; the batch's TRAILING run is emitted whenever it
+    has reached ``min_run`` and is re-emitted extended if the next batch
+    continues it — the consumer keeps the max ``end_idx`` per
+    (conv, start_idx), the same latest-emission-wins doctrine as
+    ``conv_state_checks``. After full in-order ingest that reduction is
+    row-identical to the batch operator (asserted in tests).
+
+    Ordering: within a micro-batch rows sort by (ts, tiebreak) — the
+    same stable order as batch; cross-batch continuity assumes the feed
+    delivers each conversation's turns in order (true for a log-ordered
+    source; an out-of-order replay is the standard late-data tradeoff,
+    same contract as the other stateful checks). Nulls are null-safe
+    (consecutive nulls DO form a run, matching the batch operator).
+    ``state_ttl_ms`` evicts idle conversations; eviction emits nothing
+    (the last update-mode emission stands as final)."""
+    keyed = sdf.select(
+        F.col(key_col).cast("string").alias("_k"),
+        F.col(ts_col).cast("timestamp").alias("_ts"),
+        F.col(tiebreak_col).cast("bigint").alias("_tb"),
+        F.col(seq_col).cast("string").alias("_v"))
+
+    def fn(key: Tuple[str], pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                columns=["conv_id", "value", "run_len",
+                         "start_idx", "end_idx"])
+            return
+        rows = pd.concat(list(pdfs)).sort_values(["_ts", "_tb"])
+        if state.exists:
+            last, rl, seen = state.get
+            rl, seen = int(rl), int(seen)
+        else:
+            last, rl, seen = None, 0, 0
+        out = []
+        idx = seen
+        for v in rows["_v"]:
+            v = None if (v is None or v != v) else str(v)
+            idx += 1
+            same = rl > 0 and ((v is None and last is None)
+                               or (v is not None and last is not None
+                                   and v == last))
+            if same:
+                rl += 1
+            else:
+                if rl >= min_run:          # a run just ENDED — final
+                    out.append((last, rl, idx - rl, idx - 1))
+                last, rl = v, 1
+        if rl >= min_run:                  # trailing run — provisional
+            out.append((last, rl, idx - rl + 1, idx))
+        state.update((last, int(rl), int(idx)))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        yield pd.DataFrame({
+            "conv_id": [key[0]] * len(out),
+            "value": [o[0] for o in out],
+            "run_len": [o[1] for o in out],
+            "start_idx": [o[2] for o in out],
+            "end_idx": [o[3] for o in out]})
+
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if state_ttl_ms is not None else GroupStateTimeout.NoTimeout)
+    return (keyed.groupBy("_k")
+            .applyInPandasWithState(
+                fn,
+                outputStructType=STUCK_OUT_DDL,
+                stateStructType=STUCK_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=timeout))

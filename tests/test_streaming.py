@@ -811,3 +811,71 @@ def test_text_validity_stream_matches_batch(spark, tmp_path):
         g = got_by_key[key]
         assert (g.n_chars, g.n_control, g.n_replacement, g.verdict) == \
             (w.n_chars, w.n_control, w.n_replacement, w.verdict), key
+
+
+def test_stuck_loop_stream_converges_to_batch(spark, tmp_path):
+    """stuck_loop_stream over an in-order feed, reduced by
+    latest-emission-wins per (conv, start_idx), is row-identical to the
+    batch repeated_runs — including a run that SPANS the micro-batch
+    boundary (the state-continuity case)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from schema_inference_spark.operators.conversations import repeated_runs
+    from schema_inference_spark.streaming.stream_checks import (
+        stuck_loop_stream,
+    )
+
+    stream_dir = tmp_path / "turns_stream"
+    stream_dir.mkdir()
+    # conv A: run of 4 'x' spanning part-0 (2) -> part-1 (2), then 'y';
+    # conv B: run of 3 'z' entirely inside part-0; conv C: no runs
+    base = 1_700_000_000_000_000
+    part0 = [("A", 0, "x"), ("A", 1, "x"),
+             ("B", 0, "z"), ("B", 1, "z"), ("B", 2, "z"), ("B", 3, "w"),
+             ("C", 0, "p"), ("C", 1, "q")]
+    part1 = [("A", 2, "x"), ("A", 3, "x"), ("A", 4, "y"),
+             ("C", 2, "p")]
+    for age, (name, rows) in enumerate(
+            (("part-0.parquet", part0), ("part-1.parquet", part1))):
+        pq.write_table(pa.table({
+            "conv_id": pa.array([c for c, _, _ in rows], pa.string()),
+            "turn_idx": pa.array([i for _, i, _ in rows], pa.int64()),
+            "role": pa.array([v for _, _, v in rows], pa.string()),
+            "ts": pa.array([base + i * 1_000_000 for _, i, _ in rows],
+                           pa.timestamp("us")),
+        }), str(stream_dir / name))
+        os.utime(str(stream_dir / name), (1_000_000 + age, 1_000_000 + age))
+
+    sdf = (spark.readStream
+           .schema("conv_id string, turn_idx bigint, role string, "
+                   "ts timestamp")
+           .option("maxFilesPerTrigger", "1")
+           .parquet(str(stream_dir)))
+    got = []
+    q = (stuck_loop_stream(sdf, min_run=3).writeStream
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt_stuck"))
+         .foreachBatch(lambda df, _eid: got.extend(df.collect()))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+
+    # latest-emission-wins: max end_idx (and its run_len) per (conv, start)
+    latest = {}
+    for r in got:
+        k = (r.conv_id, r.start_idx)
+        if k not in latest or r.end_idx > latest[k][1]:
+            latest[k] = (r.value, r.end_idx, r.run_len)
+    stream_rows = {(c, v, rl, s, e)
+                   for (c, s), (v, e, rl) in latest.items()}
+
+    batch = spark.read.schema(
+        "conv_id string, turn_idx bigint, role string, ts timestamp"
+    ).parquet(str(stream_dir))
+    want = {(r.conv_id, r.value, r.run_len, r.start_idx, r.end_idx)
+            for r in repeated_runs(batch, "conv_id", "ts", "role",
+                                   "turn_idx", min_run=3).collect()}
+    assert stream_rows == want
+    # the cross-batch run really exists and really spanned the boundary
+    assert ("A", "x", 4, 1, 4) in want
