@@ -178,6 +178,37 @@ def check_conv_completeness(df: DataFrame, snapshot_id: str,
     return head.unionByName(gap)
 
 
+def check_stuck_loops(df: DataFrame, snapshot_id: str,
+                      min_run: int = 3, seq_col: str = "role",
+                      partition_col: str = "bucket") -> DataFrame:
+    """Violation-store form of ``conversations.repeated_runs``: one row
+    per maximal run of >= ``min_run`` consecutive identical ``seq_col``
+    values inside a conversation — check_id ``stuck_loop``, the agent
+    retry-loop/echo pathology that D12's gap/order checks never see (a
+    stuck loop has perfectly consecutive turn_idx). ``turn_idx``
+    carries the run's 1-based start index; payload carries the repeated
+    value and run extent.
+
+    A conversation lives in exactly one bucket (the catalog hash-buckets
+    by conv_id), so ``partition_col`` rides the run fold as a
+    functionally-dependent group column — exact partition attribution,
+    zero extra shuffle (one window Exchange on (conv, bucket), the fold
+    reuses its clustering)."""
+    from .conversations import repeated_runs
+    runs = repeated_runs(
+        df.select(partition_col, "conv_id", "turn_idx", seq_col, "ts"),
+        key_col="conv_id", ts_col="ts", seq_col=seq_col,
+        tiebreak_col="turn_idx", min_run=min_run,
+        extra_group_cols=[partition_col])
+    payload = F.to_json(F.struct(
+        F.col("value"), F.col("run_len"),
+        F.col("start_idx"), F.col("end_idx")))
+    return _shape(
+        runs.withColumnRenamed(partition_col, "partition_id")
+            .withColumn("turn_idx", F.col("start_idx")),
+        snapshot_id, "stuck_loop", payload_col=payload)
+
+
 def fk_orphans(fact: DataFrame, dim: DataFrame, fact_key: str,
                dim_key: str) -> DataFrame:
     """D11's LARGE-dimension form: FK orphan detection when the

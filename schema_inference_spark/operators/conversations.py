@@ -228,7 +228,8 @@ def invalid_transitions(
 
 def repeated_runs(df: DataFrame, key_col: str, ts_col: str,
                   seq_col: str, tiebreak_col: str,
-                  min_run: int = 3) -> DataFrame:
+                  min_run: int = 3,
+                  extra_group_cols: Sequence[str] = ()) -> DataFrame:
     """Stuck-loop detection: maximal runs of CONSECUTIVE identical
     ``seq_col`` values within a key, of length >= ``min_run`` — the
     agent-transcript retry-loop pathology (an assistant re-emitting the
@@ -244,23 +245,31 @@ def repeated_runs(df: DataFrame, key_col: str, ts_col: str,
     so they compile into a single WindowExec. The run fold is then a
     groupBy on (key, run_id) — map-side partial count/min/max, never a
     per-key sort. At 100 TB runs are bounded by conversation length, so
-    no aggregate state exceeds a scalar per run."""
-    w = Window.partitionBy("_k").orderBy(F.col("_ts"), F.col("_tb"))
+    no aggregate state exceeds a scalar per run.
+
+    ``extra_group_cols`` ride along for columns functionally dependent
+    on the key (e.g. the storage bucket a conversation lives in, for
+    violation-row partition attribution) — they join the window
+    partitioning and the fold, so semantics are unchanged."""
+    extras = list(extra_group_cols)
+    w = Window.partitionBy("_k", *extras).orderBy(
+        F.col("_ts"), F.col("_tb"))
     cum = w.rowsBetween(Window.unboundedPreceding, 0)
     base = df.select(F.col(key_col).alias("_k"),
+                     *[F.col(c) for c in extras],
                      F.col(ts_col).cast("timestamp").alias("_ts"),
                      F.col(tiebreak_col).alias("_tb"),
                      F.col(seq_col).alias("_v"))
     chg = F.when(F.lag("_v").over(w).eqNullSafe(F.col("_v")), 0).otherwise(1)
     ranked = (base.withColumn("_rn", F.row_number().over(w))
               .withColumn("_run", F.sum(chg).over(cum)))
-    return (ranked.groupBy("_k", "_run")
+    return (ranked.groupBy("_k", "_run", *extras)
             .agg(F.min("_v").alias("value"),
                  F.count(F.lit(1)).alias("run_len"),
                  F.min("_rn").alias("start_idx"),
                  F.max("_rn").alias("end_idx"))
             .filter(F.col("run_len") >= int(min_run))
-            .select(F.col("_k").alias(key_col), "value",
+            .select(F.col("_k").alias(key_col), *extras, "value",
                     F.col("run_len").cast("bigint").alias("run_len"),
                     F.col("start_idx").cast("bigint").alias("start_idx"),
                     F.col("end_idx").cast("bigint").alias("end_idx")))

@@ -93,6 +93,7 @@ def validate(
     baseline_transitions: Optional[Dict] = None,
     rules: Optional[List[Dict]] = None,
     completeness: bool = False,
+    stuck_loops: bool = False,
     resume: bool = True,
     write_audit: bool = True,
     write_violations: Optional[bool] = None,
@@ -295,7 +296,7 @@ def validate(
                         violations = violations.unionByName(v)
 
             if role_protocol or baseline_transitions or rules \
-                    or completeness:
+                    or completeness or stuck_loops:
                 # opt-in conversation-structure checks: the protocol
                 # matrix (checks.check_role_protocol) and/or the
                 # snapshot-vs-baseline transition drift. Both need the
@@ -321,6 +322,14 @@ def validate(
                     violations = violations.unionByName(
                         C.check_conv_completeness(df, snapshot_id,
                                                   partition_col=partition_col))
+                if stuck_loops:
+                    # retry-loop/echo runs: one window Exchange on
+                    # (conv, bucket) shared with nothing (the run fold
+                    # reuses its clustering); invisible to D12 since a
+                    # stuck loop has perfectly consecutive turn_idx
+                    violations = violations.unionByName(
+                        C.check_stuck_loops(df, snapshot_id,
+                                            partition_col=partition_col))
                 if rules:
                     # declared row-rule constraints (implication rules
                     # share the snapshot scan — zero extra shuffle; FD

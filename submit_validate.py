@@ -40,6 +40,9 @@ def main() -> int:
     ap.add_argument("--completeness", action="store_true",
                     help="also emit per-conversation head-truncation/"
                          "gap violations (conv_head_truncated/conv_gap)")
+    ap.add_argument("--stuck-loops", action="store_true",
+                    help="also emit stuck_loop violations (runs of >=3 "
+                         "consecutive identical roles per conversation)")
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 
@@ -65,6 +68,7 @@ def main() -> int:
                       baseline_sketches=baseline_sketches,
                       rules=rules,
                       completeness=args.completeness,
+                      stuck_loops=args.stuck_loops,
                       resume=not args.no_resume)
 
     if args.violations_out:
