@@ -164,3 +164,38 @@ def test_context_overflow_exact_budget_is_not_over(spark):
         [(1, _ts(0), 0, 10)], "conv bigint, ts timestamp, eid bigint, c int")
     assert context_overflow(df, "conv", "ts", "eid",
                             cost=F.col("c"), budget=10).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# plan-shape regressions (100-TB contracts)
+# ---------------------------------------------------------------------------
+
+def test_repeated_runs_single_input_exchange(spark):
+    """ONE shuffle on the conversation key feeds both the windows and
+    the run fold (the fold reuses the _k clustering — SortAggregate,
+    never a second hashpartitioning on (_k, _run))."""
+    df = _turns(spark, {1: ["a", "a", "a"]})
+    plan = (repeated_runs(df, "conv", "ts", "v", "eid", min_run=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_context_overflow_single_exchange(spark):
+    """The running-sum window and the per-key fold share one Exchange."""
+    df = spark.createDataFrame(
+        [(1, _ts(0), 0, 5)], "conv bigint, ts timestamp, eid bigint, c int")
+    plan = (context_overflow(df, "conv", "ts", "eid",
+                             cost=F.col("c"), budget=10)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_json_census_prunes_scan_and_stays_jvm(spark, sf_dir):
+    """The census reads ONLY the json column (column pruning reaches
+    the parquet scan) and has no Python evaluation in the plan —
+    from_json + explode are JVM generators."""
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = (json_key_census(df, "props")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "ReadSchema: struct<props:string>" in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
