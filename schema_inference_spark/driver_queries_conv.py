@@ -547,6 +547,50 @@ FROM events
 """
 
 
+def q_json_schema_drift(spark, sf_dir):
+    """Payload schema evolution between the corpus's two time-halves:
+    per-key added/dropped/type_shift verdicts — the schema-inference
+    unify step lifted across time."""
+    from .operators.semistructured import json_schema_drift
+    ev = _t(spark, sf_dir, "events")
+    return json_schema_drift(ev, "props", "ts").orderBy("key")
+
+
+SQL_JSON_SCHEMA_DRIFT = """
+WITH e AS (
+  SELECT props, epoch_us(ts) AS us FROM events
+  WHERE props IS NOT NULL
+    AND coalesce(CASE WHEN json_valid(props)
+                      THEN json_type(props) END, '') = 'OBJECT'
+), m AS (
+  SELECT CAST(floor((min(us) + max(us)) / 2.0) AS BIGINT) AS mid FROM e
+), x AS (
+  SELECT props, us < mid AS early, unnest(json_keys(props)) AS key
+  FROM e, m
+), v AS (
+  SELECT key, early,
+         CASE WHEN regexp_matches(
+                  json_extract_string(props, '$.' || key), '^-?[0-9]+$')
+              THEN 1 ELSE 0 END AS is_int
+  FROM x
+), h AS (
+  SELECT key,
+         sum(CASE WHEN early THEN 1 ELSE 0 END) AS n_early,
+         sum(CASE WHEN early THEN is_int ELSE 0 END) AS n_int_early,
+         sum(CASE WHEN NOT early THEN 1 ELSE 0 END) AS n_late,
+         sum(CASE WHEN NOT early THEN is_int ELSE 0 END) AS n_int_late
+  FROM v GROUP BY key
+)
+SELECT key, n_early, n_int_early, n_late, n_int_late,
+       CASE WHEN n_early = 0 THEN 'added'
+            WHEN n_late = 0 THEN 'dropped'
+            WHEN (n_int_early = n_early) <> (n_int_late = n_late)
+                 THEN 'type_shift'
+            ELSE 'ok' END AS verdict
+FROM h ORDER BY key
+"""
+
+
 CONV_QUERIES: Dict[str, Callable] = {
     "asof_enrich": q_asof_enrich,
     "conv_assembly": q_conv_assembly,
@@ -563,6 +607,7 @@ CONV_QUERIES: Dict[str, Callable] = {
     "context_overflow": q_context_overflow,
     "json_census": q_json_census,
     "json_validity": q_json_validity,
+    "json_schema_drift": q_json_schema_drift,
 }
 
 CONV_ORACLES: Dict[str, str] = {
@@ -581,4 +626,5 @@ CONV_ORACLES: Dict[str, str] = {
     "context_overflow": SQL_CONTEXT_OVERFLOW,
     "json_census": SQL_JSON_CENSUS,
     "json_validity": SQL_JSON_VALIDITY,
+    "json_schema_drift": SQL_JSON_SCHEMA_DRIFT,
 }

@@ -81,3 +81,64 @@ def json_validity(df: DataFrame, json_col: str) -> DataFrame:
         F.sum(nn.cast("int")).cast("bigint").alias("n_present"),
         F.sum((nn & parsed.isNull()).cast("int")).cast("bigint")
          .alias("n_invalid"))
+
+
+def json_schema_drift(df: DataFrame, json_col: str, ts_col: str) -> DataFrame:
+    """Payload schema EVOLUTION: the per-key census computed on the two
+    time-halves of the corpus (split at the midpoint of the observed
+    time range — exact integer microseconds, the transition_drift
+    split), full-outer-joined per key with a verdict:
+
+    - ``added``      key absent early, present late (producer started
+                     emitting a new field)
+    - ``dropped``    present early, absent late (field removed — the
+                     change that silently breaks downstream extractors)
+    - ``type_shift`` present in both, but the integer share moved across
+                     the all-or-nothing boundary (was always-int, now
+                     carries non-ints, or vice versa)
+    - ``ok``         stable
+
+    This is the reference's schema-inference unify step lifted across
+    TIME: two inferred payload schemas, diffed by key. Counts are exact
+    integers; the midpoint is exact; both halves aggregate map-side to
+    the (tiny) key vocabulary before the single full-outer join."""
+    parsed = F.from_json(F.col(json_col), "map<string,string>")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = (df.select(parsed.alias("_m"), us.alias("_us"))
+            .filter(F.col("_m").isNotNull()))
+    mid = base.agg(F.floor((F.min("_us") + F.max("_us")) / 2)
+                   .cast("bigint").alias("_mid"))
+    kv = (base.join(F.broadcast(mid))
+          .select(F.explode("_m").alias("key", "_val"),
+                  (F.col("_us") < F.col("_mid")).alias("_early")))
+    is_int = F.col("_val").rlike("^-?[0-9]+$").cast("int")
+
+    def half(flag):
+        return (kv.filter(F.col("_early") == flag)
+                .groupBy("key")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(is_int).alias("n_int")))
+
+    e, l = half(True), half(False)
+    ej = e.select(F.col("key"), F.col("n").alias("n_early"),
+                  F.col("n_int").alias("n_int_early"))
+    lj = l.select(F.col("key"), F.col("n").alias("n_late"),
+                  F.col("n_int").alias("n_int_late"))
+    j = ej.join(lj, "key", "full_outer")
+    n_e = F.coalesce(F.col("n_early"), F.lit(0))
+    n_l = F.coalesce(F.col("n_late"), F.lit(0))
+    all_int_e = F.col("n_int_early") == F.col("n_early")
+    all_int_l = F.col("n_int_late") == F.col("n_late")
+    verdict = (F.when(n_e == 0, "added")
+               .when(n_l == 0, "dropped")
+               .when(all_int_e != all_int_l, "type_shift")
+               .otherwise("ok"))
+    return j.select(
+        "key",
+        n_e.cast("bigint").alias("n_early"),
+        F.coalesce(F.col("n_int_early"), F.lit(0)).cast("bigint")
+         .alias("n_int_early"),
+        n_l.cast("bigint").alias("n_late"),
+        F.coalesce(F.col("n_int_late"), F.lit(0)).cast("bigint")
+         .alias("n_int_late"),
+        verdict.alias("verdict"))

@@ -199,3 +199,28 @@ def test_json_census_prunes_scan_and_stays_jvm(spark, sf_dir):
             ._jdf.queryExecution().executedPlan().toString())
     assert "ReadSchema: struct<props:string>" in plan, plan
     assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# json schema drift (payload evolution)
+# ---------------------------------------------------------------------------
+
+def test_json_schema_drift_verdicts(spark):
+    """Planted evolution: a stable key, a key added late, a key dropped
+    early, and a key whose values stop being integers mid-corpus."""
+    from schema_inference_spark.operators.semistructured import (
+        json_schema_drift,
+    )
+    early = ['{"stable": 1, "old": 2, "shift": 3}'] * 3
+    late = ['{"stable": 9, "new": 4, "shift": "oops"}'] * 3
+    rows = ([(p, _ts(i)) for i, p in enumerate(early)]
+            + [(p, _ts(100 + i)) for i, p in enumerate(late)])
+    df = spark.createDataFrame(rows, "props string, ts timestamp")
+    out = {r.key: r for r in json_schema_drift(df, "props",
+                                               "ts").collect()}
+    assert out["stable"].verdict == "ok"
+    assert out["new"].verdict == "added"
+    assert (out["new"].n_early, out["new"].n_late) == (0, 3)
+    assert out["old"].verdict == "dropped"
+    assert out["shift"].verdict == "type_shift"
+    assert (out["shift"].n_int_early, out["shift"].n_int_late) == (3, 0)
