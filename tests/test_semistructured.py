@@ -224,3 +224,75 @@ def test_json_schema_drift_verdicts(spark):
     assert out["old"].verdict == "dropped"
     assert out["shift"].verdict == "type_shift"
     assert (out["shift"].n_int_early, out["shift"].n_int_late) == (3, 0)
+
+
+# ---------------------------------------------------------------------------
+# properties: agree with pure-Python models on arbitrary small inputs
+# (same budget rationale as test_conv_completeness_matches_model)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_run_rows = st.lists(
+    st.lists(st.sampled_from(["a", "b", None]), min_size=1, max_size=12),
+    min_size=1, max_size=4)
+
+
+def _runs_model(vals, min_run):
+    """Maximal null-safe runs >= min_run: (value, len, start, end)."""
+    out, i = [], 0
+    while i < len(vals):
+        j = i
+        while j + 1 < len(vals) and vals[j + 1] == vals[i]:
+            j += 1
+        if j - i + 1 >= min_run:
+            out.append((vals[i], j - i + 1, i + 1, j + 1))
+        i = j + 1
+    return out
+
+
+@settings(max_examples=25, deadline=None)
+@given(seqs=_run_rows, min_run=st.integers(2, 4))
+def test_repeated_runs_matches_model(spark, seqs, min_run):
+    df = _turns(spark, {k: v for k, v in enumerate(seqs)})
+    got = sorted(
+        ((r.conv, r.value, r.run_len, r.start_idx, r.end_idx)
+         for r in repeated_runs(df, "conv", "ts", "v", "eid",
+                                min_run=min_run).collect()),
+        key=str)
+    want = sorted(((k, v, n, s, e)
+                   for k, vals in enumerate(seqs)
+                   for (v, n, s, e) in _runs_model(vals, min_run)),
+                  key=str)
+    assert got == want
+
+
+_cost_rows = st.lists(
+    st.lists(st.integers(0, 9), min_size=1, max_size=10),
+    min_size=1, max_size=4)
+
+
+@settings(max_examples=25, deadline=None)
+@given(seqs=_cost_rows, budget=st.integers(0, 25))
+def test_context_overflow_matches_model(spark, seqs, budget):
+    rows = [(k, _ts(j), k * 100 + j, c)
+            for k, costs in enumerate(seqs) for j, c in enumerate(costs)]
+    df = spark.createDataFrame(
+        rows, "conv bigint, ts timestamp, eid bigint, c int")
+    got = {r.conv: (r.n_turns, r.total_cost, r.n_over, r.first_over_idx)
+           for r in context_overflow(df, "conv", "ts", "eid",
+                                     cost=F.col("c"),
+                                     budget=budget).collect()}
+    want = {}
+    for k, costs in enumerate(seqs):
+        cum, n_over, first = 0, 0, None
+        for j, c in enumerate(costs):
+            cum += c
+            if cum > budget:
+                n_over += 1
+                if first is None:
+                    first = j + 1
+        if n_over:
+            want[k] = (len(costs), cum, n_over, first)
+    assert got == want
