@@ -209,6 +209,31 @@ def check_stuck_loops(df: DataFrame, snapshot_id: str,
         snapshot_id, "stuck_loop", payload_col=payload)
 
 
+def check_context_overflow(df: DataFrame, snapshot_id: str,
+                           budget: int, cost_col: str = "text",
+                           partition_col: str = "bucket") -> DataFrame:
+    """Violation-store form of ``conversations.context_overflow``: one
+    row per conversation whose running text cost (char length —
+    deterministic, integer-exact; swap in a token count upstream if the
+    tokenizer is pinned) crosses ``budget`` — check_id
+    ``context_overflow``, ``turn_idx`` = the 1-based crossing turn,
+    payload = totals + overflow extent. Same single-Exchange shape and
+    bucket attribution as check_stuck_loops."""
+    from .conversations import context_overflow
+    over = context_overflow(
+        df.select(partition_col, "conv_id", "turn_idx", cost_col, "ts"),
+        key_col="conv_id", ts_col="ts", tiebreak_col="turn_idx",
+        cost=F.coalesce(F.length(cost_col), F.lit(0)),
+        budget=budget, extra_group_cols=[partition_col])
+    payload = F.to_json(F.struct(
+        F.col("n_turns"), F.col("total_cost"),
+        F.col("n_over"), F.col("first_over_idx"), F.lit(budget).alias("budget")))
+    return _shape(
+        over.withColumnRenamed(partition_col, "partition_id")
+            .withColumn("turn_idx", F.col("first_over_idx")),
+        snapshot_id, "context_overflow", payload_col=payload)
+
+
 def fk_orphans(fact: DataFrame, dim: DataFrame, fact_key: str,
                dim_key: str) -> DataFrame:
     """D11's LARGE-dimension form: FK orphan detection when the

@@ -276,7 +276,8 @@ def repeated_runs(df: DataFrame, key_col: str, ts_col: str,
 
 
 def context_overflow(df: DataFrame, key_col: str, ts_col: str,
-                     tiebreak_col: str, cost, budget: int) -> DataFrame:
+                     tiebreak_col: str, cost, budget: int,
+                     extra_group_cols: Sequence[str] = ()) -> DataFrame:
     """Context-window overflow verdicts: running-total ``cost`` per key
     in stable (ts, tiebreak) turn order, flagging every conversation
     whose cumulative cost crosses ``budget`` — with WHERE it crossed
@@ -291,23 +292,28 @@ def context_overflow(df: DataFrame, key_col: str, ts_col: str,
     the key (running sum + row_number in one WindowExec), then a
     groupBy on the SAME key that reuses that Exchange (aliased before
     the window, the conv_prefix_groups trick) — map-side partials, no
-    second shuffle."""
-    w = Window.partitionBy("_k").orderBy(F.col("_ts"), F.col("_tb"))
+    second shuffle. ``extra_group_cols`` ride along for columns
+    functionally dependent on the key (same contract as
+    repeated_runs)."""
+    extras = list(extra_group_cols)
+    w = Window.partitionBy("_k", *extras).orderBy(
+        F.col("_ts"), F.col("_tb"))
     cum = w.rowsBetween(Window.unboundedPreceding, 0)
     base = df.select(F.col(key_col).alias("_k"),
+                     *[F.col(c) for c in extras],
                      F.col(ts_col).cast("timestamp").alias("_ts"),
                      F.col(tiebreak_col).alias("_tb"),
                      cost.cast("bigint").alias("_c"))
     ranked = (base.withColumn("_rn", F.row_number().over(w))
               .withColumn("_cum", F.sum("_c").over(cum)))
     over = F.col("_cum") > F.lit(int(budget))
-    return (ranked.groupBy("_k")
+    return (ranked.groupBy("_k", *extras)
             .agg(F.count(F.lit(1)).alias("n_turns"),
                  F.max("_cum").alias("total_cost"),
                  F.sum(over.cast("int")).alias("n_over"),
                  F.min(F.when(over, F.col("_rn"))).alias("first_over_idx"))
             .filter(F.col("n_over") > 0)
-            .select(F.col("_k").alias(key_col),
+            .select(F.col("_k").alias(key_col), *extras,
                     F.col("n_turns").cast("bigint").alias("n_turns"),
                     F.col("total_cost").cast("bigint").alias("total_cost"),
                     F.col("n_over").cast("bigint").alias("n_over"),

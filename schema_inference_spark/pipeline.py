@@ -94,6 +94,7 @@ def validate(
     rules: Optional[List[Dict]] = None,
     completeness: bool = False,
     stuck_loops: bool = False,
+    context_budget: Optional[int] = None,
     resume: bool = True,
     write_audit: bool = True,
     write_violations: Optional[bool] = None,
@@ -296,7 +297,8 @@ def validate(
                         violations = violations.unionByName(v)
 
             if role_protocol or baseline_transitions or rules \
-                    or completeness or stuck_loops:
+                    or completeness or stuck_loops \
+                    or context_budget is not None:
                 # opt-in conversation-structure checks: the protocol
                 # matrix (checks.check_role_protocol) and/or the
                 # snapshot-vs-baseline transition drift. Both need the
@@ -330,6 +332,13 @@ def validate(
                     violations = violations.unionByName(
                         C.check_stuck_loops(df, snapshot_id,
                                             partition_col=partition_col))
+                if context_budget is not None:
+                    # running text-cost budget crossing per conversation
+                    # (serving context limit / export row cap audit)
+                    violations = violations.unionByName(
+                        C.check_context_overflow(
+                            df, snapshot_id, budget=context_budget,
+                            partition_col=partition_col))
                 if rules:
                     # declared row-rule constraints (implication rules
                     # share the snapshot scan — zero extra shuffle; FD

@@ -43,6 +43,10 @@ def main() -> int:
     ap.add_argument("--stuck-loops", action="store_true",
                     help="also emit stuck_loop violations (runs of >=3 "
                          "consecutive identical roles per conversation)")
+    ap.add_argument("--context-budget", type=int, default=None,
+                    help="emit context_overflow violations for "
+                         "conversations whose running text length "
+                         "crosses this budget")
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 
@@ -69,6 +73,7 @@ def main() -> int:
                       rules=rules,
                       completeness=args.completeness,
                       stuck_loops=args.stuck_loops,
+                      context_budget=args.context_budget,
                       resume=not args.no_resume)
 
     if args.violations_out:

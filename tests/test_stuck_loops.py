@@ -101,3 +101,30 @@ def test_pipeline_optin_both_paths(spark, tmp_path):
     sep = {tuple(r) for r in res_sep.violations
            .filter("check_id = 'stuck_loop'").collect()}
     assert sep == {tuple(r) for r in got}
+
+
+def test_context_budget_optin_both_paths(spark, catalog):
+    """validate(context_budget=N): conversations whose cumulative text
+    length crosses N surface as context_overflow violations, identical
+    on both check paths; a huge budget yields zero rows."""
+    from schema_inference_spark.pipeline import validate
+
+    res = validate(spark, catalog, "s1", context_budget=2000,
+                   resume=False, write_audit=False)
+    rows = res.violations.filter("check_id = 'context_overflow'").collect()
+    assert rows, "fixture conversations must exceed a 2000-char budget"
+    p = json.loads(rows[0].payload)
+    assert p["total_cost"] > 2000 and p["budget"] == 2000
+    assert p["first_over_idx"] >= 1 and rows[0].turn_idx == p["first_over_idx"]
+
+    res_sep = validate(spark, catalog, "s1", context_budget=2000,
+                       resume=False, write_audit=False,
+                       fused_checks=False)
+    sep = {tuple(r) for r in res_sep.violations
+           .filter("check_id = 'context_overflow'").collect()}
+    assert sep == {tuple(r) for r in rows}
+
+    res_big = validate(spark, catalog, "s1", context_budget=10**9,
+                       resume=False, write_audit=False)
+    assert res_big.violations.filter(
+        "check_id = 'context_overflow'").count() == 0
