@@ -1085,3 +1085,26 @@ def stuck_loop_stream(sdf: DataFrame, key_col: str = "conv_id",
                 stateStructType=STUCK_STATE_SCHEMA,
                 outputMode="update",
                 timeoutConf=timeout))
+
+
+# ---------------------------------------------------------------------------
+# streaming aggregation: JSON payload census (semistructured.py, stream
+# form)
+# ---------------------------------------------------------------------------
+
+def json_census_stream(sdf: DataFrame, json_col: str) -> DataFrame:
+    """Streaming complete-mode form of
+    ``operators.semistructured.json_key_census`` — the SAME column
+    definitions and plan (from_json + explode inside codegen, groupBy
+    on the key name), run as a native streaming aggregation: Spark
+    keeps one state row per JSON key (the payload vocabulary — tiny),
+    and each micro-batch folds its keys in map-side before touching
+    state. After full ingest the complete-mode result is row-identical
+    to the batch census (asserted in tests).
+
+    This is the ingest-time form of payload schema inference: the
+    census (and its n_present - n_int type-violation gap) is always
+    current as producer traffic lands, without re-scanning the
+    corpus."""
+    from ..operators.semistructured import json_key_census
+    return json_key_census(sdf, json_col)

@@ -879,3 +879,45 @@ def test_stuck_loop_stream_converges_to_batch(spark, tmp_path):
     assert stream_rows == want
     # the cross-batch run really exists and really spanned the boundary
     assert ("A", "x", 4, 1, 4) in want
+
+
+def test_json_census_stream_matches_batch(spark, tmp_path):
+    """Complete-mode streaming census after full ingest equals the
+    batch census over the same files — including the malformed/scalar
+    rows both engines must skip."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from schema_inference_spark.operators.semistructured import (
+        json_key_census,
+    )
+    from schema_inference_spark.streaming.stream_checks import (
+        json_census_stream,
+    )
+
+    stream_dir = tmp_path / "props_stream"
+    stream_dir.mkdir()
+    part0 = ['{"k": 1, "s": "x"}', '{"k": 2}', '{bad', None]
+    part1 = ['{"k": "oops"}', '{"n": -3}', '87']
+    for age, (name, rows) in enumerate(
+            (("part-0.parquet", part0), ("part-1.parquet", part1))):
+        pq.write_table(pa.table({"props": pa.array(rows, pa.string())}),
+                       str(stream_dir / name))
+        os.utime(str(stream_dir / name), (1_000_000 + age,) * 2)
+
+    sdf = (spark.readStream.schema("props string")
+           .option("maxFilesPerTrigger", "1").parquet(str(stream_dir)))
+    final = {}
+    q = (json_census_stream(sdf, "props").writeStream
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt_census"))
+         .foreachBatch(lambda df, _eid: final.update(
+             {"rows": {tuple(r) for r in df.collect()}}))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+
+    batch = spark.read.schema("props string").parquet(str(stream_dir))
+    want = {tuple(r) for r in json_key_census(batch, "props").collect()}
+    assert final["rows"] == want
+    assert ("k", 3, 2, 1, 2) in want   # the type-violation gap survived
