@@ -591,6 +591,84 @@ FROM h ORDER BY key
 """
 
 
+SESSION_GAP_US = 86_400_000_000   # 24h inactivity gap, exact micros
+# (the synthetic feed's inter-event gap averages ~12h per user, so a
+# day gap yields real multi-event windows; 60 / 431 containment
+# matches at sf0.001 / sf0.01 — the gate is non-vacuous)
+INTERVAL_BIN_S = 86_400
+
+
+def q_interval_join(spark, sf_dir):
+    """Range (interval-containment) join via the binned encoding: every
+    'error' event joined to the browse-activity (view/click) session
+    window(s) of the same user that CONTAIN it — the operator Spark
+    would otherwise plan as a per-key nested loop. The DuckDB oracle
+    computes the same result with a plain theta join (ts BETWEEN start
+    AND end): a different algorithm entirely, the asof_enrich-grade
+    oracle."""
+    from pyspark.sql import Window
+
+    from .operators.temporal import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    pur = (ev.filter(F.col("event_type").isin("view", "click"))
+           .select("user_id", "ts", us.alias("_us"), "event_id"))
+    w = Window.partitionBy("user_id").orderBy("_us", "event_id")
+    brk = F.when(
+        F.lag("_us").over(w).isNull()
+        | ((F.col("_us") - F.lag("_us").over(w)) > SESSION_GAP_US),
+        1).otherwise(0)
+    sess = (pur.withColumn("sess_idx", F.sum(brk).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
+            .groupBy("user_id", "sess_idx")
+            .agg(F.min("ts").alias("s_ts"), F.max("ts").alias("e_ts")))
+    err = (ev.filter(F.col("event_type") == "error")
+           .select("event_id", "user_id", "ts"))
+    j = interval_join(err, sess, on=["user_id"], probe_ts="ts",
+                      start_ts="s_ts", end_ts="e_ts",
+                      value_cols=["sess_idx"], bin_seconds=INTERVAL_BIN_S)
+    return (j.select("event_id", "user_id",
+                     _us("ts").alias("err_us"),
+                     F.col("sess_idx").cast("bigint").alias("sess_idx"),
+                     "interval_start_us", "interval_end_us")
+            .orderBy("event_id", "sess_idx"))
+
+
+SQL_INTERVAL_JOIN = f"""
+WITH pur AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us
+  FROM events WHERE event_type IN ('view', 'click')
+), lagged AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN lag(us) OVER (
+                  PARTITION BY user_id ORDER BY us, event_id) IS NULL
+               OR us - lag(us) OVER (
+                  PARTITION BY user_id ORDER BY us, event_id)
+                  > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS brk
+  FROM pur
+), numbered AS (
+  SELECT user_id, us,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sess_idx
+  FROM lagged
+), sess AS (
+  SELECT user_id, sess_idx, min(us) AS s_us, max(us) AS e_us
+  FROM numbered GROUP BY user_id, sess_idx
+), err AS (
+  SELECT event_id, user_id, epoch_us(ts) AS err_us
+  FROM events WHERE event_type = 'error'
+)
+SELECT e.event_id, e.user_id, e.err_us,
+       s.sess_idx, s.s_us AS interval_start_us,
+       s.e_us AS interval_end_us
+FROM err e JOIN sess s
+  ON e.user_id = s.user_id AND e.err_us BETWEEN s.s_us AND s.e_us
+ORDER BY e.event_id, s.sess_idx
+"""
+
+
 CONV_QUERIES: Dict[str, Callable] = {
     "asof_enrich": q_asof_enrich,
     "conv_assembly": q_conv_assembly,
@@ -608,6 +686,7 @@ CONV_QUERIES: Dict[str, Callable] = {
     "json_census": q_json_census,
     "json_validity": q_json_validity,
     "json_schema_drift": q_json_schema_drift,
+    "interval_join": q_interval_join,
 }
 
 CONV_ORACLES: Dict[str, str] = {
@@ -627,4 +706,5 @@ CONV_ORACLES: Dict[str, str] = {
     "json_census": SQL_JSON_CENSUS,
     "json_validity": SQL_JSON_VALIDITY,
     "json_schema_drift": SQL_JSON_SCHEMA_DRIFT,
+    "interval_join": SQL_INTERVAL_JOIN,
 }

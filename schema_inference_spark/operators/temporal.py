@@ -127,3 +127,58 @@ def asof_join(
         *left_cols,
         F.col(_PAYLOAD)["matched_ts"].alias("matched_ts"),
         *[F.col(_PAYLOAD)[c].alias(c) for c in value_cols])
+
+
+def interval_join(
+    probes: DataFrame,
+    intervals: DataFrame,
+    on: Sequence[str],
+    probe_ts: str,
+    start_ts: str,
+    end_ts: str,
+    value_cols: Sequence[str],
+    bin_seconds: int,
+) -> DataFrame:
+    """Range (interval-containment) join: every (probe, interval) pair
+    sharing the ``on`` keys with ``start_ts <= probe_ts <= end_ts``
+    (inclusive both ends) — "which maintenance window / session /
+    config epoch was active when this event fired". Spark plans a raw
+    BETWEEN predicate as a nested-loop join (quadratic per key); this
+    is the binned encoding that survives two large sides:
+
+      1. each interval explodes onto the fixed-width time bins it
+         touches (``sequence(floor(start/bin), floor(end/bin))`` —
+         expansion = span/bin + 1 rows, bounded by choosing
+         ``bin_seconds`` near the typical interval length);
+      2. each probe maps to exactly ONE bin;
+      3. equi-join on (keys..., bin) — a plain shuffled hash/merge
+         join Catalyst can plan, size-estimate, and AQE-skew-split —
+         then the exact BETWEEN filter.
+
+    No dedup step is needed: an interval occupies each of its bins
+    once and a probe lives in one bin, so a qualifying pair meets
+    exactly once. Matches multiply per probe (unlike asof_join's
+    most-recent-one); probes matching nothing are dropped (inner
+    semantics — wrap with a left join on the probe id to keep misses).
+    Timestamps compare in exact integer microseconds."""
+    bin_us = int(bin_seconds) * 1_000_000
+    p_us = F.unix_micros(F.col(probe_ts).cast("timestamp"))
+    s_us = F.unix_micros(F.col(start_ts).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end_ts).cast("timestamp"))
+    keys = list(on)
+    p = probes.select(*probes.columns, p_us.alias("_p_us"),
+                      F.floor(p_us / bin_us).alias("_bin"))
+    iv = (intervals.select(*[F.col(k).alias(f"_iv_{k}") for k in keys],
+                           s_us.alias("_s_us"), e_us.alias("_e_us"),
+                           *[F.col(c) for c in value_cols])
+          .withColumn("_bin", F.explode(F.sequence(
+              F.floor(F.col("_s_us") / bin_us),
+              F.floor(F.col("_e_us") / bin_us)))))
+    cond = [p[k] == iv[f"_iv_{k}"] for k in keys] + [p["_bin"] == iv["_bin"]]
+    out = (p.join(iv, cond, "inner")
+           .filter((F.col("_p_us") >= F.col("_s_us"))
+                   & (F.col("_p_us") <= F.col("_e_us"))))
+    return out.select(*probes.columns,
+                      F.col("_s_us").alias("interval_start_us"),
+                      F.col("_e_us").alias("interval_end_us"),
+                      *[F.col(c) for c in value_cols])

@@ -258,3 +258,56 @@ def test_asof_stream_matches_batch(spark, quotes, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert set(got) == want and len(got) == len(want)
+
+
+# ---------------------------------------------------------------------------
+# interval (range) join — binned encoding
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def windows(spark):
+    """Intervals deliberately spanning bin boundaries (bin=10s)."""
+    return spark.createDataFrame(
+        [(1, _ts("2026-01-01T00:00:05"), _ts("2026-01-01T00:00:25"), "w_a"),
+         (1, _ts("2026-01-01T00:00:20"), _ts("2026-01-01T00:00:30"), "w_b"),
+         (1, _ts("2026-01-01T00:01:00"), _ts("2026-01-01T00:01:00"), "w_pt"),
+         (2, _ts("2026-01-01T00:00:00"), _ts("2026-01-01T00:05:00"), "w_c")],
+        "k int, s_ts timestamp, e_ts timestamp, name string")
+
+
+def test_interval_join_semantics(spark, windows):
+    from schema_inference_spark.operators.temporal import interval_join
+    probes = spark.createDataFrame(
+        [(1, _ts("2026-01-01T00:00:22"), "p_two"),     # inside w_a AND w_b
+         (1, _ts("2026-01-01T00:00:05"), "p_lo"),      # inclusive start
+         (1, _ts("2026-01-01T00:00:30"), "p_hi"),      # inclusive end
+         (1, _ts("2026-01-01T00:01:00"), "p_pt"),      # zero-length window
+         (1, _ts("2026-01-01T00:00:45"), "p_miss"),    # no window
+         (3, _ts("2026-01-01T00:00:10"), "p_nokey")],  # no such key
+        "k int, ts timestamp, pid string")
+    got = {}
+    rows = interval_join(probes, windows, on=["k"], probe_ts="ts",
+                         start_ts="s_ts", end_ts="e_ts",
+                         value_cols=["name"], bin_seconds=10).collect()
+    for r in rows:
+        got.setdefault(r.pid, set()).add(r.name)
+    assert got == {"p_two": {"w_a", "w_b"}, "p_lo": {"w_a"},
+                   "p_hi": {"w_b"}, "p_pt": {"w_pt"}}
+    # exactly-once per qualifying pair (no bin-duplication)
+    assert len(rows) == 5
+
+
+def test_interval_join_plan_no_nested_loop(spark, windows):
+    """The whole point of the binned encoding: Catalyst must plan an
+    equi-join on (key, bin), never a nested loop / cartesian over a
+    raw BETWEEN predicate."""
+    from schema_inference_spark.operators.temporal import interval_join
+    probes = spark.createDataFrame(
+        [(1, _ts("2026-01-01T00:00:22"), "p")],
+        "k int, ts timestamp, pid string")
+    plan = (interval_join(probes, windows, on=["k"], probe_ts="ts",
+                          start_ts="s_ts", end_ts="e_ts",
+                          value_cols=["name"], bin_seconds=10)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
