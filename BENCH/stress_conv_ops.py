@@ -60,6 +60,23 @@ def main():
     probe("json_key_census", json_key_census(payload, "props"))
     probe("json_schema_drift", json_schema_drift(payload, "props", "ts"))
 
+    # range join at full scale: per-conversation [first, last] turn
+    # windows (one interval per conversation) probed by EVERY turn —
+    # 19M probes x 400k intervals, each probe contained by exactly its
+    # own conversation's window, so output rows == input turns is also
+    # a correctness check of the binned encoding
+    from schema_inference_spark.operators.temporal import interval_join
+    spans = (turns.groupBy("conv_id")
+             .agg(F.min("ts").alias("s_ts"), F.max("ts").alias("e_ts")))
+    probes = turns.select("conv_id", "turn_idx", "ts")
+    t0 = time.monotonic()
+    rows = interval_join(probes, spans, on=["conv_id"], probe_ts="ts",
+                         start_ts="s_ts", end_ts="e_ts",
+                         value_cols=[], bin_seconds=3600).count()
+    out["ops"]["interval_join"] = {
+        "sec": round(time.monotonic() - t0, 2), "rows": rows,
+        "contained_all": rows == n}
+
     print(json.dumps(out))
     spark.stop()
 
