@@ -138,6 +138,7 @@ def interval_join(
     end_ts: str,
     value_cols: Sequence[str],
     bin_seconds: int,
+    how: str = "inner",
 ) -> DataFrame:
     """Range (interval-containment) join: every (probe, interval) pair
     sharing the ``on`` keys with ``start_ts <= probe_ts <= end_ts``
@@ -158,9 +159,12 @@ def interval_join(
     No dedup step is needed: an interval occupies each of its bins
     once and a probe lives in one bin, so a qualifying pair meets
     exactly once. Matches multiply per probe (unlike asof_join's
-    most-recent-one); probes matching nothing are dropped (inner
-    semantics — wrap with a left join on the probe id to keep misses).
-    Timestamps compare in exact integer microseconds."""
+    most-recent-one). ``how='inner'`` drops probes matching nothing;
+    ``how='left'`` keeps them with null interval columns (the BETWEEN
+    predicate rides the join condition, so a left join's misses
+    survive it). Timestamps compare in exact integer microseconds."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left: {how}")
     bin_us = int(bin_seconds) * 1_000_000
     p_us = F.unix_micros(F.col(probe_ts).cast("timestamp"))
     s_us = F.unix_micros(F.col(start_ts).cast("timestamp"))
@@ -174,10 +178,13 @@ def interval_join(
           .withColumn("_bin", F.explode(F.sequence(
               F.floor(F.col("_s_us") / bin_us),
               F.floor(F.col("_e_us") / bin_us)))))
-    cond = [p[k] == iv[f"_iv_{k}"] for k in keys] + [p["_bin"] == iv["_bin"]]
-    out = (p.join(iv, cond, "inner")
-           .filter((F.col("_p_us") >= F.col("_s_us"))
-                   & (F.col("_p_us") <= F.col("_e_us"))))
+    conds = ([p[k] == iv[f"_iv_{k}"] for k in keys]
+             + [p["_bin"] == iv["_bin"],
+                p["_p_us"] >= iv["_s_us"], p["_p_us"] <= iv["_e_us"]])
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond & c
+    out = p.join(iv, cond, how)
     return out.select(*probes.columns,
                       F.col("_s_us").alias("interval_start_us"),
                       F.col("_e_us").alias("interval_end_us"),

@@ -311,3 +311,22 @@ def test_interval_join_plan_no_nested_loop(spark, windows):
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_interval_join_left_keeps_misses(spark, windows):
+    from schema_inference_spark.operators.temporal import interval_join
+    probes = spark.createDataFrame(
+        [(1, _ts("2026-01-01T00:00:22"), "p_hit"),
+         (1, _ts("2026-01-01T00:00:45"), "p_miss")],
+        "k int, ts timestamp, pid string")
+    out = interval_join(probes, windows, on=["k"], probe_ts="ts",
+                        start_ts="s_ts", end_ts="e_ts",
+                        value_cols=["name"], bin_seconds=10,
+                        how="left").collect()
+    by_pid = {}
+    for r in out:
+        by_pid.setdefault(r.pid, set()).add(r.name)
+    assert by_pid["p_hit"] == {"w_a", "w_b"}
+    assert by_pid["p_miss"] == {None}      # kept, null interval payload
+    miss = [r for r in out if r.pid == "p_miss"][0]
+    assert miss.interval_start_us is None
