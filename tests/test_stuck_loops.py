@@ -128,3 +128,39 @@ def test_context_budget_optin_both_paths(spark, catalog):
                        resume=False, write_audit=False)
     assert res_big.violations.filter(
         "check_id = 'context_overflow'").count() == 0
+
+
+def test_all_optins_compose(spark, catalog):
+    """Everything-on: protocol + rules + completeness + stuck_loops +
+    context_budget in ONE validate() call must equal the union of each
+    opt-in run alone (no interaction regressions), on both check
+    paths."""
+    from schema_inference_spark.pipeline import ROLE_VOCAB, validate
+
+    allowed = {(a, b) for a in ROLE_VOCAB for b in ROLE_VOCAB}
+    rules = [{"check_id": "tool_when_tool_role", "kind": "implication",
+              "when": "role = 'tool'", "then": "tool IS NOT NULL"}]
+    kw = dict(resume=False, write_audit=False)
+    combos = dict(role_protocol=allowed, rules=rules,
+                  completeness=True, stuck_loops=True,
+                  context_budget=2000)
+
+    both = validate(spark, catalog, "s1", **combos, **kw)
+    got = {tuple(r) for r in both.violations.collect()}
+
+    want = set()
+    base = {tuple(r) for r in
+            validate(spark, catalog, "s1", **kw).violations.collect()}
+    want |= base
+    for k, v in combos.items():
+        solo = {tuple(r) for r in
+                validate(spark, catalog, "s1", **{k: v}, **kw)
+                .violations.collect()}
+        want |= solo
+    assert got == want
+    assert len(got) > len(base)   # the opt-ins really added rows
+
+    sep = {tuple(r) for r in
+           validate(spark, catalog, "s1", **combos, **kw,
+                    fused_checks=False).violations.collect()}
+    assert sep == got
