@@ -1108,3 +1108,32 @@ def json_census_stream(sdf: DataFrame, json_col: str) -> DataFrame:
     corpus."""
     from ..operators.semistructured import json_key_census
     return json_key_census(sdf, json_col)
+
+
+def interval_stream(sdf: DataFrame, intervals: DataFrame, emit,
+                    on, probe_ts: str = "ts",
+                    start_ts: str = "s_ts", end_ts: str = "e_ts",
+                    value_cols=(), bin_seconds: int = 3600,
+                    how: str = "inner"):
+    """Streaming form of ``operators.temporal.interval_join``: each
+    arriving micro-batch of probe rows is containment-joined against a
+    static interval table (maintenance windows, config epochs, session
+    registries) and ``emit(joined_df, epoch_id)`` receives the batch's
+    result.
+
+    Same doctrine as ``asof_stream``: deliberately ``foreachBatch``,
+    not a stream-stream join — intervals must stay addressable however
+    old they are, which a watermarked join cannot promise. The interval
+    table is an artifact refreshed off-path; per batch the cost is the
+    binned equi-join on (keys, bin) over |batch| probe rows.
+
+    Returns the ``DataStreamWriter`` (caller adds checkpoint/trigger
+    and ``.start()``s it)."""
+    from ..operators.temporal import interval_join
+
+    def _probe(batch_df: DataFrame, epoch_id: int) -> None:
+        emit(interval_join(batch_df, intervals, on, probe_ts,
+                           start_ts, end_ts, list(value_cols),
+                           bin_seconds, how), epoch_id)
+
+    return sdf.writeStream.foreachBatch(_probe)

@@ -921,3 +921,57 @@ def test_json_census_stream_matches_batch(spark, tmp_path):
     want = {tuple(r) for r in json_key_census(batch, "props").collect()}
     assert final["rows"] == want
     assert ("k", 3, 2, 1, 2) in want   # the type-violation gap survived
+
+
+def test_interval_stream_matches_batch(spark, tmp_path):
+    """interval_stream over micro-batched probes, unioned, equals the
+    batch interval_join over the same probe set."""
+    import datetime as dtm
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from schema_inference_spark.operators.temporal import interval_join
+    from schema_inference_spark.streaming.stream_checks import (
+        interval_stream,
+    )
+
+    base = dtm.datetime(2026, 1, 1)
+    intervals = spark.createDataFrame(
+        [(1, base, base + dtm.timedelta(seconds=30), "w1"),
+         (2, base + dtm.timedelta(seconds=10),
+          base + dtm.timedelta(seconds=20), "w2")],
+        "k int, s_ts timestamp, e_ts timestamp, name string")
+
+    stream_dir = tmp_path / "probe_stream"
+    stream_dir.mkdir()
+    parts = ([(1, 5, "a"), (1, 35, "b"), (2, 15, "c")],
+             [(2, 25, "d"), (1, 30, "e")])
+    for age, rows in enumerate(parts):
+        pq.write_table(pa.table({
+            "k": pa.array([k for k, _, _ in rows], pa.int32()),
+            "ts": pa.array([base + dtm.timedelta(seconds=s)
+                            for _, s, _ in rows], pa.timestamp("us")),
+            "pid": pa.array([p for _, _, p in rows]),
+        }), str(stream_dir / f"part-{age}.parquet"))
+        os.utime(str(stream_dir / f"part-{age}.parquet"),
+                 (1_000_000 + age,) * 2)
+
+    sdf = (spark.readStream.schema("k int, ts timestamp, pid string")
+           .option("maxFilesPerTrigger", "1").parquet(str(stream_dir)))
+    got = []
+    q = (interval_stream(sdf, intervals, on=["k"],
+                         value_cols=["name"], bin_seconds=10,
+                         emit=lambda df, _eid: got.extend(df.collect()))
+         .option("checkpointLocation", str(tmp_path / "ckpt_iv"))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+
+    batch = spark.read.schema("k int, ts timestamp, pid string").parquet(
+        str(stream_dir))
+    want = {(r.pid, r.name) for r in interval_join(
+        batch, intervals, on=["k"], probe_ts="ts", start_ts="s_ts",
+        end_ts="e_ts", value_cols=["name"], bin_seconds=10).collect()}
+    assert {(r.pid, r.name) for r in got} == want
+    assert ("a", "w1") in want and ("c", "w2") in want
