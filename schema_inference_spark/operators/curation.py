@@ -220,13 +220,29 @@ def curation_summary(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", source_col: str = "source",
                      lang_keep: str = LANG_KEEP,
                      quality_min_bp: int = QUALITY_MIN_BP,
-                     ratio_min_bp: int = RATIO_MIN_BP) -> DataFrame:
+                     ratio_min_bp: int = RATIO_MIN_BP,
+                     canonical: str = "min_id") -> DataFrame:
     """Per-source curation audit: (source, n_docs, n_dup, n_lang,
     n_quality, n_repetitive, n_kept, tokens_kept). Buckets are disjoint
     and exhaustive (fixed precedence), tokens_kept sums whitespace
-    tokens over surviving documents only."""
+    tokens over surviving documents only.
+
+    ``canonical`` picks each exact-dup group's survivor: ``min_id``
+    (the default, stable across ingests) or ``best_quality`` (keep the
+    highest-quality_bp copy, ties -> min id — the components.keep_best
+    policy applied inside the cascade; same map-side max(struct)
+    argmax, still one aggregate on the hash)."""
+    if canonical not in ("min_id", "best_quality"):
+        raise ValueError(f"canonical must be min_id|best_quality: "
+                         f"{canonical}")
     sig = _signal_frame(df, id_col, text_col, source_col)
-    winners = sig.groupBy("_h").agg(F.min(id_col).alias("_canon"))
+    if canonical == "best_quality":
+        best = F.max(F.struct(F.col("quality_bp").alias("q"),
+                              (-F.col(id_col)).alias("neg_id")))
+        winners = (sig.groupBy("_h").agg(best.alias("_b"))
+                   .select("_h", (-F.col("_b.neg_id")).alias("_canon")))
+    else:
+        winners = sig.groupBy("_h").agg(F.min(id_col).alias("_canon"))
     verdict = _bucketize(sig.join(winners, "_h"),
                          F.col(id_col) != F.col("_canon"),
                          lang_keep, quality_min_bp, ratio_min_bp)

@@ -263,3 +263,37 @@ def test_packing_plan_no_global_window(spark):
     for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
         assert "_bkt" in m.group(1), plan
     assert "Window" in plan  # the bucket-local cumsum is a window
+
+
+def test_curation_summary_best_quality_canonical(spark):
+    """canonical='best_quality' keeps each exact-dup group's highest-
+    quality_bp copy (ties -> min id); min_id keeps the smallest id.
+    The planted twins normalize identically (so they ARE an exact dup
+    group) but the higher-id copy carries more raw characters, lifting
+    its quality_bp length term."""
+    from schema_inference_spark.operators.curation import curation_summary
+
+    rows = [(10, "short dup text body", "a"),
+            (11, "short  dup   text  body", "b"),   # same normalized
+            (12, "an unrelated singleton document xyz", "a")]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string")
+
+    m = {r.source: r.n_dup for r in curation_summary(df).collect()}
+    assert m == {"a": 0, "b": 1}          # min id 10 survives
+
+    q = {r.source: r.n_dup for r in curation_summary(
+        df, canonical="best_quality").collect()}
+    assert q == {"a": 1, "b": 0}          # higher-quality id 11 survives
+
+    # identical quality (byte-identical text) -> tie falls back to min id
+    tie = spark.createDataFrame(
+        [(20, "same exact text", "a"), (21, "same exact text", "b")],
+        "doc_id bigint, text string, source string")
+    qt = {r.source: r.n_dup for r in curation_summary(
+        tie, canonical="best_quality").collect()}
+    assert qt == {"a": 0, "b": 1}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="canonical"):
+        curation_summary(df, canonical="nonsense")
