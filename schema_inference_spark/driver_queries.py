@@ -614,6 +614,41 @@ ORDER BY user_id
 # registry
 # ---------------------------------------------------------------------------
 
+GROUP_QS = (0.25, 0.5, 0.75, 0.9)
+
+
+def q_group_quantiles(spark, sf_dir):
+    """EXACT per-role quantiles of the payload length by ordinal
+    selection — the per-stratum form of the D9 quantile family (the
+    shape drift a global sketch blends away). Selection, not
+    interpolation, so both engines pick the identical element."""
+    from .operators.stats import grouped_quantiles
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(F.col("event_type").alias("role"), "props")
+    return (grouped_quantiles(
+                base, "role",
+                F.coalesce(F.length("props"), F.lit(0)).cast("bigint"),
+                qs=GROUP_QS)
+            .orderBy("role", "q"))
+
+
+SQL_GROUP_QUANTILES = f"""
+WITH base AS (
+  SELECT event_type AS role,
+         CAST(coalesce(length(props), 0) AS BIGINT) AS v
+  FROM events
+), ranked AS (
+  SELECT role, v,
+         row_number() OVER (PARTITION BY role ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY role) AS n
+  FROM base
+), qs AS (SELECT unnest(CAST([{", ".join(str(q) for q in GROUP_QS)}] AS DOUBLE[])) AS q)
+SELECT r.role, q.q, r.v AS value
+FROM ranked r JOIN qs q ON r.rn = 1 + floor(q.q * (r.n - 1))
+ORDER BY role, q
+"""
+
+
 CORE_QUERIES: Dict[str, Callable] = {
     "stats_value": q_stats_value,
     "profile_stats": q_profile_stats,
@@ -623,6 +658,7 @@ CORE_QUERIES: Dict[str, Callable] = {
     "distinct_exact": q_distinct_exact,
     "distinct_hll": q_distinct_hll,
     "quantiles_value": q_quantiles_value,
+    "group_quantiles": q_group_quantiles,
     "quantiles_kll": q_quantiles_kll,
     "unique_key": q_unique_key,
     "ref_vocab": q_ref_vocab,
@@ -647,6 +683,7 @@ CORE_ORACLES: Dict[str, str] = {
     "distinct_exact": SQL_DISTINCT_EXACT,
     # distinct_hll / quantiles_kll: sketch estimates, rows-only by design
     "quantiles_value": SQL_QUANTILES_VALUE,
+    "group_quantiles": SQL_GROUP_QUANTILES,
     "unique_key": SQL_UNIQUE_KEY,
     "ref_vocab": SQL_REF_VOCAB,
     "fk_orphans": SQL_FK_ORPHANS,

@@ -22,9 +22,9 @@ invariance and bounded relative error only (SURVEY.md §5.2-6).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # columns eligible for KLL (numeric/timestamp cast to double)
@@ -175,3 +175,48 @@ def kll_cdf(spark, kll_bytes: bytes, edges: List[float]) -> List[float]:
                      for i, e in enumerate(edges)])
            .first())
     return [row[f"r{i}"] for i in range(len(edges))]
+
+
+def grouped_quantiles(df: DataFrame, group_col: str, value,
+                      qs: Sequence[float],
+                      tiebreak_col: Optional[str] = None) -> DataFrame:
+    """EXACT per-group quantiles by ordinal selection (the "lower"
+    method: the element at 1-based rank ``1 + floor(q * (n-1))`` of the
+    group sorted by value) — one row per (group, q) with the selected
+    value. Selection, not interpolation: the result is always an
+    element the data actually contains, so two engines agree exactly on
+    ints AND floats (no midpoint arithmetic to diverge).
+
+    The global quantile family (D9) answers "what does the whole
+    corpus look like"; this is its per-stratum form — response-length
+    distribution per role, latency per tool — the shape drift that a
+    global KLL blends away. Plan: one window Exchange on the group
+    (row_number + count share the sort), then a rank-membership filter;
+    at 10^12 turns a group's sort is the same per-key cost every other
+    windowed check pays, and for pathological groups the documented
+    KLL-per-group swap (sketch agg) trades exactness for a bounded
+    state. ``value`` may be a Column expression; ``tiebreak_col`` only
+    stabilizes WHICH duplicate is selected (the value at a rank is
+    tie-invariant)."""
+    order = [F.col("_v")] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy("_g").orderBy(*order)
+    wc = Window.partitionBy("_g")
+    base = df.select(F.col(group_col).alias("_g"),
+                     (value if not isinstance(value, str)
+                      else F.col(value)).alias("_v"),
+                     *([F.col(tiebreak_col)] if tiebreak_col else []))
+    ranked = (base.withColumn("_rn", F.row_number().over(w))
+              .withColumn("_n", F.count(F.lit(1)).over(wc)))
+    picks = F.array(*[
+        F.struct(F.lit(float(q)).alias("q"),
+                 (F.lit(1) + F.floor(F.lit(float(q))
+                                     * (F.col("_n") - 1))).alias("rk"))
+        for q in qs])
+    return (ranked
+            .select("_g", "_v", "_rn",
+                    F.explode(F.filter(
+                        picks, lambda p: p["rk"] == F.col("_rn")))
+                    .alias("_p"))
+            .select(F.col("_g").alias(group_col),
+                    F.col("_p.q").alias("q"),
+                    F.col("_v").alias("value")))

@@ -111,3 +111,34 @@ def test_two_level_merge_invariant_under_partitioning(spark, sf_dir):
     qb = kll_quantiles(spark, bytes(b["kll"]), [0.5])[0]
     spread = a["max_num"] - a["min_num"]
     assert abs(qa - qb) <= 0.05 * spread
+
+
+def test_grouped_quantiles_exact_selection(spark):
+    """Ordinal selection ('lower' method): rank 1+floor(q*(n-1)), always
+    an element of the group; singleton groups return that element for
+    every q."""
+    from pyspark.sql import functions as F
+
+    from schema_inference_spark.operators.stats import grouped_quantiles
+
+    rows = [("a", v) for v in [10, 20, 30, 40, 50]] + [("b", 7)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    out = {(r.g, r.q): r.value for r in
+           grouped_quantiles(df, "g", F.col("v"),
+                             qs=(0.0, 0.25, 0.5, 0.75, 1.0)).collect()}
+    # n=5: ranks 1, 2, 3, 4, 5
+    assert [out[("a", q)] for q in (0.0, 0.25, 0.5, 0.75, 1.0)] == \
+        [10, 20, 30, 40, 50]
+    assert all(out[("b", q)] == 7 for q in (0.0, 0.25, 0.5, 0.75, 1.0))
+
+
+def test_grouped_quantiles_even_group_lower_method(spark):
+    from pyspark.sql import functions as F
+
+    from schema_inference_spark.operators.stats import grouped_quantiles
+
+    df = spark.createDataFrame([("a", v) for v in [1, 2, 3, 4]],
+                               "g string, v int")
+    out = {r.q: r.value for r in
+           grouped_quantiles(df, "g", F.col("v"), qs=(0.5,)).collect()}
+    assert out[0.5] == 2   # rank 1+floor(0.5*3) = 2 — lower, not midpoint
