@@ -24,10 +24,11 @@ from schema_inference_spark.driver_queries_anomaly import (  # noqa: E402
 )
 from schema_inference_spark.driver_queries_conv import CONV_QUERIES  # noqa: E402
 from schema_inference_spark.driver_queries_extras import EXTRA_QUERIES  # noqa: E402
+from schema_inference_spark.driver_queries_mix import MIX_QUERIES  # noqa: E402
 from schema_inference_spark.functions import get_spark  # noqa: E402
 
 ALL_QUERIES = {**CORE_QUERIES, **EXTRA_QUERIES, **CONV_QUERIES,
-               **ANOMALY_QUERIES}
+               **ANOMALY_QUERIES, **MIX_QUERIES}
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 

@@ -1,0 +1,277 @@
+"""Driver-contract queries: corpus assembly + product-analytics
+operators (deterministic train/val/test splitting, collocation
+statistics, event funnels, cohort retention, decontamination audit).
+Every entry is integer/string-exact, so all six are fully oracle-gated
+(rows+schema+hash) — no float drift surface by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .operators import contamination as C
+from .operators import curation as CU
+from .operators import sessions as S
+from .operators import textstats as TS
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus split
+# ---------------------------------------------------------------------------
+
+SPLIT_SALT = "v1"
+
+# the md5-hex CASE, written once for both split oracles
+_SPLIT_H = f"substr(md5(CAST(doc_id AS VARCHAR) || ':{SPLIT_SALT}'), 1, 2)"
+_SPLIT_CASE = (f"CASE WHEN {_SPLIT_H} < 'c0' THEN 'train' "
+               f"WHEN {_SPLIT_H} < 'e0' THEN 'val' ELSE 'test' END")
+
+
+def q_split_assign(spark, sf_dir):
+    """Deterministic md5-range train/val/test assignment
+    (operators/curation.py split_assign): per-doc split that never
+    migrates across re-runs, appends, or engines — one scan, zero
+    shuffle, codegen end to end."""
+    return CU.split_assign(_t(spark, sf_dir, "documents"),
+                           salt=SPLIT_SALT)
+
+
+SQL_SPLIT_ASSIGN = f"""
+SELECT doc_id, source,
+       {_SPLIT_H} AS bucket,
+       {_SPLIT_CASE} AS split,
+       len(string_split({_NORM}, ' ')) AS ws_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_split_balance(spark, sf_dir):
+    """Split-balance audit (operators/curation.py split_balance):
+    per-split doc/token counts + integer basis-point shares — the
+    pre-training holdout check."""
+    return CU.split_balance(_t(spark, sf_dir, "documents"),
+                            salt=SPLIT_SALT)
+
+
+SQL_SPLIT_BALANCE = f"""
+WITH a AS (SELECT {_SPLIT_CASE} AS split,
+                  len(string_split({_NORM}, ' ')) AS ws
+           FROM documents),
+g AS (SELECT split, count(*) AS n_docs,
+             CAST(sum(ws) AS BIGINT) AS ws_tokens
+      FROM a GROUP BY split)
+SELECT split, n_docs, ws_tokens,
+       CAST((10000 * n_docs) // sum(n_docs) OVER () AS BIGINT)
+         AS share_bp,
+       CAST((10000 * ws_tokens) // sum(ws_tokens) OVER () AS BIGINT)
+         AS token_share_bp
+FROM g
+ORDER BY split
+"""
+
+
+# ---------------------------------------------------------------------------
+# Collocations (Dice)
+# ---------------------------------------------------------------------------
+
+COLL_K = 50
+COLL_MIN = 5
+
+
+def q_collocations(spark, sf_dir):
+    """Top-50 bigram collocations by integer Dice coefficient
+    (operators/textstats.py collocations) — the PMI-style vocabulary
+    statistic without the int64-overflowing corpus-total product or
+    float logs."""
+    return TS.collocations(_t(spark, sf_dir, "documents"),
+                           k=COLL_K, min_count=COLL_MIN)
+
+
+SQL_COLLOCATIONS = f"""
+WITH b AS (SELECT string_split({_NORM}, ' ') AS w FROM documents),
+uc AS (SELECT word, count(*) AS c
+       FROM (SELECT unnest(w) AS word FROM b) GROUP BY word),
+g AS (SELECT CASE WHEN len(w) > 1
+                  THEN list_transform(generate_series(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i + 1])
+                  ELSE CAST([] AS VARCHAR[]) END AS bi
+      FROM b),
+bc AS (SELECT gram, count(*) AS n_occurrences
+       FROM (SELECT unnest(bi) AS gram FROM g)
+       GROUP BY gram HAVING count(*) >= {COLL_MIN}),
+s AS (SELECT gram, n_occurrences,
+             string_split(gram, ' ')[1] AS wl,
+             string_split(gram, ' ')[2] AS wr
+      FROM bc),
+j AS (SELECT s.gram, s.n_occurrences, l.c AS c_left, r.c AS c_right,
+             CAST((2 * 10000 * s.n_occurrences) // (l.c + r.c) AS BIGINT)
+               AS dice_bp
+      FROM s JOIN uc l ON s.wl = l.word JOIN uc r ON s.wr = r.word),
+ranked AS (SELECT *, row_number() OVER (
+               ORDER BY dice_bp DESC, n_occurrences DESC, gram) AS rank
+           FROM j)
+SELECT rank, gram, n_occurrences, c_left, c_right, dice_bp
+FROM ranked WHERE rank <= {COLL_K}
+ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# Event funnel + cohort retention
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_funnel(spark, sf_dir):
+    """Ordered view->click->purchase funnel over events
+    (operators/sessions.py funnel): min-timestamp cascade, one output
+    row per step with integer basis-point conversions."""
+    return S.funnel(_t(spark, sf_dir, "events"), FUNNEL_STEPS)
+
+
+SQL_FUNNEL = f"""
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2
+       FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts >= s1.t1
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3
+       FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts >= s2.t2
+       GROUP BY e.user_id),
+c AS (SELECT (SELECT count(*) FROM s1) AS n1,
+             (SELECT count(*) FROM s2) AS n2,
+             (SELECT count(*) FROM s3) AS n3)
+SELECT CAST(1 AS BIGINT) AS step_idx, '{FUNNEL_STEPS[0]}' AS step,
+       n1 AS n_users,
+       CASE WHEN n1 > 0 THEN CAST(10000 AS BIGINT) END AS conv_prev_bp,
+       CASE WHEN n1 > 0 THEN CAST(10000 AS BIGINT) END AS conv_first_bp
+FROM c
+UNION ALL
+SELECT 2, '{FUNNEL_STEPS[1]}', n2,
+       CASE WHEN n1 > 0 THEN (10000 * n2) // n1 END,
+       CASE WHEN n1 > 0 THEN (10000 * n2) // n1 END
+FROM c
+UNION ALL
+SELECT 3, '{FUNNEL_STEPS[2]}', n3,
+       CASE WHEN n2 > 0 THEN (10000 * n3) // n2 END,
+       CASE WHEN n1 > 0 THEN (10000 * n3) // n1 END
+FROM c
+ORDER BY step_idx
+"""
+
+
+RETENTION_MAX_OFFSET = 30
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Daily cohort retention over events (operators/sessions.py
+    cohort_retention): first-event-date cohorts, per-offset retained
+    users + integer basis-point rates."""
+    return S.cohort_retention(_t(spark, sf_dir, "events"),
+                              max_offset=RETENTION_MAX_OFFSET)
+
+
+SQL_COHORT_RETENTION = f"""
+WITH cohort AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
+                FROM events GROUP BY user_id),
+act AS (SELECT DISTINCT e.user_id, c.cohort_date,
+               CAST(date_diff('day', c.cohort_date, CAST(e.ts AS DATE))
+                    AS BIGINT) AS day_offset
+        FROM events e JOIN cohort c USING (user_id)
+        WHERE date_diff('day', c.cohort_date, CAST(e.ts AS DATE))
+              <= {RETENTION_MAX_OFFSET}),
+sizes AS (SELECT cohort_date, count(*) AS sz FROM cohort
+          GROUP BY cohort_date),
+r AS (SELECT cohort_date, day_offset, count(*) AS n_users
+      FROM act GROUP BY cohort_date, day_offset)
+SELECT r.cohort_date, r.day_offset, r.n_users,
+       CAST((10000 * r.n_users) // s.sz AS BIGINT) AS retained_bp
+FROM r JOIN sizes s USING (cohort_date)
+ORDER BY r.cohort_date, r.day_offset
+"""
+
+
+# ---------------------------------------------------------------------------
+# Decontamination audit
+# ---------------------------------------------------------------------------
+
+DECON_MOD = 50  # bench set = documents with doc_id % DECON_MOD = 0
+
+
+def q_decontaminate(spark, sf_dir):
+    """Decontamination audit (operators/contamination.py
+    decontaminate_summary): per-source contaminated/kept doc counts and
+    surviving token mass, with the eval set carved out of the corpus
+    deterministically (doc_id % 50 == 0) so both engines see identical
+    bench items and a disjoint corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % DECON_MOD != 0)
+    bench = (docs.filter(F.col("doc_id") % DECON_MOD == 0)
+             .withColumnRenamed("doc_id", "bench_id"))
+    return C.decontaminate_summary(corpus, bench, threshold=0.3)
+
+
+SQL_DECONTAMINATE = f"""
+WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws
+           FROM documents),
+sh AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(
+                  range(1, len(ws) - 1),
+                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+       FROM t WHERE len(ws) >= 3),
+bs AS (SELECT doc_id AS bench_id, s FROM sh
+       WHERE doc_id % {DECON_MOD} = 0),
+bn AS (SELECT doc_id AS bench_id, count(*) AS bench_n FROM sh
+       WHERE doc_id % {DECON_MOD} = 0 GROUP BY doc_id),
+m AS (SELECT a.doc_id, b.bench_id, count(*) AS nm
+      FROM sh a JOIN bs b ON a.s = b.s AND a.doc_id % {DECON_MOD} <> 0
+      GROUP BY a.doc_id, b.bench_id),
+dirty AS (SELECT DISTINCT m.doc_id
+          FROM m JOIN bn USING (bench_id)
+          WHERE (10000 * m.nm) // bn.bench_n >= 3000),
+base AS (SELECT doc_id, source,
+                len(string_split({_NORM}, ' ')) AS ws
+         FROM documents WHERE doc_id % {DECON_MOD} <> 0)
+SELECT b.source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contaminated,
+       CAST(sum(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN d.doc_id IS NULL THEN b.ws ELSE 0 END)
+            AS BIGINT) AS tokens_kept
+FROM base b LEFT JOIN dirty d USING (doc_id)
+GROUP BY b.source
+ORDER BY b.source
+"""
+
+
+MIX_QUERIES = {
+    "split_assign": q_split_assign,
+    "split_balance": q_split_balance,
+    "collocations": q_collocations,
+    "funnel": q_funnel,
+    "cohort_retention": q_cohort_retention,
+    "decontaminate": q_decontaminate,
+}
+
+MIX_ORACLES = {
+    "split_assign": SQL_SPLIT_ASSIGN,
+    "split_balance": SQL_SPLIT_BALANCE,
+    "collocations": SQL_COLLOCATIONS,
+    "funnel": SQL_FUNNEL,
+    "cohort_retention": SQL_COHORT_RETENTION,
+    "decontaminate": SQL_DECONTAMINATE,
+}

@@ -276,3 +276,59 @@ def curation_summary_incremental(new_df: DataFrame, index: DataFrame,
                          F.col("_isdup").isNotNull(),
                          lang_keep, quality_min_bp, ratio_min_bp)
     return _summarize(verdict, source_col)
+
+
+# md5-hex range boundaries for the deterministic corpus split: the first
+# two hex chars order lexicographically exactly as their numeric value
+# (digits sort before 'a'-'f' in ASCII), so a string range compare IS a
+# 256-bucket numeric compare — and every engine with md5 draws the same
+# boundary. 0x00-0xbf train (75.0%), 0xc0-0xdf val (12.5%), 0xe0- test.
+SPLIT_BOUNDS = (("train", "c0"), ("val", "e0"))
+
+
+def split_assign(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", source_col: str = "source",
+                 salt: str = "v1") -> DataFrame:
+    """Deterministic train/val/test assignment: each document lands in
+    the split chosen by the first byte of md5(id:salt) — reproducible
+    across engines, runs, and months (the holdout contract: a doc NEVER
+    migrates between splits unless the salt changes), and independent of
+    corpus order or size (appending documents never reshuffles existing
+    assignments, unlike a row_number % 8 split). Returns
+    (doc_id, source, bucket, split, ws_tokens).
+
+    Scale shape: pure per-row column expressions — one scan, zero
+    shuffle, whole-stage codegen end to end; the split is a function of
+    the id alone, so it needs no global state at any corpus size."""
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    bucket = F.substring(h, 1, 2)
+    split = F.lit("test")
+    for name, bound in reversed(SPLIT_BOUNDS):
+        split = F.when(bucket < bound, F.lit(name)).otherwise(split)
+    return (df.select(
+        F.col(id_col).alias("doc_id"), F.col(source_col).alias("source"),
+        bucket.alias("bucket"), split.alias("split"),
+        F.size(_tokens(F.col(text_col))).cast("bigint").alias("ws_tokens"))
+        .orderBy("doc_id"))
+
+
+def split_balance(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", source_col: str = "source",
+                  salt: str = "v1") -> DataFrame:
+    """Audit rollup of ``split_assign``: per split, document and token
+    counts plus integer basis-point shares of the corpus — the check a
+    pipeline runs before training to confirm the holdout actually holds
+    ~12.5%. (share_bp sums to <= 10000; remainder is floor-division
+    dust.) The global total enters via a window over the ALREADY
+    AGGREGATED <= 256-row split frame, never over the corpus."""
+    agg = (split_assign(df, id_col, text_col, source_col, salt)
+           .groupBy("split")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("ws_tokens").cast("bigint").alias("ws_tokens")))
+    return (agg
+            .withColumn("share_bp", F.expr(
+                "(10000 * n_docs) div sum(n_docs) over ()").cast("bigint"))
+            .withColumn("token_share_bp", F.expr(
+                "(10000 * ws_tokens) div sum(ws_tokens) over ()")
+                .cast("bigint"))
+            .orderBy("split"))

@@ -1,0 +1,177 @@
+"""Unit tests for the corpus-assembly / analytics batch: funnel,
+cohort retention, collocations, deterministic split, decontamination."""
+
+import datetime as dt
+
+import pytest
+
+
+def _ts(day, h=0, m=0):
+    return dt.datetime(2024, 1, day, h, m)
+
+
+@pytest.fixture()
+def events(spark):
+    rows = [
+        # u1 completes the whole funnel in order
+        (1, _ts(1, 9), "view"), (1, _ts(1, 10), "click"),
+        (1, _ts(2, 8), "purchase"),
+        # u2 clicks BEFORE viewing: click must not count; then clicks
+        # again after the view but never purchases
+        (2, _ts(1, 8), "click"), (2, _ts(1, 9), "view"),
+        (2, _ts(1, 10), "click"),
+        # u3 purchases before clicking: stops at click
+        (3, _ts(1, 9), "view"), (3, _ts(1, 10), "purchase"),
+        (3, _ts(1, 11), "click"),
+        # u4 views only
+        (4, _ts(1, 9), "view"),
+        # u5 never views: not in the funnel at all
+        (5, _ts(1, 9), "click"), (5, _ts(1, 10), "purchase"),
+        # u6 same-timestamp view+click: >= lets the tie count
+        (6, _ts(1, 9), "view"), (6, _ts(1, 9), "click"),
+    ]
+    return spark.createDataFrame(rows, "user_id bigint, ts timestamp, "
+                                       "event_type string")
+
+
+def test_funnel_min_ts_cascade(spark, events):
+    from schema_inference_spark.operators.sessions import funnel
+    out = funnel(events, ["view", "click", "purchase"]).collect()
+    assert [r.step for r in out] == ["view", "click", "purchase"]
+    # step1 = {u1,u2,u3,u4,u6}; step2 = {u1,u2,u3,u6} (u2's pre-view
+    # click ignored, u3's click at 11 is >= its view, u6's tie counts);
+    # step3 = {u1} (u3 purchased BEFORE its qualifying click)
+    assert [(r.step_idx, r.n_users) for r in out] == [(1, 5), (2, 4),
+                                                      (3, 1)]
+    by_step = {r.step_idx: r for r in out}
+    assert by_step[1].conv_prev_bp == 10000
+    assert by_step[2].conv_prev_bp == (10000 * 4) // 5
+    assert by_step[3].conv_prev_bp == (10000 * 1) // 4
+    assert by_step[3].conv_first_bp == (10000 * 1) // 5
+
+
+def test_funnel_empty_first_step(spark, events):
+    from schema_inference_spark.operators.sessions import funnel
+    out = funnel(events, ["signup", "purchase"]).collect()
+    assert [(r.n_users, r.conv_prev_bp, r.conv_first_bp)
+            for r in out] == [(0, None, None), (0, None, None)]
+
+
+def test_funnel_rejects_single_step(spark, events):
+    from schema_inference_spark.operators.sessions import funnel
+    with pytest.raises(ValueError):
+        funnel(events, ["view"])
+
+
+def test_cohort_retention(spark):
+    from schema_inference_spark.operators.sessions import cohort_retention
+    rows = [
+        # cohort Jan 1: u1 active day 0,1,3; u2 day 0 only
+        (1, _ts(1, 9)), (1, _ts(1, 23)), (1, _ts(2, 1)), (1, _ts(4, 5)),
+        (2, _ts(1, 12)),
+        # cohort Jan 2: u3 active day 0 and 40 (beyond max_offset=30)
+        (3, _ts(2, 9)), (3, dt.datetime(2024, 2, 11, 9)),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    out = {(str(r.cohort_date), r.day_offset): (r.n_users, r.retained_bp)
+           for r in cohort_retention(df, max_offset=30).collect()}
+    assert out[("2024-01-01", 0)] == (2, 10000)
+    assert out[("2024-01-01", 1)] == (1, 5000)
+    assert out[("2024-01-01", 3)] == (1, 5000)
+    assert out[("2024-01-02", 0)] == (1, 10000)
+    # the day-40 activity is outside the window entirely
+    assert all(off <= 30 for (_, off) in out)
+    assert len(out) == 4
+
+
+def test_collocations_dice(spark):
+    from schema_inference_spark.operators.textstats import collocations
+    # "new york" appears 3x; "new" 4x, "york" 3x -> dice = 2*10000*3 // 7
+    docs = spark.createDataFrame(
+        [(1, "new york new york is big"),
+         (2, "new york and a new day"),
+         (3, "day after day after day")],
+        "doc_id bigint, text string")
+    out = {r.gram: r for r in
+           collocations(docs, k=10, min_count=2).collect()}
+    ny = out["new york"]
+    assert (ny.n_occurrences, ny.c_left, ny.c_right) == (3, 4, 3)
+    assert ny.dice_bp == (2 * 10000 * 3) // (4 + 3)
+    # min_count filters one-off bigrams
+    assert "is big" not in out
+    # "after day" occurs 2x: day=4, after=2 -> 2*10000*2 // 6
+    assert out["after day"].dice_bp == (2 * 10000 * 2) // 6
+    # ranks are 1..n and ordered by (dice desc, count desc, gram)
+    ranked = sorted(out.values(), key=lambda r: r.rank)
+    keys = [(-r.dice_bp, -r.n_occurrences, r.gram) for r in ranked]
+    assert keys == sorted(keys)
+
+
+def test_split_assign_deterministic_and_exhaustive(spark):
+    from schema_inference_spark.operators.curation import split_assign
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", f"s{i % 3}") for i in range(500)],
+        "doc_id bigint, text string, source string")
+    a = {r.doc_id: (r.bucket, r.split)
+         for r in split_assign(docs).collect()}
+    b = {r.doc_id: (r.bucket, r.split)
+         for r in split_assign(docs).collect()}
+    assert a == b                       # re-run stable
+    assert len(a) == 500                # every doc assigned exactly once
+    for doc_id, (bucket, split) in a.items():
+        want = ("train" if bucket < "c0"
+                else "val" if bucket < "e0" else "test")
+        assert split == want
+    # appending docs never moves existing assignments
+    more = spark.createDataFrame(
+        [(i, f"text {i}", f"s{i % 3}") for i in range(800)],
+        "doc_id bigint, text string, source string")
+    c = {r.doc_id: (r.bucket, r.split)
+         for r in split_assign(more).collect()}
+    assert all(c[k] == v for k, v in a.items())
+    # a different salt is a different (but still total) assignment
+    d = {r.doc_id: r.split
+         for r in split_assign(docs, salt="v2").collect()}
+    assert len(d) == 500
+    assert any(d[k] != a[k][1] for k in d)
+
+
+def test_split_balance_sums(spark):
+    from schema_inference_spark.operators.curation import split_balance
+    docs = spark.createDataFrame(
+        [(i, "one two three", "s") for i in range(400)],
+        "doc_id bigint, text string, source string")
+    rows = split_balance(docs).collect()
+    assert sum(r.n_docs for r in rows) == 400
+    assert sum(r.ws_tokens for r in rows) == 1200
+    for r in rows:
+        assert r.share_bp == (10000 * r.n_docs) // 400
+        assert r.token_share_bp == (10000 * r.ws_tokens) // 1200
+    # ~75/12.5/12.5 within generous tolerance at n=400
+    share = {r.split: r.share_bp for r in rows}
+    assert 6500 <= share["train"] <= 8500
+    assert 500 <= share["val"] <= 2200
+    assert 500 <= share["test"] <= 2200
+
+
+def test_decontaminate_summary_planted(spark):
+    from schema_inference_spark.operators.contamination import (
+        decontaminate_summary,
+    )
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = spark.createDataFrame(
+        [(1, "intro words then " + bench_text + " trailing words", "a"),
+         (2, "totally unrelated content about other things here", "a"),
+         (3, "more unrelated words that share no shingles at all", "b")],
+        "doc_id bigint, text string, source string")
+    bench = spark.createDataFrame([(100, bench_text)],
+                                  "bench_id bigint, text string")
+    out = {r.source: r for r in
+           decontaminate_summary(corpus, bench, threshold=0.5).collect()}
+    assert (out["a"].n_docs, out["a"].n_contaminated,
+            out["a"].n_kept) == (2, 1, 1)
+    assert (out["b"].n_docs, out["b"].n_contaminated,
+            out["b"].n_kept) == (1, 0, 1)
+    # kept token mass excludes the contaminated doc entirely
+    assert out["a"].tokens_kept == 7  # doc 2 has 7 whitespace tokens
+    assert out["b"].tokens_kept == 9
