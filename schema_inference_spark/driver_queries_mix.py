@@ -39,9 +39,10 @@ def q_split_assign(spark, sf_dir):
     """Deterministic md5-range train/val/test assignment
     (operators/curation.py split_assign): per-doc split that never
     migrates across re-runs, appends, or engines — one scan, zero
-    shuffle, codegen end to end."""
+    shuffle, codegen end to end (the orderBy is presentation-only,
+    added here at the query boundary, never inside the operator)."""
     return CU.split_assign(_t(spark, sf_dir, "documents"),
-                           salt=SPLIT_SALT)
+                           salt=SPLIT_SALT).orderBy("doc_id")
 
 
 SQL_SPLIT_ASSIGN = f"""

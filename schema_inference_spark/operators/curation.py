@@ -297,19 +297,22 @@ def split_assign(df: DataFrame, id_col: str = "doc_id",
     assignments, unlike a row_number % 8 split). Returns
     (doc_id, source, bucket, split, ws_tokens).
 
-    Scale shape: pure per-row column expressions — one scan, zero
-    shuffle, whole-stage codegen end to end; the split is a function of
-    the id alone, so it needs no global state at any corpus size."""
+    Scale shape: pure per-row column expressions — one scan, ZERO
+    shuffle (no orderBy here: presentation sorts belong to callers, and
+    an exchange-free frame composes into ``split_balance`` without a
+    wasted pre-aggregation sort; pinned by
+    test_split_assign_plan_no_exchange), whole-stage codegen end to
+    end; the split is a function of the id alone, so it needs no global
+    state at any corpus size."""
     h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
     bucket = F.substring(h, 1, 2)
     split = F.lit("test")
     for name, bound in reversed(SPLIT_BOUNDS):
         split = F.when(bucket < bound, F.lit(name)).otherwise(split)
-    return (df.select(
+    return df.select(
         F.col(id_col).alias("doc_id"), F.col(source_col).alias("source"),
         bucket.alias("bucket"), split.alias("split"),
         F.size(_tokens(F.col(text_col))).cast("bigint").alias("ws_tokens"))
-        .orderBy("doc_id"))
 
 
 def split_balance(df: DataFrame, id_col: str = "doc_id",

@@ -175,3 +175,54 @@ def test_decontaminate_summary_planted(spark):
     # kept token mass excludes the contaminated doc entirely
     assert out["a"].tokens_kept == 7  # doc 2 has 7 whitespace tokens
     assert out["b"].tokens_kept == 9
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_split_assign_plan_no_exchange(spark):
+    """split_assign is one scan of pure column expressions — any
+    Exchange would mean the split function grew global state."""
+    from schema_inference_spark.operators.curation import split_assign
+    docs = spark.createDataFrame([(1, "t", "s")],
+                                 "doc_id bigint, text string, source string")
+    assert "Exchange" not in _plan(split_assign(docs))
+
+
+def test_collocations_plan_topk_not_global_sort(spark):
+    """The top-k executes as TakeOrderedAndProject; a global Sort of
+    the bigram vocabulary would be the 100-TB regression."""
+    from schema_inference_spark.operators.textstats import collocations
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    plan = _plan(collocations(docs, k=10, min_count=1))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_decontaminate_plan_broadcasts_bench(spark):
+    """The bench side must broadcast — the corpus is the unbounded side
+    and is never shuffled for the containment join."""
+    from schema_inference_spark.operators.contamination import (
+        decontaminate_summary,
+    )
+    corpus = spark.createDataFrame([(1, "a b c d", "s")],
+                                   "doc_id bigint, text string, source string")
+    bench = spark.createDataFrame([(9, "a b c")],
+                                  "bench_id bigint, text string")
+    assert "BroadcastHashJoin" in _plan(
+        decontaminate_summary(corpus, bench))
+
+
+def test_funnel_plan_pushes_step_filters(spark, tmp_path, events):
+    """Each funnel stage scans with its event-type predicate pushed to
+    the parquet source — the full event log is never re-read unfiltered
+    per stage."""
+    from schema_inference_spark.operators.sessions import funnel
+    p = str(tmp_path / "ev.parquet")
+    events.write.parquet(p)
+    plan = _plan(funnel(spark.read.parquet(p),
+                        ["view", "click", "purchase"]))
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,view)" \
+        in plan
+    assert "EqualTo(event_type,click)" in plan
+    assert "EqualTo(event_type,purchase)" in plan
