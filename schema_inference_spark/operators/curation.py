@@ -286,6 +286,19 @@ def curation_summary_incremental(new_df: DataFrame, index: DataFrame,
 SPLIT_BOUNDS = (("train", "c0"), ("val", "e0"))
 
 
+def split_columns(id_col: str = "doc_id", salt: str = "v1") -> tuple:
+    """The (bucket, split) column pair as pure expressions — ONE
+    definition shared by the batch operator and the ingest-time stream
+    twin (``streaming.stream_checks.split_stream``), so the two can
+    never drift."""
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    bucket = F.substring(h, 1, 2)
+    split = F.lit("test")
+    for name, bound in reversed(SPLIT_BOUNDS):
+        split = F.when(bucket < bound, F.lit(name)).otherwise(split)
+    return bucket, split
+
+
 def split_assign(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", source_col: str = "source",
                  salt: str = "v1") -> DataFrame:
@@ -304,11 +317,7 @@ def split_assign(df: DataFrame, id_col: str = "doc_id",
     test_split_assign_plan_no_exchange), whole-stage codegen end to
     end; the split is a function of the id alone, so it needs no global
     state at any corpus size."""
-    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
-    bucket = F.substring(h, 1, 2)
-    split = F.lit("test")
-    for name, bound in reversed(SPLIT_BOUNDS):
-        split = F.when(bucket < bound, F.lit(name)).otherwise(split)
+    bucket, split = split_columns(id_col, salt)
     return df.select(
         F.col(id_col).alias("doc_id"), F.col(source_col).alias("source"),
         bucket.alias("bucket"), split.alias("split"),

@@ -1137,3 +1137,47 @@ def interval_stream(sdf: DataFrame, intervals: DataFrame, emit,
                            bin_seconds, how), epoch_id)
 
     return sdf.writeStream.foreachBatch(_probe)
+
+
+def split_stream(sdf: DataFrame, id_col: str = "doc_id",
+                 salt: str = "v1") -> DataFrame:
+    """Ingest-time train/val/test routing: append the (bucket, split)
+    columns of ``operators.curation.split_assign`` to every arriving
+    row — the expressions come from the SAME ``split_columns``
+    definition, so a document's split at ingest equals its split in
+    every later batch pass (the holdout contract extended to the
+    stream boundary). Stateless projection, append mode, zero state:
+    the natural shape for partitioned-by-split sink routing
+    (``.writeStream.partitionBy('split')``)."""
+    from ..operators.curation import split_columns
+
+    bucket, split = split_columns(id_col, salt)
+    return (sdf.withColumn("bucket", bucket)
+            .withColumn("split", split))
+
+
+def contamination_stream(sdf: DataFrame, bench: DataFrame, emit,
+                         threshold: float = 0.5, k: int = 3,
+                         id_col: str = "doc_id",
+                         bench_id_col: str = "bench_id",
+                         text_col: str = "text"):
+    """Ingest-time benchmark-contamination screening: each micro-batch
+    runs ``operators.contamination.contamination_pairs`` against the
+    STATIC bench set and ``emit(pairs_df, epoch_id)`` receives that
+    batch's (doc_id, bench_id, n_matched, bench_n, containment_bp)
+    rows — the quarantine feed a pipeline wants BEFORE contaminated
+    documents reach the training corpus.
+
+    Same doctrine as ``curation_stream``: ``foreachBatch``, not a
+    stateful aggregation — containment is per (arriving doc, bench
+    item), needs no cross-batch state at all, and the bench side stays
+    the broadcast-sized static frame the batch operator already
+    requires. Returns the ``DataStreamWriter``."""
+    from ..operators.contamination import contamination_pairs
+
+    def _probe(batch_df: DataFrame, epoch_id: int) -> None:
+        emit(contamination_pairs(batch_df, bench, threshold, k,
+                                 id_col=id_col, bench_id_col=bench_id_col,
+                                 text_col=text_col), epoch_id)
+
+    return sdf.writeStream.foreachBatch(_probe)

@@ -975,3 +975,96 @@ def test_interval_stream_matches_batch(spark, tmp_path):
         end_ts="e_ts", value_cols=["name"], bin_seconds=10).collect()}
     assert {(r.pid, r.name) for r in got} == want
     assert ("a", "w1") in want and ("c", "w2") in want
+
+
+def test_split_stream_matches_batch_assignment(spark, tmp_path):
+    """split_stream routes every arriving row to the SAME split the
+    batch split_assign gives it (shared split_columns definition) —
+    the holdout contract at the stream boundary."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from schema_inference_spark.operators.curation import split_assign
+    from schema_inference_spark.streaming.stream_checks import split_stream
+
+    stream_dir = tmp_path / "split_stream"
+    stream_dir.mkdir()
+    rows = [(i, f"text number {i}", f"s{i % 2}") for i in range(200)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([i for i, _, _ in rows], pa.int64()),
+        "text": pa.array([t for _, t, _ in rows], pa.string()),
+        "source": pa.array([s for _, _, s in rows], pa.string()),
+    }), str(stream_dir / "part-0.parquet"))
+
+    sdf = (spark.readStream
+           .schema("doc_id bigint, text string, source string")
+           .parquet(str(stream_dir)))
+    got = []
+    q = (split_stream(sdf).writeStream.outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_split"))
+         .foreachBatch(lambda df, _eid: got.extend(df.collect()))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+
+    batch = spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string")
+    want = {r.doc_id: (r.bucket, r.split)
+            for r in split_assign(batch).collect()}
+    assert {r.doc_id: (r.bucket, r.split) for r in got} == want
+    assert len(got) == 200
+
+
+def test_contamination_stream_matches_per_batch_probe(spark, tmp_path):
+    """contamination_stream screens each micro-batch against the static
+    bench set exactly as the batch operator would screen that ingest:
+    per-epoch reports equal contamination_pairs on the same batch, and
+    epochs never see each other (no cross-batch state by design)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from schema_inference_spark.operators.contamination import (
+        contamination_pairs,
+    )
+    from schema_inference_spark.streaming.stream_checks import (
+        contamination_stream,
+    )
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota"
+    bench = spark.createDataFrame([(100, bench_text)],
+                                  "bench_id bigint, text string")
+    stream_dir = tmp_path / "contam_stream"
+    stream_dir.mkdir()
+    parts = ([(1, "prefix " + bench_text + " suffix"),
+              (2, "nothing shared with the benchmark here at all")],
+             [(3, bench_text), (4, "another fully unrelated document")])
+    for age, rows in enumerate(parts):
+        pq.write_table(pa.table({
+            "doc_id": pa.array([i for i, _ in rows], pa.int64()),
+            "text": pa.array([t for _, t in rows], pa.string()),
+        }), str(stream_dir / f"part-{age}.parquet"))
+        os.utime(str(stream_dir / f"part-{age}.parquet"),
+                 (1_000_000 + age,) * 2)
+
+    sdf = (spark.readStream.schema("doc_id bigint, text string")
+           .option("maxFilesPerTrigger", "1").parquet(str(stream_dir)))
+    got = {}
+    q = (contamination_stream(
+            sdf, bench, threshold=0.5,
+            emit=lambda df, eid: got.setdefault(
+                eid, [tuple(r) for r in df.collect()]))
+         .option("checkpointLocation", str(tmp_path / "ckpt_contam"))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+
+    # every epoch's report equals the batch operator on that ingest
+    seen = [r for rows_ in got.values() for r in rows_]
+    for age, rows in enumerate(parts):
+        batch = spark.createDataFrame(rows, "doc_id bigint, text string")
+        want = [tuple(r) for r in
+                contamination_pairs(batch, bench, 0.5).collect()]
+        assert sorted(want) == sorted(
+            got.get(age, [])), f"epoch {age} mismatch"
+    # docs 1 and 3 are contaminated, 2 and 4 are not
+    assert sorted(r[0] for r in seen) == [1, 3]
