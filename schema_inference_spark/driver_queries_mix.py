@@ -276,3 +276,111 @@ MIX_ORACLES = {
     "cohort_retention": SQL_COHORT_RETENTION,
     "decontaminate": SQL_DECONTAMINATE,
 }
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate discovery + mixture planning
+# ---------------------------------------------------------------------------
+
+HOTSEG_WORDS = 10   # same width the dedup_segments pass deduplicates
+HOTSEG_K = 50
+
+
+def q_hot_segments(spark, sf_dir):
+    """Boilerplate discovery (operators/dedup.py hot_segments): top-50
+    fixed-width segments by document frequency, over the dup-augmented
+    corpus (the synthetic corpus has no natural boilerplate, so the
+    operator needs planted signal — same augmentation the incremental
+    dedup gates use)."""
+    from .driver_queries_extras import _dup_aug
+    docs = (_t(spark, sf_dir, "documents")
+            .withColumn("text", F.expr(_dup_aug("STRING"))))
+    from .operators.dedup import hot_segments
+    return hot_segments(docs, seg_words=HOTSEG_WORDS, k=HOTSEG_K)
+
+
+def _sql_hot_segments() -> str:
+    from .driver_queries_extras import _dup_aug
+    return f"""
+WITH docs AS (SELECT doc_id, {_dup_aug('VARCHAR')} AS text
+              FROM documents),
+base AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w,
+                CAST(ceil(len(string_split(coalesce(text, ''), ' '))
+                     / {HOTSEG_WORDS}.0) AS BIGINT) AS n_segs
+         FROM docs),
+ex AS (SELECT doc_id, w, unnest(range(0, n_segs)) AS i FROM base),
+segs AS (SELECT doc_id,
+                array_to_string(w[(i*{HOTSEG_WORDS}+1):
+                                  (i*{HOTSEG_WORDS}+{HOTSEG_WORDS})],
+                                ' ') AS seg
+         FROM ex),
+pd AS (SELECT seg, doc_id, count(*) AS n FROM segs GROUP BY seg, doc_id),
+agg AS (SELECT seg, count(*) AS n_docs,
+               CAST(sum(n) AS BIGINT) AS n_occurrences
+        FROM pd GROUP BY seg HAVING count(*) >= 2),
+ranked AS (SELECT *, row_number() OVER (
+               ORDER BY n_docs DESC, n_occurrences DESC, seg) AS rank
+           FROM agg)
+SELECT rank, seg, n_docs, n_occurrences
+FROM ranked WHERE rank <= {HOTSEG_K}
+ORDER BY rank
+"""
+
+
+SQL_HOT_SEGMENTS = _sql_hot_segments()
+
+
+MIX_TOKEN_BUDGET = 500_000
+
+# deterministic per-source target weights both engines derive from the
+# source name alone (the real artifact is a config table; deriving it
+# keeps the gate self-contained)
+_WT_EXPR = "200 + 30 * (ascii(substr(source, length(source), 1)) % 7)"
+
+
+def q_mixture_plan(spark, sf_dir):
+    """Epoch/repeat planning (operators/curation.py mixture_plan):
+    per-source tokens needed for the target mixture vs tokens
+    available, with the fixed-point repeat factor — flags the sources a
+    weighted mixture forces to up-sample."""
+    docs = _t(spark, sf_dir, "documents")
+    weights = (docs.select("source").distinct()
+               .withColumn("weight_bp", F.expr(
+                   "200 + 30 * (ascii(substring(source, length(source), 1))"
+                   " % 7)").cast("bigint")))
+    return CU.mixture_plan(docs, weights, MIX_TOKEN_BUDGET)
+
+
+SQL_MIXTURE_PLAN = f"""
+WITH avail AS (SELECT source,
+                      CAST(sum(len(string_split({_NORM}, ' ')))
+                           AS BIGINT) AS tokens_available
+               FROM documents GROUP BY source),
+wt AS (SELECT DISTINCT source,
+              CAST({_WT_EXPR} AS BIGINT) AS target_weight_bp
+       FROM documents),
+j AS (SELECT a.source, a.tokens_available, wt.target_weight_bp,
+             ({MIX_TOKEN_BUDGET} * wt.target_weight_bp) // 10000
+               AS tokens_needed
+      FROM avail a JOIN wt USING (source))
+SELECT source, tokens_available, target_weight_bp, tokens_needed,
+       CASE WHEN tokens_available > 0
+            THEN CAST((100 * tokens_needed + tokens_available - 1)
+                      // tokens_available AS BIGINT) END AS epochs_x100,
+       (CASE WHEN tokens_available > 0
+             THEN (100 * tokens_needed + tokens_available - 1)
+                  // tokens_available END) > 100 AS oversampled
+FROM j
+ORDER BY source
+"""
+
+
+MIX_QUERIES.update({
+    "hot_segments": q_hot_segments,
+    "mixture_plan": q_mixture_plan,
+})
+
+MIX_ORACLES.update({
+    "hot_segments": SQL_HOT_SEGMENTS,
+    "mixture_plan": SQL_MIXTURE_PLAN,
+})

@@ -344,3 +344,40 @@ def split_balance(df: DataFrame, id_col: str = "doc_id",
                 "(10000 * ws_tokens) div sum(ws_tokens) over ()")
                 .cast("bigint"))
             .orderBy("split"))
+
+
+def mixture_plan(df: DataFrame, weights: DataFrame, token_budget: int,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 source_col: str = "source") -> DataFrame:
+    """Epoch/repeat planning for a target data mixture: given per-source
+    target weights (basis points of ``token_budget``) and the tokens
+    actually available per source, compute how many passes over each
+    source the training run needs — ``epochs_x100 = ceil(100 *
+    tokens_needed / tokens_available)`` (fixed-point hundredths; > 100
+    means the source must repeat, the up-sampling a weighted mixture
+    forces on small sources). The planning complement of
+    ``token_budget_sample``, which executes a plan's single-epoch
+    prefix. Returns (source, tokens_available, target_weight_bp,
+    tokens_needed, epochs_x100, oversampled).
+
+    Integer-exact throughout (ceil division via ``(a + b - 1) div b``).
+    Scale shape: ONE per-source token aggregate over the corpus (map
+    -side partials on the low-cardinality source key), then arithmetic
+    on the broadcast-joined weights frame — rollup-sized, no second
+    scan."""
+    avail = (df.groupBy(F.col(source_col).alias("source"))
+             .agg(F.sum(F.size(_tokens(F.col(text_col))).cast("bigint"))
+                  .alias("tokens_available")))
+    out = (avail.join(F.broadcast(
+        weights.select(F.col(source_col).alias("source"),
+                       F.col("weight_bp").cast("bigint")
+                       .alias("target_weight_bp"))), "source")
+        .withColumn("tokens_needed", F.expr(
+            f"({token_budget} * target_weight_bp) div 10000")
+            .cast("bigint"))
+        .withColumn("epochs_x100", F.when(
+            F.col("tokens_available") > 0,
+            F.expr("(100 * tokens_needed + tokens_available - 1) "
+                   "div tokens_available")).cast("bigint"))
+        .withColumn("oversampled", F.col("epochs_x100") > 100))
+    return out.orderBy("source")

@@ -226,3 +226,49 @@ def test_funnel_plan_pushes_step_filters(spark, tmp_path, events):
         in plan
     assert "EqualTo(event_type,click)" in plan
     assert "EqualTo(event_type,purchase)" in plan
+
+
+def test_hot_segments_planted_boilerplate(spark):
+    from schema_inference_spark.operators.dedup import hot_segments
+    footer = "w1 w2 w3 w4"          # 4-word segment width below
+    rows = [
+        (1, "unique alpha words here " + footer),        # seg2 = footer
+        (2, "other beta content words " + footer),       # seg2 = footer
+        (3, footer + " " + footer),                      # footer twice, ONE doc
+        (4, "totally unrelated text body nothing shared"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = hot_segments(docs, seg_words=4, min_docs=2, k=10).collect()
+    assert [(r.rank, r.seg, r.n_docs, r.n_occurrences) for r in out] == [
+        (1, footer, 3, 4)]
+    # with min_docs=1 the within-one-doc repeats surface too, ranked by
+    # doc frequency first
+    out1 = hot_segments(docs, seg_words=4, min_docs=1, k=3).collect()
+    assert out1[0].seg == footer and out1[0].n_docs == 3
+
+
+def test_mixture_plan_arithmetic(spark):
+    from schema_inference_spark.operators.curation import mixture_plan
+    docs = spark.createDataFrame(
+        # source a: 2 docs x 5 tokens = 10 available
+        [(1, "t1 t2 t3 t4 t5", "a"), (2, "u1 u2 u3 u4 u5", "a"),
+         # source b: 1 doc x 4 tokens = 4 available
+         (3, "v1 v2 v3 v4", "b")],
+        "doc_id bigint, text string, source string")
+    weights = spark.createDataFrame([("a", 5000), ("b", 5000)],
+                                    "source string, weight_bp bigint")
+    out = {r.source: r for r in
+           mixture_plan(docs, weights, token_budget=20).collect()}
+    a, b = out["a"], out["b"]
+    # a: needs 10 of 10 available -> exactly 1.00 epochs, not oversampled
+    assert (a.tokens_available, a.tokens_needed, a.epochs_x100,
+            a.oversampled) == (10, 10, 100, False)
+    # b: needs 10 of 4 available -> ceil(1000/4)=250 hundredths
+    assert (b.tokens_available, b.tokens_needed, b.epochs_x100,
+            b.oversampled) == (4, 10, 250, True)
+    # ceil is exact on non-multiples: 7 needed of 4 -> 175
+    w2 = spark.createDataFrame([("b", 3500)],
+                               "source string, weight_bp bigint")
+    r2 = mixture_plan(docs, w2, token_budget=20).collect()
+    assert [(r.source, r.tokens_needed, r.epochs_x100)
+            for r in r2] == [("b", 7, 175)]
