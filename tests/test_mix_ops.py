@@ -272,3 +272,90 @@ def test_mixture_plan_arithmetic(spark):
     r2 = mixture_plan(docs, w2, token_budget=20).collect()
     assert [(r.source, r.tokens_needed, r.epochs_x100)
             for r in r2] == [("b", 7, 175)]
+
+
+# property: funnel and cohort_retention agree with pure-Python models
+# on arbitrary small event logs (4 users, 6 timestamps — tight ranges
+# force timestamp ties and out-of-order arrivals); bounded examples
+# keep the per-example Spark job cost sane (same protocol as
+# test_fd_violations_matches_model)
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_STEPS = ["view", "click", "purchase"]
+
+_ev_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 5),
+              st.sampled_from(_STEPS)),
+    min_size=1, max_size=15)
+
+
+def _funnel_model(rows, steps):
+    by_user = {}
+    for u, ts, ty in rows:
+        by_user.setdefault(u, []).append((ts, ty))
+    reach = {}
+    for u, evs in by_user.items():
+        c = [ts for ts, ty in evs if ty == steps[0]]
+        if c:
+            reach[u] = min(c)
+    counts = [len(reach)]
+    for s in steps[1:]:
+        nxt = {}
+        for u, pt in reach.items():
+            c = [ts for ts, ty in by_user[u] if ty == s and ts >= pt]
+            if c:
+                nxt[u] = min(c)
+        counts.append(len(nxt))
+        reach = nxt
+    return counts
+
+
+@settings(max_examples=25, deadline=None)
+@given(rows=_ev_rows)
+def test_funnel_matches_pure_model(spark, rows):
+    from schema_inference_spark.operators.sessions import funnel
+    df = spark.createDataFrame(
+        [(u, _ts(1, 0, m), ty) for u, m, ty in rows],
+        "user_id bigint, ts timestamp, event_type string")
+    got = funnel(df, _STEPS).collect()
+    want = _funnel_model(rows, _STEPS)
+    assert [r.n_users for r in got] == want
+    for i, r in enumerate(got):
+        prev = want[i - 1] if i > 0 else want[0]
+        assert r.conv_prev_bp == (
+            (10000 * want[i]) // prev if prev > 0 else None)
+        assert r.conv_first_bp == (
+            (10000 * want[i]) // want[0] if want[0] > 0 else None)
+
+
+_ret_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(1, 8)),
+    min_size=1, max_size=15)
+
+
+@settings(max_examples=25, deadline=None)
+@given(rows=_ret_rows)
+def test_cohort_retention_matches_pure_model(spark, rows):
+    from schema_inference_spark.operators.sessions import cohort_retention
+    max_off = 3
+    df = spark.createDataFrame(
+        [(u, _ts(d)) for u, d in rows], "user_id bigint, ts timestamp")
+    got = {(str(r.cohort_date), r.day_offset): (r.n_users, r.retained_bp)
+           for r in cohort_retention(df, max_offset=max_off).collect()}
+
+    first = {}
+    for u, d in rows:
+        first[u] = min(first.get(u, d), d)
+    sizes = {}
+    for u, c in first.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    active = {(first[u], d - first[u], u)
+              for u, d in rows if d - first[u] <= max_off}
+    want = {}
+    for (c, off, _u) in active:
+        key = (f"2024-01-{c:02d}", off)
+        want[key] = want.get(key, 0) + 1
+    want = {k: (n, (10000 * n) // sizes[int(k[0][-2:])])
+            for k, n in want.items()}
+    assert got == want
