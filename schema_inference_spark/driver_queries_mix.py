@@ -384,3 +384,42 @@ MIX_ORACLES.update({
     "hot_segments": SQL_HOT_SEGMENTS,
     "mixture_plan": SQL_MIXTURE_PLAN,
 })
+
+
+# ---------------------------------------------------------------------------
+# Split leakage (holdout contamination by near-dups)
+# ---------------------------------------------------------------------------
+
+def _split_case(col: str) -> str:
+    h = f"substr(md5(CAST({col} AS VARCHAR) || ':{SPLIT_SALT}'), 1, 2)"
+    return (f"CASE WHEN {h} < 'c0' THEN 'train' "
+            f"WHEN {h} < 'e0' THEN 'val' ELSE 'test' END")
+
+
+def q_split_leakage(spark, sf_dir):
+    """Holdout-leak audit (operators/curation.py split_leakage):
+    exact-Jaccard near-dup pairs straddling the md5-range split
+    boundary — reuses the session's cached pair graph, splits computed
+    (not joined) from the ids."""
+    from .driver_queries_extras import _jaccard_pairs_cached
+    return CU.split_leakage(_jaccard_pairs_cached(spark, sf_dir),
+                            salt=SPLIT_SALT)
+
+
+def _sql_split_leakage() -> str:
+    from .driver_queries_extras import _JACCARD_CTES
+    return f"""
+WITH {_JACCARD_CTES}
+SELECT d1, d2, jaccard,
+       {_split_case('d1')} AS split1,
+       {_split_case('d2')} AS split2
+FROM jp
+WHERE {_split_case('d1')} <> {_split_case('d2')}
+ORDER BY d1, d2
+"""
+
+
+SQL_SPLIT_LEAKAGE = _sql_split_leakage()
+
+MIX_QUERIES["split_leakage"] = q_split_leakage
+MIX_ORACLES["split_leakage"] = SQL_SPLIT_LEAKAGE

@@ -381,3 +381,25 @@ def mixture_plan(df: DataFrame, weights: DataFrame, token_budget: int,
                    "div tokens_available")).cast("bigint"))
         .withColumn("oversampled", F.col("epochs_x100") > 100))
     return out.orderBy("source")
+
+
+def split_leakage(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
+                  salt: str = "v1") -> DataFrame:
+    """Holdout-leak audit: near-duplicate pairs whose members land in
+    DIFFERENT splits — the eval-contamination a dedup-unaware split
+    ships (a test document whose near-twin sits in train leaks the
+    answer). Feed it any pair frame (exact-Jaccard, MinHash-verified,
+    simhash): pairs straddling a split boundary come back with both
+    split labels; same-split pairs (handled by ordinary within-split
+    dedup) are dropped.
+
+    Because ``split_assign``'s split is a pure function of the id, the
+    splits are COMPUTED here via the shared ``split_columns``
+    expressions — zero joins, zero extra scans, a projection+filter on
+    the (sparse) pair list; the audit costs nothing beyond the pair
+    graph it consumes at any corpus size."""
+    _, s1 = split_columns(d1, salt)
+    _, s2 = split_columns(d2, salt)
+    return (pairs.withColumn("split1", s1).withColumn("split2", s2)
+            .filter(F.col("split1") != F.col("split2"))
+            .orderBy(d1, d2))

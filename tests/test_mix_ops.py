@@ -359,3 +359,29 @@ def test_cohort_retention_matches_pure_model(spark, rows):
     want = {k: (n, (10000 * n) // sizes[int(k[0][-2:])])
             for k, n in want.items()}
     assert got == want
+
+
+def test_split_leakage_semantics(spark):
+    from schema_inference_spark.operators.curation import (
+        split_assign,
+        split_leakage,
+    )
+    # pick ids whose splits are known from split_assign itself, then
+    # verify the leak filter keeps exactly the cross-split pairs with
+    # the SAME labels the assignment gives
+    docs = spark.createDataFrame([(i, "t", "s") for i in range(60)],
+                                 "doc_id bigint, text string, source string")
+    split_of = {r.doc_id: r.split for r in split_assign(docs).collect()}
+    ids = sorted(split_of)
+    pairs = spark.createDataFrame(
+        [(a, b, 0.9) for a in ids for b in ids if a < b],
+        "d1 bigint, d2 bigint, jaccard double")
+    out = {(r.d1, r.d2): (r.split1, r.split2)
+           for r in split_leakage(pairs).collect()}
+    want = {(a, b): (split_of[a], split_of[b])
+            for a in ids for b in ids
+            if a < b and split_of[a] != split_of[b]}
+    assert out == want
+    assert len(want) > 0          # non-vacuous at n=60
+    # and no same-split pair survives
+    assert all(s1 != s2 for s1, s2 in out.values())
