@@ -423,3 +423,53 @@ SQL_SPLIT_LEAKAGE = _sql_split_leakage()
 
 MIX_QUERIES["split_leakage"] = q_split_leakage
 MIX_ORACLES["split_leakage"] = SQL_SPLIT_LEAKAGE
+
+
+FUNNEL_WINDOW_S = 21600  # 6-hour attribution window
+
+
+def q_funnel_windowed(spark, sf_dir):
+    """The funnel with a per-step attribution window (operators/
+    sessions.py funnel within_seconds=6h): conversions only count
+    within six hours of the previous step — the bounded form every
+    production funnel uses."""
+    return S.funnel(_t(spark, sf_dir, "events"), FUNNEL_STEPS,
+                    within_seconds=FUNNEL_WINDOW_S)
+
+
+SQL_FUNNEL_WINDOWED = f"""
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2
+       FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts >= s1.t1
+         AND e.ts <= s1.t1 + INTERVAL '{FUNNEL_WINDOW_S} seconds'
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3
+       FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts >= s2.t2
+         AND e.ts <= s2.t2 + INTERVAL '{FUNNEL_WINDOW_S} seconds'
+       GROUP BY e.user_id),
+c AS (SELECT (SELECT count(*) FROM s1) AS n1,
+             (SELECT count(*) FROM s2) AS n2,
+             (SELECT count(*) FROM s3) AS n3)
+SELECT CAST(1 AS BIGINT) AS step_idx, '{FUNNEL_STEPS[0]}' AS step,
+       n1 AS n_users,
+       CASE WHEN n1 > 0 THEN CAST(10000 AS BIGINT) END AS conv_prev_bp,
+       CASE WHEN n1 > 0 THEN CAST(10000 AS BIGINT) END AS conv_first_bp
+FROM c
+UNION ALL
+SELECT 2, '{FUNNEL_STEPS[1]}', n2,
+       CASE WHEN n1 > 0 THEN (10000 * n2) // n1 END,
+       CASE WHEN n1 > 0 THEN (10000 * n2) // n1 END
+FROM c
+UNION ALL
+SELECT 3, '{FUNNEL_STEPS[2]}', n3,
+       CASE WHEN n2 > 0 THEN (10000 * n3) // n2 END,
+       CASE WHEN n1 > 0 THEN (10000 * n3) // n1 END
+FROM c
+ORDER BY step_idx
+"""
+
+MIX_QUERIES["funnel_windowed"] = q_funnel_windowed
+MIX_ORACLES["funnel_windowed"] = SQL_FUNNEL_WINDOWED

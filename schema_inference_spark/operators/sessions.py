@@ -57,13 +57,18 @@ def stratified_sample(df: DataFrame, stratum_col: str, id_col: str,
 
 
 def funnel(df: DataFrame, steps: list, user_col: str = "user_id",
-           ts_col: str = "ts", type_col: str = "event_type") -> DataFrame:
+           ts_col: str = "ts", type_col: str = "event_type",
+           within_seconds: int | None = None) -> DataFrame:
     """Ordered-funnel completion over an event stream: a user reaches
     step i when they have an event of type ``steps[i]`` at-or-after
     their step i-1 completion time (min-timestamp cascade — the
     deterministic funnel definition: every step time is a min over a
     well-defined set, so timestamp ties never change the answer, unlike
-    row_number-sequenced funnels). Returns ONE row per step:
+    row_number-sequenced funnels). ``within_seconds`` bounds each
+    step-to-step conversion (the standard attribution window: a click
+    seven weeks after the view doesn't convert) — the bound applies per
+    STEP, inclusive, against the previous step's completion time.
+    Returns ONE row per step:
     (step_idx, step, n_users, conv_prev_bp, conv_first_bp) with integer
     basis-point conversions.
 
@@ -80,9 +85,16 @@ def funnel(df: DataFrame, steps: list, user_col: str = "user_id",
     u = (df.filter(F.col(type_col) == steps[0])
          .groupBy(user_col).agg(F.min(ts_col).alias("t1")))
     for i, s in enumerate(steps[1:], start=2):
+        cond = F.col(ts_col) >= F.col(f"t{i-1}")
+        if within_seconds is not None:
+            # interval arithmetic, not an epoch-double cast: works for
+            # TIMESTAMP and TIMESTAMP_NTZ alike and matches the
+            # oracle's `<= t + INTERVAL n seconds` exactly
+            cond = cond & (F.col(ts_col) <= F.expr(
+                f"t{i-1} + INTERVAL {int(within_seconds)} SECOND"))
         nxt = (df.filter(F.col(type_col) == s)
                .join(u.select(user_col, f"t{i-1}"), user_col)
-               .filter(F.col(ts_col) >= F.col(f"t{i-1}"))
+               .filter(cond)
                .groupBy(user_col).agg(F.min(ts_col).alias(f"t{i}")))
         u = u.join(nxt, user_col, "left")
     counts = u.agg(*[

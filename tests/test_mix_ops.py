@@ -385,3 +385,23 @@ def test_split_leakage_semantics(spark):
     assert len(want) > 0          # non-vacuous at n=60
     # and no same-split pair survives
     assert all(s1 != s2 for s1, s2 in out.values())
+
+
+def test_funnel_within_window_inclusive_boundary(spark, events):
+    from schema_inference_spark.operators.sessions import funnel
+    # u1's purchase is 22h after its click: inside a 1-day window,
+    # outside a 1-hour window. The boundary is inclusive: u1's click is
+    # exactly 3600s after its view, so a 3600s window still counts it.
+    day = funnel(events, ["view", "click", "purchase"],
+                 within_seconds=86400).collect()
+    assert [r.n_users for r in day] == [5, 4, 1]
+    # 1h drops u3 (its click is 2h after its view) but keeps the
+    # exactly-1h clicks of u1 and u2 — the boundary is inclusive
+    hour = funnel(events, ["view", "click", "purchase"],
+                  within_seconds=3600).collect()
+    assert [r.n_users for r in hour] == [5, 3, 0]
+    # sub-boundary: 3599s drops the exactly-1h clicks of u1 and u2
+    # too, leaving only u6's same-timestamp tie
+    tight = funnel(events, ["view", "click", "purchase"],
+                   within_seconds=3599).collect()
+    assert [r.n_users for r in tight] == [5, 1, 0]
