@@ -584,6 +584,45 @@ ORDER BY r_name
 """
 
 
+def q_rollup_revenue(spark, sf_dir):
+    """Multi-level ROLLUP aggregate (grouping sets): supplier account
+    balances at (region, nation), (region) subtotal, and grand-total
+    levels in ONE pass — Spark's rollup() emits all three grouping sets
+    from a single partial-aggregated scan instead of three scans or a
+    union. Null group keys at subtotal levels are disambiguated to
+    'ALL' plus an explicit integer level (grouping() bits, computed the
+    same way in both engines)."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+              .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return (joined.rollup("r_name", "n_name")
+            .agg(F.count(F.lit(1)).alias("n_suppliers"),
+                 F.round(F.sum("s_acctbal"), 2).alias("sum_acctbal"),
+                 (F.grouping("r_name") * 2 + F.grouping("n_name"))
+                 .cast("bigint").alias("lvl"))
+            .select(F.coalesce("r_name", F.lit("ALL")).alias("region"),
+                    F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+                    "lvl", "n_suppliers", "sum_acctbal")
+            .orderBy("lvl", "region", "nation"))
+
+
+SQL_ROLLUP_REVENUE = """
+SELECT coalesce(r_name, 'ALL') AS region,
+       coalesce(n_name, 'ALL') AS nation,
+       CAST(grouping(r_name) * 2 + grouping(n_name) AS BIGINT) AS lvl,
+       count(*) AS n_suppliers,
+       round(sum(s_acctbal), 2) AS sum_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY lvl, region, nation
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # D11 large-dim form — FK orphans via shuffle anti-join (fk_orphans).
 # Planted lagging dimension: every 13th customer key is dropped from the
@@ -672,6 +711,7 @@ CORE_QUERIES: Dict[str, Callable] = {
     "segment_revenue": q_segment_revenue,
     "top_orders": q_top_orders,
     "region_rollup": q_region_rollup,
+    "rollup_revenue": q_rollup_revenue,
 }
 
 CORE_ORACLES: Dict[str, str] = {
@@ -696,4 +736,5 @@ CORE_ORACLES: Dict[str, str] = {
     "segment_revenue": SQL_SEGMENT_REVENUE,
     "top_orders": SQL_TOP_ORDERS,
     "region_rollup": SQL_REGION_ROLLUP,
+    "rollup_revenue": SQL_ROLLUP_REVENUE,
 }
