@@ -405,3 +405,46 @@ def test_funnel_within_window_inclusive_boundary(spark, events):
     tight = funnel(events, ["view", "click", "purchase"],
                    within_seconds=3599).collect()
     assert [r.n_users for r in tight] == [5, 1, 0]
+
+
+def test_decontaminate_empty_bench_keeps_everything(spark):
+    from schema_inference_spark.operators.contamination import (
+        decontaminate_summary,
+    )
+    corpus = spark.createDataFrame(
+        [(1, "some words in a document", "a")],
+        "doc_id bigint, text string, source string")
+    bench = spark.createDataFrame([], "bench_id bigint, text string")
+    out = decontaminate_summary(corpus, bench, threshold=0.3).collect()
+    assert [(r.source, r.n_docs, r.n_contaminated, r.n_kept)
+            for r in out] == [("a", 1, 0, 1)]
+
+
+def test_split_leakage_empty_pairs(spark):
+    from schema_inference_spark.operators.curation import split_leakage
+    pairs = spark.createDataFrame([], "d1 bigint, d2 bigint, jaccard double")
+    assert split_leakage(pairs).count() == 0
+
+
+def test_collocations_short_and_empty_docs(spark):
+    """Single-token and empty docs contribute unigrams (the normalized
+    split of '' is ['']) but never bigrams — no crash, no phantom
+    grams."""
+    from schema_inference_spark.operators.textstats import collocations
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "pair here"), (4, "pair here")],
+        "doc_id bigint, text string")
+    out = collocations(docs, k=5, min_count=2).collect()
+    assert [(r.gram, r.n_occurrences) for r in out] == [("pair here", 2)]
+
+
+def test_mixture_plan_weight_only_sources_absent(spark):
+    """A weights row whose source has no documents simply doesn't plan
+    (inner join): the caller's weight table may cover future sources."""
+    from schema_inference_spark.operators.curation import mixture_plan
+    docs = spark.createDataFrame([(1, "a b", "s1")],
+                                 "doc_id bigint, text string, source string")
+    weights = spark.createDataFrame([("s1", 5000), ("ghost", 5000)],
+                                    "source string, weight_bp bigint")
+    out = mixture_plan(docs, weights, 100).collect()
+    assert [r.source for r in out] == ["s1"]
