@@ -448,3 +448,40 @@ def test_mixture_plan_weight_only_sources_absent(spark):
                                     "source string, weight_bp bigint")
     out = mixture_plan(docs, weights, 100).collect()
     assert [r.source for r in out] == ["s1"]
+
+
+@settings(max_examples=20, deadline=None)
+@given(rows=_ev_rows, win=st.integers(0, 3))
+def test_funnel_windowed_matches_pure_model(spark, rows, win):
+    """The attribution window against a pure model — minute-scale
+    timestamps with a 0-3 minute window make the inclusive boundary
+    and the window-excludes-late-conversion cases both common."""
+    from schema_inference_spark.operators.sessions import funnel
+
+    def model(rows, steps, win_s):
+        by_user = {}
+        for u, m, ty in rows:
+            by_user.setdefault(u, []).append((m * 60, ty))
+        reach = {}
+        for u, evs in by_user.items():
+            c = [s for s, ty in evs if ty == steps[0]]
+            if c:
+                reach[u] = min(c)
+        counts = [len(reach)]
+        for step in steps[1:]:
+            nxt = {}
+            for u, pt in reach.items():
+                c = [s for s, ty in by_user[u]
+                     if ty == step and pt <= s <= pt + win_s]
+                if c:
+                    nxt[u] = min(c)
+            counts.append(len(nxt))
+            reach = nxt
+        return counts
+
+    df = spark.createDataFrame(
+        [(u, _ts(1, 0, m), ty) for u, m, ty in rows],
+        "user_id bigint, ts timestamp, event_type string")
+    got = [r.n_users for r in
+           funnel(df, _STEPS, within_seconds=win * 60).collect()]
+    assert got == model(rows, _STEPS, win * 60)
