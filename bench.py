@@ -96,7 +96,27 @@ def bench_validation(spark) -> dict:
             "check_path": path.get("check_path")}
 
 
+def bandwidth_gbps() -> float:
+    """Single-threaded memcpy probe (same as BENCH/gated_bench.py): this
+    host's co-tenant degradation is bandwidth-level and invisible to
+    steal%, so the suite JSON self-reports its window (healthy >= 8
+    GB/s; degraded windows measured down to 0.3) — a reader comparing
+    rounds can attribute a slow suite to the window instead of
+    guessing."""
+    import numpy as np
+    a = np.zeros(256 * 1024 * 1024 // 8)
+    best = 0.0
+    for _ in range(3):
+        t0 = time.monotonic()
+        b = a.copy()
+        dt = time.monotonic() - t0
+        best = max(best, 2 * a.nbytes / dt / 1e9)
+        del b
+    return round(best, 1)
+
+
 def main() -> None:
+    bw_pre = bandwidth_gbps()
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
     # warm the JVM once so timings measure the plans, not one-time janino
@@ -164,6 +184,9 @@ def main() -> None:
         "setup": setup,
         "sf": SF_DIR,
         "validation": val,
+        # window context (see bandwidth_gbps): healthy >= 8 GB/s
+        "bw_gbps_pre": bw_pre,
+        "bw_gbps_post": bandwidth_gbps(),
     }))
 
 
