@@ -473,3 +473,38 @@ ORDER BY step_idx
 
 MIX_QUERIES["funnel_windowed"] = q_funnel_windowed
 MIX_ORACLES["funnel_windowed"] = SQL_FUNNEL_WINDOWED
+
+
+# ---------------------------------------------------------------------------
+# Fraction hash sampling (the stratified_sample scale path)
+# ---------------------------------------------------------------------------
+
+SAMPLE_FRACTION = 0.125  # threshold 0x20000000 — exact in both engines
+
+
+def q_sample_fraction(spark, sf_dir):
+    """Zero-shuffle fraction sampler (operators/sessions.py
+    hash_sample): keep docs whose md5(id:salt) 8-hex prefix falls under
+    floor(0.125 * 16^8) — the windowless scale path of
+    stratified_sample, reproducible across engines and appends."""
+    from .operators.sessions import hash_sample
+    return (hash_sample(_t(spark, sf_dir, "documents"),
+                        SAMPLE_FRACTION, "doc_id", salt=SPLIT_SALT)
+            .select("doc_id", "source", "sample_bucket")
+            .orderBy("doc_id"))
+
+
+_SAMPLE_THRESH = format(int(SAMPLE_FRACTION * 16 ** 8), "08x")
+
+SQL_SAMPLE_FRACTION = f"""
+SELECT doc_id, source,
+       substr(md5(CAST(doc_id AS VARCHAR) || ':{SPLIT_SALT}'), 1, 8)
+         AS sample_bucket
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':{SPLIT_SALT}'), 1, 8)
+      < '{_SAMPLE_THRESH}'
+ORDER BY doc_id
+"""
+
+MIX_QUERIES["sample_fraction"] = q_sample_fraction
+MIX_ORACLES["sample_fraction"] = SQL_SAMPLE_FRACTION

@@ -12,9 +12,9 @@ Both are pure built-in-function plans (no Python in the hot path):
   (md5 — chosen because the oracle engine computes the identical digest,
   so the sample is reproducible ACROSS engines, not just across runs).
   Scale note: rank-by-hash within a stratum is a per-key window; for
-  strata of 10^9+ rows swap the exact window for a two-pass hash
-  threshold (count, then filter hash < k/n quantile) — same distribution,
-  no sort.
+  strata of 10^9+ rows use ``hash_sample`` (below) — the fraction-
+  threshold form of the same hash order: a pure filter, no sort, no
+  shuffle, at the cost of a Binomial rather than exact-k kept count.
 """
 
 from __future__ import annotations
@@ -146,3 +146,32 @@ def cohort_retention(df: DataFrame, user_col: str = "user_id",
                         F.expr("(10000 * n_users) div _size"))
             .drop("_size")
             .orderBy("cohort_date", "day_offset"))
+
+
+def hash_sample(df: DataFrame, fraction: float, id_col: str,
+                salt: str = "v1") -> DataFrame:
+    """The scale path ``stratified_sample``'s docstring promises: a
+    FRACTION sampler with no window, no sort, no shuffle — keep a row
+    iff the first 8 hex chars of md5(id:salt) fall below
+    ``floor(fraction * 16^8)`` (hex strings of equal length compare
+    lexicographically as their numeric value, same argument as
+    ``curation.split_columns``). Deterministic and engine-independent
+    like the window form, but a pure filter: at 10^9-row strata the
+    exact-k window serializes per stratum while this scans. The trade
+    is exactness — the kept count is Binomial(n, fraction), not k —
+    which is what the audit column is for: ``sample_bucket`` exposes
+    each row's hash prefix so a reader can verify the threshold.
+    Appending rows never changes existing keep/drop decisions (the
+    ``split_assign`` append-stability contract)."""
+    if not (0.0 <= fraction <= 1.0):
+        raise ValueError(f"fraction must be in [0, 1]: {fraction}")
+    # fraction 1.0 would format to 9 hex chars and break the equal-
+    # length lexicographic compare; 'g' sorts above every hex char, so
+    # it is the keep-everything threshold
+    thresh = ("g" if fraction >= 1.0
+              else format(int(fraction * 16 ** 8), "08x"))
+    h = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"),
+                       F.lit(":" + salt))), 1, 8)
+    return (df.withColumn("sample_bucket", h)
+            .filter(F.col("sample_bucket") < thresh))

@@ -485,3 +485,33 @@ def test_funnel_windowed_matches_pure_model(spark, rows, win):
     got = [r.n_users for r in
            funnel(df, _STEPS, within_seconds=win * 60).collect()]
     assert got == model(rows, _STEPS, win * 60)
+
+
+def test_hash_sample_fraction_and_stability(spark):
+    from schema_inference_spark.operators.sessions import hash_sample
+    docs = spark.createDataFrame([(i, "t") for i in range(4000)],
+                                 "doc_id bigint, text string")
+    kept = {r.doc_id for r in
+            hash_sample(docs, 0.25, "doc_id").collect()}
+    # Binomial(4000, 0.25): generous 5-sigma band
+    assert 850 <= len(kept) <= 1150
+    # append stability: the same ids stay kept in a larger frame
+    more = spark.createDataFrame([(i, "t") for i in range(6000)],
+                                 "doc_id bigint, text string")
+    kept2 = {r.doc_id for r in
+             hash_sample(more, 0.25, "doc_id").collect()}
+    assert kept == {i for i in kept2 if i < 4000}
+    # fraction 0 and 1 are the empty and identity samples
+    assert hash_sample(docs, 0.0, "doc_id").count() == 0
+    assert hash_sample(docs, 1.0, "doc_id").count() == 4000
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        hash_sample(docs, 1.5, "doc_id")
+
+
+def test_hash_sample_plan_no_exchange(spark):
+    from schema_inference_spark.operators.sessions import hash_sample
+    docs = spark.createDataFrame([(1, "t")], "doc_id bigint, text string")
+    plan = hash_sample(docs, 0.5, "doc_id") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
