@@ -508,3 +508,26 @@ ORDER BY doc_id
 
 MIX_QUERIES["sample_fraction"] = q_sample_fraction
 MIX_ORACLES["sample_fraction"] = SQL_SAMPLE_FRACTION
+
+
+def q_mixture_sample_bucketed(spark, sf_dir):
+    """The bucketed scale-path twin of mixture_sample
+    (operators/curation.py token_budget_sample_bucketed): identical
+    outputs from per-(source, hash-bucket) windows + driver prefix-sum
+    offsets instead of one window per source — gated against the SAME
+    oracle SQL as mixture_sample, which is the identity claim."""
+    from .operators.curation import token_budget_sample_bucketed
+    docs = _t(spark, sf_dir, "documents")
+    budgets = (docs.select("source").distinct()
+               .withColumn("token_budget",
+                           (F.lit(300) + F.lit(50)
+                            * (F.length("source") % 4)).cast("bigint")))
+    return token_budget_sample_bucketed(docs, budgets)
+
+
+MIX_QUERIES["mixture_sample_bucketed"] = q_mixture_sample_bucketed
+# deliberately the SAME SQL as mixture_sample: the bucketed plan must
+# reproduce the windowed plan's rows exactly
+from .driver_queries_extras import SQL_MIXTURE_SAMPLE  # noqa: E402
+
+MIX_ORACLES["mixture_sample_bucketed"] = SQL_MIXTURE_SAMPLE

@@ -403,3 +403,64 @@ def split_leakage(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
     return (pairs.withColumn("split1", s1).withColumn("split2", s2)
             .filter(F.col("split1") != F.col("split2"))
             .orderBy(d1, d2))
+
+
+def token_budget_sample_bucketed(df: DataFrame, budgets: DataFrame,
+                                 id_col: str = "doc_id",
+                                 text_col: str = "text",
+                                 source_col: str = "source",
+                                 hex_chars: int = 1) -> DataFrame:
+    """The mega-source scale path ``token_budget_sample``'s docstring
+    promises, with IDENTICAL outputs (asserted row-for-row in tests):
+    rows bucket by the first ``hex_chars`` of their md5 order key (a
+    string-prefix bucket is order-aligned with the full-hash sort, so
+    bucket order == scan order), per-(source, bucket) token/row totals
+    collect to the driver (16^hex_chars rows per source), prefix-sum
+    there, and broadcast back as literal offset maps. Each row's global
+    inclusive cum_tokens / mix_rank = bucket offset + a WITHIN-BUCKET
+    window — every window partition is (source, bucket)-sized, 16x
+    (or 256x at hex_chars=2) smaller than the per-source window that
+    serializes a 10^7-doc source on one task; buckets lying entirely
+    past the budget cutoff are dropped BEFORE the window runs."""
+    t = F.col(text_col)
+    base = df.select(
+        F.col(id_col), F.col(source_col),
+        F.size(_tokens(t)).cast("bigint").alias("ws_tokens"),
+        F.md5(F.col(id_col).cast("string")).alias("_h"))
+    bkt = F.substring("_h", 1, hex_chars)
+    base = base.withColumn("_bkt", bkt)
+    stats = (base.groupBy(source_col, "_bkt")
+             .agg(F.sum("ws_tokens").alias("_t"),
+                  F.count(F.lit(1)).alias("_n"))
+             .collect())
+    per_source: dict = {}
+    for r in stats:
+        per_source.setdefault(r[source_col], []).append(
+            (r["_bkt"], int(r["_t"]), int(r["_n"])))
+    tok_off, rank_off = {}, {}
+    for src, lst in per_source.items():
+        t_acc = n_acc = 0
+        for b, tsum, n in sorted(lst):
+            tok_off[f"{src}:{b}"] = t_acc
+            rank_off[f"{src}:{b}"] = n_acc
+            t_acc += tsum
+            n_acc += n
+    mk_map = lambda d: F.create_map(  # noqa: E731
+        *[F.lit(x) for kv in sorted(d.items()) for x in kv])
+    key = F.concat(F.col(source_col), F.lit(":"), F.col("_bkt"))
+    from pyspark.sql import Window
+    w = Window.partitionBy(source_col, "_bkt").orderBy("_h", id_col)
+    joined = (base.join(F.broadcast(budgets), source_col)
+              .withColumn("_toff", mk_map(tok_off)[key])
+              .withColumn("_roff", mk_map(rank_off)[key])
+              # buckets entirely past the cutoff never reach the window
+              .filter(F.col("_toff") < F.col("token_budget")))
+    ranked = (joined
+              .withColumn("cum_tokens",
+                          F.col("_toff") + F.sum("ws_tokens").over(w))
+              .withColumn("mix_rank",
+                          F.col("_roff") + F.row_number().over(w)))
+    return (ranked.filter(F.col("cum_tokens") <= F.col("token_budget"))
+            .select(id_col, F.col(source_col).alias("source"),
+                    "ws_tokens", "cum_tokens", "mix_rank", "token_budget")
+            .orderBy("source", "mix_rank"))

@@ -515,3 +515,30 @@ def test_hash_sample_plan_no_exchange(spark):
     plan = hash_sample(docs, 0.5, "doc_id") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_token_budget_bucketed_identity(spark):
+    """The bucketed scale path returns EXACTLY the windowed operator's
+    rows — cum_tokens, mix_rank, everything — including when the budget
+    cuts inside a bucket."""
+    from schema_inference_spark.operators.curation import (
+        token_budget_sample,
+        token_budget_sample_bucketed,
+    )
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (1 + i % 7)), f"s{i % 3}")
+         for i in range(300)],
+        "doc_id bigint, text string, source string")
+    for budget in (7, 50, 10**6):   # cuts early, mid, and never
+        budgets = spark.createDataFrame(
+            [(f"s{j}", budget) for j in range(3)],
+            "source string, token_budget bigint")
+        a = [(r.doc_id, r.source, r.ws_tokens, r.cum_tokens, r.mix_rank,
+              r.token_budget) for r in
+             token_budget_sample(docs, budgets).collect()]
+        b = [(r.doc_id, r.source, r.ws_tokens, r.cum_tokens, r.mix_rank,
+              r.token_budget) for r in
+             token_budget_sample_bucketed(docs, budgets).collect()]
+        assert a == b, f"budget={budget}"
+        if budget == 10**6:
+            assert len(a) == 300   # never cuts: everything kept
