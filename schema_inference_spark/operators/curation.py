@@ -99,12 +99,10 @@ def token_budget_sample(df: DataFrame, budgets: DataFrame,
     token_budget).
 
     Scale: the running sum is a per-source window — fine up to sources
-    of ~10^7 docs; for a mega-source the window serializes on one task,
-    and the scale path (docstring contract, same outputs) is rank
-    bucketing: aggregate token sums per (source, hash-rank bucket),
-    prefix-sum the tiny bucket table on the driver, broadcast each
-    source's cutoff bucket back, and window ONLY inside the boundary
-    bucket. One extra narrow aggregate, no giant window partition."""
+    of ~10^7 docs; for a mega-source the window serializes on one task.
+    Use ``token_budget_sample_bucketed`` (below) there: identical
+    outputs (identity-tested), windows bounded by (source, hash-rank
+    bucket), no giant window partition."""
     t = F.col(text_col)
     base = df.select(
         F.col(id_col), F.col(source_col),
