@@ -531,3 +531,40 @@ MIX_QUERIES["mixture_sample_bucketed"] = q_mixture_sample_bucketed
 from .driver_queries_extras import SQL_MIXTURE_SAMPLE  # noqa: E402
 
 MIX_ORACLES["mixture_sample_bucketed"] = SQL_MIXTURE_SAMPLE
+
+
+# ---------------------------------------------------------------------------
+# Per-group cardinality (the per-source form of D8's distinct count)
+# ---------------------------------------------------------------------------
+
+def q_distinct_by_source(spark, sf_dir):
+    """Per-source content cardinality: distinct normalized-content
+    hashes vs document count, with the duplicate rate in basis points —
+    the per-group form of distinct_exact (two-level aggregate: the
+    partial on (source, hash) absorbs repeats map-side before the
+    count-distinct exchange)."""
+    from .operators.dedup import normalized
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.select("source",
+                        F.md5(normalized(F.col("text"))).alias("_h"))
+            .groupBy("source")
+            .agg(F.countDistinct("_h").cast("bigint").alias("n_distinct"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+            .withColumn("dup_bp", F.expr(
+                "(10000 * (n_docs - n_distinct)) div n_docs"))
+            .orderBy("source"))
+
+
+SQL_DISTINCT_BY_SOURCE = f"""
+SELECT source,
+       count(DISTINCT md5({_NORM})) AS n_distinct,
+       count(*) AS n_docs,
+       (10000 * (count(*) - count(DISTINCT md5({_NORM})))) // count(*)
+         AS dup_bp
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+MIX_QUERIES["distinct_by_source"] = q_distinct_by_source
+MIX_ORACLES["distinct_by_source"] = SQL_DISTINCT_BY_SOURCE
