@@ -649,6 +649,20 @@ ORDER BY user_id
 """
 
 
+def q_fk_orphans_bloom(spark, sf_dir):
+    """The bloom-hybrid twin of q_fk_orphans: same planted lagging dim,
+    same oracle (an IDENTITY gate — the hybrid is exact by construction,
+    and the shared SQL proves it end-to-end). The dim is scanned for the
+    bloom + semi-join filter but never shuffled; bloom-negative fact
+    keys (most of the planted orphans) never probe the dim at all."""
+    from .operators.checks import fk_orphans_bloom
+    fact = _t(spark, sf_dir, "events")
+    dim = (_t(spark, sf_dir, "customer")
+           .filter(F.col("c_custkey") % 13 != 0))
+    return (fk_orphans_bloom(fact, dim, "user_id", "c_custkey")
+            .orderBy("user_id"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -702,6 +716,7 @@ CORE_QUERIES: Dict[str, Callable] = {
     "unique_key": q_unique_key,
     "ref_vocab": q_ref_vocab,
     "fk_orphans": q_fk_orphans,
+    "fk_orphans_bloom": q_fk_orphans_bloom,
     "vocab_diff": q_vocab_diff,
     "ordering": q_ordering,
     "session_stats": q_session_stats,
@@ -727,6 +742,7 @@ CORE_ORACLES: Dict[str, str] = {
     "unique_key": SQL_UNIQUE_KEY,
     "ref_vocab": SQL_REF_VOCAB,
     "fk_orphans": SQL_FK_ORPHANS,
+    "fk_orphans_bloom": SQL_FK_ORPHANS,
     "vocab_diff": SQL_VOCAB_DIFF,
     "ordering": SQL_ORDERING,
     "session_stats": SQL_SESSION_STATS,
