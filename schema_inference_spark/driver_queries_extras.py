@@ -1386,7 +1386,82 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Zonemap data skipping — the D1 scan family's multi-file pruning path
+# ---------------------------------------------------------------------------
+
+ZM_FILES = 8  # snapshot seam width: 8 ts-range-clustered files
+
+
+def _zonemap_snapshot(spark, sf_dir: str) -> str:
+    """Per-(session, sf) seam: the events table rewritten as a
+    ts-range-clustered multi-file snapshot (``repartitionByRange`` —
+    the layout an Iceberg ts sort order yields), so footer zonemaps are
+    actually selective. Same ownership cache as the winnow seam."""
+    path = f"{_SEAM_NS}_zonemap.parquet"
+
+    def build(spark, sf_dir):
+        (_t(spark, sf_dir, "events")
+         .repartitionByRange(ZM_FILES, "ts")
+         .write.mode("overwrite").parquet(path))
+        return path
+
+    return _cached_export(spark, sf_dir, "zonemap_snapshot", build)
+
+
+def q_zonemap_scan(spark, sf_dir):
+    """Range probe (middle fifth of the ts span, integer-exact bounds)
+    over the clustered snapshot with FILE-level zonemap pruning, then a
+    per-type rollup. The oracle filters the ORIGINAL single-file events
+    table — an identity gate: pruning must change which files are
+    opened, never which rows survive. Bounds are derived from min/max
+    via integer micros arithmetic so both engines compute the same two
+    literals; the pruning decisions themselves are pinned in
+    tests/test_zonemap.py (2-3 of 8 files kept, result row-identical
+    to the full scan)."""
+    import datetime as dt
+    import glob
+
+    from .sources.zonemap import micros_to_naive_ts, zonemap_scan
+
+    snap = _zonemap_snapshot(spark, sf_dir)
+    files = sorted(glob.glob(f"{snap}/*.parquet"))
+    mn, mx = _t(spark, sf_dir, "events").agg(
+        F.min("ts"), F.max("ts")).first()
+    epoch = dt.datetime(1970, 1, 1)
+    us = dt.timedelta(microseconds=1)
+    mn_us, mx_us = (mn - epoch) // us, (mx - epoch) // us
+    lo = micros_to_naive_ts(mn_us + (mx_us - mn_us) * 2 // 5)
+    hi = micros_to_naive_ts(mn_us + (mx_us - mn_us) * 3 // 5)
+    scan = zonemap_scan(spark, files, "ts", lo, hi)
+    return (scan.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                 F.sum(F.length(F.coalesce(F.col("props"), F.lit(""))))
+                  .cast("bigint").alias("props_bytes"),
+                 F.min("event_id").cast("bigint").alias("min_event_id"),
+                 F.max("event_id").cast("bigint").alias("max_event_id"))
+            .orderBy("event_type"))
+
+
+SQL_ZONEMAP_SCAN = """
+WITH b AS (SELECT epoch_us(min(ts)) AS mn, epoch_us(max(ts)) AS mx
+           FROM events),
+f AS (SELECT e.* FROM events e, b
+      WHERE epoch_us(e.ts) >= mn + ((mx - mn) * 2) // 5
+        AND epoch_us(e.ts) <= mn + ((mx - mn) * 3) // 5)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(length(coalesce(props, ''))) AS BIGINT) AS props_bytes,
+       CAST(min(event_id) AS BIGINT) AS min_event_id,
+       CAST(max(event_id) AS BIGINT) AS max_event_id
+FROM f
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 EXTRA_QUERIES: Dict[str, Callable] = {
+    "zonemap_scan": q_zonemap_scan,
     "dedup_exact": q_dedup_exact,
     "dedup_segments": q_dedup_segments,
     "segment_dedup_incremental": q_segment_dedup_incremental,
@@ -1425,6 +1500,7 @@ EXTRA_QUERIES: Dict[str, Callable] = {
 }
 
 EXTRA_ORACLES: Dict[str, str] = {
+    "zonemap_scan": SQL_ZONEMAP_SCAN,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_segments": SQL_DEDUP_SEGMENTS,
     "segment_dedup_incremental": SQL_SEGMENT_DEDUP_INCREMENTAL,
