@@ -669,7 +669,67 @@ ORDER BY e.event_id, s.sess_idx
 """
 
 
+# ---------------------------------------------------------------------------
+# Constraint suggestion — profile-driven constraint inference
+# ---------------------------------------------------------------------------
+
+_SC_COLS = [("event_id", "int"), ("ts", "ts"), ("user_id", "int"),
+            ("event_type", "str"), ("props", "str")]
+_SC_VOCAB_CAP = 16
+
+
+def q_constraint_suggest(spark, sf_dir):
+    """suggest_constraints over the transcripts-shaped events table:
+    the engine must rediscover exactly the constraints the data
+    satisfies (event_id unique + not_null + range, event_type 5-value
+    vocab, ts range in epoch micros, ...). The oracle recomputes every
+    suggestion arm from first principles — exact counts, exact distinct
+    counts, integer/micros range strings, sorted vocab join."""
+    from .operators.constraints import suggest_constraints
+    return suggest_constraints(
+        _t(spark, sf_dir, "events"),
+        cols=[c for c, _ in _SC_COLS],
+        vocab_cap=_SC_VOCAB_CAP).orderBy("col_name", "kind", "detail")
+
+
+def _sc_oracle() -> str:
+    aggs = ["count(*) AS n"]
+    arms = []
+    for name, t in _SC_COLS:
+        aggs += [f"count({name}) AS nn_{name}",
+                 f"count(DISTINCT {name}) AS nd_{name}"]
+        if t == "int":
+            aggs += [f"min({name}) AS mn_{name}",
+                     f"max({name}) AS mx_{name}"]
+        elif t == "ts":
+            aggs += [f"epoch_us(min({name})) AS mn_{name}",
+                     f"epoch_us(max({name})) AS mx_{name}"]
+        arms.append(f"SELECT '{name}' AS col_name, 'not_null' AS kind, "
+                    f"'' AS detail FROM p WHERE n > 0 AND nn_{name} = n")
+        arms.append(f"SELECT '{name}', 'unique', '' FROM p "
+                    f"WHERE nn_{name} > 0 AND nd_{name} = nn_{name}")
+        if t in ("int", "ts"):
+            arms.append(
+                f"SELECT '{name}', 'range', CAST(mn_{name} AS VARCHAR) "
+                f"|| '..' || CAST(mx_{name} AS VARCHAR) FROM p "
+                f"WHERE nn_{name} > 0")
+        if t == "str":
+            arms.append(
+                f"SELECT '{name}', 'vocab', "
+                f"(SELECT string_agg(v, '|' ORDER BY v) FROM "
+                f"(SELECT DISTINCT {name} AS v FROM events "
+                f"WHERE {name} IS NOT NULL) t) FROM p "
+                f"WHERE nd_{name} BETWEEN 1 AND {_SC_VOCAB_CAP}")
+    return ("WITH p AS (SELECT " + ", ".join(aggs) + " FROM events) "
+            + " UNION ALL ".join(arms)
+            + " ORDER BY col_name, kind, detail")
+
+
+SQL_CONSTRAINT_SUGGEST = _sc_oracle()
+
+
 CONV_QUERIES: Dict[str, Callable] = {
+    "constraint_suggest": q_constraint_suggest,
     "asof_enrich": q_asof_enrich,
     "conv_assembly": q_conv_assembly,
     "turn_transitions": q_turn_transitions,
@@ -690,6 +750,7 @@ CONV_QUERIES: Dict[str, Callable] = {
 }
 
 CONV_ORACLES: Dict[str, str] = {
+    "constraint_suggest": SQL_CONSTRAINT_SUGGEST,
     "asof_enrich": SQL_ASOF_ENRICH,
     "conv_assembly": SQL_CONV_ASSEMBLY,
     "turn_transitions": SQL_TURN_TRANSITIONS,

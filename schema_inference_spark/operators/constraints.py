@@ -174,3 +174,84 @@ def rules_violations(df, snapshot_id: str, rules,
             raise ValueError(f"unknown rule kind: {kind!r}")
         out = v if out is None else out.unionByName(v)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Constraint SUGGESTION: infer declarable constraints from a profile
+# ---------------------------------------------------------------------------
+
+_INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
+_TS_TYPES = {"timestamp", "timestamp_ntz"}
+
+def _ts_us(v) -> int:
+    import datetime as dt
+    return (v - dt.datetime(1970, 1, 1)) // dt.timedelta(microseconds=1)
+
+
+def suggest_constraints(df: DataFrame, cols: Iterable[str] = None,
+                        vocab_cap: int = 16) -> DataFrame:
+    """The reference's inference philosophy lifted from TYPES to
+    CONSTRAINTS (the ``algo_w`` analog over values): profile the table
+    once and emit the constraints the data already satisfies, ready to
+    be declared as D10/D11/implication rules for future snapshots —
+
+    - ``not_null``   — column has zero NULLs (and the table is non-empty)
+    - ``unique``     — exact distinct count == non-null count (> 0)
+    - ``vocab``      — string column with 1..vocab_cap distinct values;
+                       detail = the sorted '|'-joined vocabulary
+    - ``range``      — integral column: detail = "min..max"; timestamp
+                       column: detail = "min_us..max_us" (epoch micros —
+                       integer-exact and engine-neutral; float columns
+                       get NO range suggestion: cross-engine float
+                       formatting is not a contract worth gating on)
+
+    Output: (col_name, kind, detail), sorted — |suggestions|-sized.
+
+    Scale shape: ONE aggregation pass computes every count / exact
+    distinct / min / max (Catalyst rewrites the multi-distinct via
+    Expand + two-phase hash aggregate: one shuffle carrying
+    |cols| x |rows| expanded rows with map-side partials — the price of
+    EXACT uniqueness evidence; swap countDistinct for
+    approx_count_distinct when profiling for exploration rather than
+    declaration). The profile row plus <= vocab_cap values per
+    qualifying string column are the only driver-side data — metadata-
+    sized at any corpus size. The suggestion DataFrame is built
+    driver-side (bounded by 4 x |cols| rows).
+    """
+    fields = [f for f in df.schema.fields
+              if cols is None or f.name in set(cols)]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for f in fields:
+        c = F.col(f.name)
+        aggs += [F.count(c).alias(f"nn_{f.name}"),
+                 F.countDistinct(c).alias(f"nd_{f.name}")]
+        t = f.dataType.simpleString()
+        if t in _INT_TYPES or t in _TS_TYPES:
+            aggs += [F.min(c).alias(f"mn_{f.name}"),
+                     F.max(c).alias(f"mx_{f.name}")]
+    prof = df.agg(*aggs).first()
+    n = prof["__n"]
+
+    rows = []
+    for f in fields:
+        name = f.name
+        t = f.dataType.simpleString()
+        nn, nd = prof[f"nn_{name}"], prof[f"nd_{name}"]
+        if n > 0 and nn == n:
+            rows.append((name, "not_null", ""))
+        if nn > 0 and nd == nn:
+            rows.append((name, "unique", ""))
+        if t == "string" and 1 <= nd <= vocab_cap:
+            vals = [r[0] for r in
+                    df.select(name).filter(F.col(name).isNotNull())
+                      .distinct().collect()]
+            rows.append((name, "vocab", "|".join(sorted(vals))))
+        if nn > 0 and t in _INT_TYPES:
+            rows.append((name, "range",
+                         f"{prof[f'mn_{name}']}..{prof[f'mx_{name}']}"))
+        if nn > 0 and t in _TS_TYPES:
+            rows.append((name, "range",
+                         f"{_ts_us(prof[f'mn_{name}'])}.."
+                         f"{_ts_us(prof[f'mx_{name}'])}"))
+    return df.sparkSession.createDataFrame(
+        sorted(rows), "col_name string, kind string, detail string")

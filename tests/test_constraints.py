@@ -324,3 +324,55 @@ def test_implication_zero_shuffle_plan(spark):
         df, "m = 0", "id < 50", ["id"])._jdf \
         .queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# suggest_constraints
+# ---------------------------------------------------------------------------
+
+def test_suggest_constraints_planted(spark):
+    """Planted table: id unique+not_null+range; grp a 2-value vocab with
+    one NULL (so no not_null); v has a dup (no unique) and nulls."""
+    from schema_inference_spark.operators.constraints import (
+        suggest_constraints,
+    )
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (3, "a", None), (4, None, 7)],
+        "id bigint, grp string, v bigint")
+    got = {(r.col_name, r.kind): r.detail
+           for r in suggest_constraints(df).collect()}
+    assert got == {
+        ("id", "not_null"): "",
+        ("id", "unique"): "",
+        ("id", "range"): "1..4",
+        ("grp", "vocab"): "a|b",
+        ("v", "range"): "7..10",
+    }
+
+
+def test_suggest_constraints_vocab_cap_and_empty(spark):
+    from schema_inference_spark.operators.constraints import (
+        suggest_constraints,
+    )
+    df = spark.createDataFrame([(str(i),) for i in range(5)], "s string")
+    # cap below the cardinality: no vocab suggestion (unique+not_null stay)
+    kinds = {r.kind for r in
+             suggest_constraints(df, vocab_cap=4).collect()}
+    assert kinds == {"not_null", "unique"}
+    # empty table: no suggestions at all (nothing is evidenced)
+    assert suggest_constraints(df.filter("false")).count() == 0
+
+
+def test_suggest_constraints_ts_range_is_epoch_micros(spark):
+    import datetime as dt
+
+    from schema_inference_spark.operators.constraints import (
+        suggest_constraints,
+    )
+    df = spark.createDataFrame(
+        [(dt.datetime(1970, 1, 1, 0, 0, 1),),
+         (dt.datetime(1970, 1, 1, 0, 0, 2, 500000),)],
+        "ts timestamp")
+    got = {(r.col_name, r.kind): r.detail
+           for r in suggest_constraints(df).collect()}
+    assert got[("ts", "range")] == "1000000..2500000"
