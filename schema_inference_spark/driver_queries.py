@@ -649,6 +649,49 @@ ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# D22/D15 semi-join form — TPC-H Q4 shape on the available columns
+# ---------------------------------------------------------------------------
+
+def q_order_priority(spark, sf_dir):
+    """Q4-shaped EXISTS: orders placed in [1996-01-01, 1996-04-01)
+    having at least one lineitem shipped more than 90 days after the
+    order date, counted per priority. Executed in the asymmetric
+    broadcast form — the date window prunes orders to a broadcastable
+    slice, lineitem joins against it WITHOUT shuffling (the 100-TB-fact
+    shape; a 3-month window too large to broadcast falls back to a
+    bucketed SortMergeJoin LeftSemi), and only the distinct hit keys
+    reach an exchange. The oracle states the EXISTS directly."""
+    o = (_t(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+                 & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz")))
+         .select("o_orderkey", "o_orderdate", "o_orderpriority"))
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    hits = (li.join(F.broadcast(o),
+                    (F.col("l_orderkey") == F.col("o_orderkey"))
+                    & (F.col("l_shipdate")
+                       > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")),
+                    "inner")
+            .select("o_orderkey", "o_orderpriority")
+            .distinct())
+    return (hits.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("late_orders"))
+            .orderBy("o_orderpriority"))
+
+
+SQL_ORDER_PRIORITY = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS late_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def q_fk_orphans_bloom(spark, sf_dir):
     """The bloom-hybrid twin of q_fk_orphans: same planted lagging dim,
     same oracle (an IDENTITY gate — the hybrid is exact by construction,
@@ -725,6 +768,7 @@ CORE_QUERIES: Dict[str, Callable] = {
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
     "top_orders": q_top_orders,
+    "order_priority": q_order_priority,
     "region_rollup": q_region_rollup,
     "rollup_revenue": q_rollup_revenue,
 }
@@ -751,6 +795,7 @@ CORE_ORACLES: Dict[str, str] = {
     "pricing_summary": SQL_PRICING_SUMMARY,
     "segment_revenue": SQL_SEGMENT_REVENUE,
     "top_orders": SQL_TOP_ORDERS,
+    "order_priority": SQL_ORDER_PRIORITY,
     "region_rollup": SQL_REGION_ROLLUP,
     "rollup_revenue": SQL_ROLLUP_REVENUE,
 }
