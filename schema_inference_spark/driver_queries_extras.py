@@ -1460,8 +1460,63 @@ ORDER BY event_type
 """
 
 
+RECON_MOD = 199  # planted loss: every 199th event vanishes in the copy
+
+
+def q_reconcile_buckets(spark, sf_dir):
+    """reconcile_checksum (operators/anomaly.py) across a storage
+    rewrite: left = the original events table, right = the ts-clustered
+    multi-file seam (same rows, completely different layout — the
+    compaction case) with every ``RECON_MOD``-th event planted-deleted.
+    Only the buckets touched by the deletions may surface, with exact
+    count + checksum deltas; the layout change itself must be invisible
+    (order-independent checksums). The oracle recomputes both sides'
+    bucket aggregates from the original table."""
+    from .operators.anomaly import reconcile_checksum
+
+    left = _t(spark, sf_dir, "events")
+    snap = _zonemap_snapshot(spark, sf_dir)
+    right = (spark.read.parquet(snap)
+             .filter(F.col("event_id") % RECON_MOD != 0))
+    return reconcile_checksum(
+        left, right, ["event_id", "user_id", "event_type", "props"])
+
+
+_RECON_H = """md5(concat_ws('|',
+    coalesce(CAST(event_id AS VARCHAR), chr(0)),
+    coalesce(CAST(user_id AS VARCHAR), chr(0)),
+    coalesce(event_type, chr(0)),
+    coalesce(props, chr(0))))"""
+
+SQL_RECONCILE_BUCKETS = f"""
+WITH lh AS (SELECT {_RECON_H} AS h FROM events),
+rh AS (SELECT {_RECON_H} AS h FROM events
+       WHERE event_id % {RECON_MOD} <> 0),
+l AS (SELECT CAST(concat('0x', substr(h, 1, 2)) AS INT) % 256 AS bucket,
+             CAST(count(*) AS BIGINT) AS n_left,
+             CAST(sum(CAST(concat('0x', substr(h, 3, 12)) AS BIGINT))
+                  AS DECIMAL(38,0)) AS sum_left
+      FROM lh GROUP BY 1),
+r AS (SELECT CAST(concat('0x', substr(h, 1, 2)) AS INT) % 256 AS bucket,
+             CAST(count(*) AS BIGINT) AS n_right,
+             CAST(sum(CAST(concat('0x', substr(h, 3, 12)) AS BIGINT))
+                  AS DECIMAL(38,0)) AS sum_right
+      FROM rh GROUP BY 1)
+SELECT bucket,
+       coalesce(n_left, 0) AS n_left,
+       coalesce(n_right, 0) AS n_right,
+       coalesce(sum_left, 0) AS sum_left,
+       coalesce(sum_right, 0) AS sum_right
+FROM l FULL OUTER JOIN r USING (bucket)
+WHERE n_left IS DISTINCT FROM n_right
+   OR sum_left IS DISTINCT FROM sum_right
+ORDER BY bucket
+"""
+
+
 EXTRA_QUERIES: Dict[str, Callable] = {
     "zonemap_scan": q_zonemap_scan,
+    "reconcile_buckets": q_reconcile_buckets,
     "dedup_exact": q_dedup_exact,
     "dedup_segments": q_dedup_segments,
     "segment_dedup_incremental": q_segment_dedup_incremental,
@@ -1501,6 +1556,7 @@ EXTRA_QUERIES: Dict[str, Callable] = {
 
 EXTRA_ORACLES: Dict[str, str] = {
     "zonemap_scan": SQL_ZONEMAP_SCAN,
+    "reconcile_buckets": SQL_RECONCILE_BUCKETS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_segments": SQL_DEDUP_SEGMENTS,
     "segment_dedup_incremental": SQL_SEGMENT_DEDUP_INCREMENTAL,

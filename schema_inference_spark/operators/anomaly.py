@@ -235,3 +235,58 @@ def snapshot_row_diff(old: DataFrame, new: DataFrame,
             .filter(F.col("status").isNotNull())
             .select(*keys, "status", "old_hash", "new_hash")
             .orderBy(*keys))
+
+
+def reconcile_checksum(left: DataFrame, right: DataFrame,
+                       cols: Sequence[str],
+                       n_buckets: int = 256) -> DataFrame:
+    """Aggregate-only copy/migration reconciliation: did a rewrite
+    (compaction, re-cluster, format migration, backfill) preserve the
+    table's CONTENT — without the keyed full-outer join
+    ``snapshot_row_diff`` pays?
+
+    Each side collapses to ``n_buckets`` rows of (bucket, n_rows,
+    checksum): bucket = first md5 byte of the row payload, checksum =
+    sum over the bucket of the next 12 md5 hex chars as an integer
+    (order-independent, so layout changes are invisible; a lost,
+    duplicated, or altered row shifts its bucket's count and/or sum).
+    The two 256-row frames full-outer join on bucket and only
+    disagreeing buckets survive — which buckets disagree localizes the
+    damage to 1/256 of the hash space for a row-level follow-up
+    (``snapshot_row_diff`` over just those buckets).
+
+    Scale shape: two scans, each folding into a 256-group hash
+    aggregate with map-side partials — nothing row-sized ever shuffles
+    (vs snapshot_row_diff's |rows| exchange). Collision honesty: a
+    per-bucket sum of 48-bit slices detects any single-row change with
+    certainty (count or sum must move) and k-row forgeries only by md5
+    collision arithmetic; it is a reconciliation audit, not a
+    cryptographic commitment. Float columns: cast to fixed-point
+    BEFORE hashing (same contract as ``row_hash_col``).
+    """
+    def side(df: DataFrame, alias: str) -> DataFrame:
+        h = row_hash_col(cols)
+        return (df.select(
+                    F.conv(F.substring(h, 1, 2), 16, 10)
+                     .cast("int").alias("bucket"),
+                    F.conv(F.substring(h, 3, 12), 16, 10)
+                     .cast("decimal(38,0)").alias("_slice"))
+                .withColumn("bucket", F.pmod("bucket", F.lit(n_buckets)))
+                .groupBy("bucket")
+                .agg(F.count(F.lit(1)).cast("bigint").alias(f"n_{alias}"),
+                     F.sum("_slice").cast("decimal(38,0)")
+                      .alias(f"sum_{alias}")))
+
+    j = side(left, "left").join(side(right, "right"), "bucket",
+                                "full_outer")
+    return (j.filter(
+                ~(F.col("n_left").eqNullSafe(F.col("n_right"))
+                  & F.col("sum_left").eqNullSafe(F.col("sum_right"))))
+            .select("bucket",
+                    F.coalesce("n_left", F.lit(0)).alias("n_left"),
+                    F.coalesce("n_right", F.lit(0)).alias("n_right"),
+                    F.coalesce(F.col("sum_left"),
+                               F.lit(0).cast("decimal(38,0)")).alias("sum_left"),
+                    F.coalesce(F.col("sum_right"),
+                               F.lit(0).cast("decimal(38,0)")).alias("sum_right"))
+            .orderBy("bucket"))

@@ -166,3 +166,45 @@ def test_anomaly_query_matches_oracle(spark, sf_dir, name):
     assert sorted(scols) == sorted(dcols)
     assert len(srows) == len(drows)
     assert normalize(srows, scols) == normalize(drows, dcols)
+
+
+# ---------------------------------------------------------------------------
+# reconcile_checksum
+# ---------------------------------------------------------------------------
+
+def test_reconcile_identical_content_different_layout(spark):
+    """Repartitioned/reordered copies are checksum-identical: the
+    operator must be blind to layout, order, and partition count."""
+    from schema_inference_spark.operators.anomaly import reconcile_checksum
+    left = spark.createDataFrame(
+        [(i, f"v{i % 7}") for i in range(500)], "id bigint, v string")
+    right = left.orderBy(F.desc("id")).repartition(13)
+    assert reconcile_checksum(left, right, ["id", "v"]).count() == 0
+
+
+def test_reconcile_detects_one_lost_and_one_altered_row(spark):
+    from schema_inference_spark.operators.anomaly import reconcile_checksum
+    left = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(300)], "id bigint, v string")
+    # right loses id=7 and alters id=11's payload
+    right = (left.filter("id <> 7")
+             .withColumn("v", F.when(F.col("id") == 11, F.lit("CORRUPT"))
+                         .otherwise(F.col("v"))))
+    bad = reconcile_checksum(left, right, ["id", "v"]).collect()
+    # deterministic md5 geometry: the lost row's bucket drops one; the
+    # altered row MOVES buckets (old bucket -1, new bucket +1) — three
+    # disagreeing buckets, net count delta exactly the one lost row
+    assert len(bad) == 3
+    assert sum(r.n_left - r.n_right for r in bad) == 1
+    assert all(r.n_left != r.n_right or r.sum_left != r.sum_right
+               for r in bad)
+
+
+def test_reconcile_empty_side_buckets_coalesce(spark):
+    from schema_inference_spark.operators.anomaly import reconcile_checksum
+    left = spark.createDataFrame([(1, "a")], "id bigint, v string")
+    right = left.filter("false")
+    rows = reconcile_checksum(left, right, ["id", "v"]).collect()
+    assert len(rows) == 1
+    assert rows[0].n_right == 0 and int(rows[0].sum_right) == 0
+    assert rows[0].n_left == 1 and int(rows[0].sum_left) > 0
