@@ -255,3 +255,64 @@ def suggest_constraints(df: DataFrame, cols: Iterable[str] = None,
                          f"{_ts_us(prof[f'mx_{name}'])}"))
     return df.sparkSession.createDataFrame(
         sorted(rows), "col_name string, kind string, detail string")
+
+
+def suggestions_to_rules(suggestions, schema=None) -> tuple:
+    """Close the inference loop: convert collected ``suggest_constraints``
+    rows into (rules, unique_cols) —
+
+    - ``rules``: declarative implication-rule dicts (the
+      ``rules_violations`` contract) for not_null / vocab / range:
+      zero-shuffle scan filters when enforced. Integer ranges compare
+      directly; timestamp ranges (epoch-micros details — resolved via
+      ``schema``, a pyspark StructType or {col: simpleString} mapping)
+      compare through ``unix_micros(CAST(col AS TIMESTAMP))``, the
+      repo-wide NTZ hop (exact under the UTC session convention every
+      oracle uses). Without a schema, range suggestions are assumed
+      integral.
+    - ``unique_cols``: column names whose uniqueness was evidenced —
+      uniqueness is a D10 aggregation check, not a row predicate, so
+      the caller feeds these to the pipeline's uniqueness opt-in
+      rather than to rules_violations.
+
+    The round-trip contract (tested): suggestions profiled from a
+    snapshot, declared as rules, enforce CLEANLY on that snapshot —
+    zero violations — and flag exactly the rows a later snapshot
+    corrupts. ``suggestions`` is the collected suggestion frame
+    (metadata-sized by construction).
+    """
+    types = {}
+    if schema is not None:
+        fields = getattr(schema, "fields", None)
+        types = ({f.name: f.dataType.simpleString() for f in fields}
+                 if fields is not None else dict(schema))
+    rules = []
+    unique_cols = []
+    for r in suggestions:
+        col, kind, detail = r["col_name"], r["kind"], r["detail"]
+        if kind == "not_null":
+            rules.append({"check_id": f"suggested_notnull_{col}",
+                          "kind": "implication", "when": "true",
+                          "then": f"{col} IS NOT NULL",
+                          "payload_cols": []})
+        elif kind == "unique":
+            unique_cols.append(col)
+        elif kind == "vocab":
+            vals = ", ".join(
+                "'" + v.replace("'", "''") + "'"
+                for v in detail.split("|"))
+            rules.append({"check_id": f"suggested_vocab_{col}",
+                          "kind": "implication", "when": "true",
+                          "then": f"{col} IN ({vals})",
+                          "payload_cols": [col]})
+        elif kind == "range":
+            lo, hi = detail.split("..")
+            if types.get(col) in _TS_TYPES:
+                expr = f"unix_micros(CAST({col} AS TIMESTAMP))"
+            else:
+                expr = col
+            rules.append({"check_id": f"suggested_range_{col}",
+                          "kind": "implication", "when": "true",
+                          "then": f"{expr} BETWEEN {lo} AND {hi}",
+                          "payload_cols": [col]})
+    return rules, unique_cols

@@ -376,3 +376,65 @@ def test_suggest_constraints_ts_range_is_epoch_micros(spark):
     got = {(r.col_name, r.kind): r.detail
            for r in suggest_constraints(df).collect()}
     assert got[("ts", "range")] == "1000000..2500000"
+
+
+def test_suggest_declare_enforce_roundtrip(spark):
+    """The closed inference loop: profile a clean snapshot, declare the
+    suggested constraints as rules, enforce — the clean snapshot passes
+    with ZERO violations (self-consistency), and a corrupted later
+    snapshot flags exactly the planted rows under the suggested
+    check_ids."""
+    from schema_inference_spark.operators.constraints import (
+        rules_violations,
+        suggest_constraints,
+        suggestions_to_rules,
+    )
+    clean = spark.createDataFrame(
+        [(0, f"c{i // 3}", i % 3, "user" if i % 2 else "agent")
+         for i in range(30)],
+        "bucket int, conv_id string, turn_idx bigint, role string")
+
+    sugg = suggest_constraints(clean, cols=["role", "turn_idx"]).collect()
+    rules, unique_cols = suggestions_to_rules(sugg, clean.schema)
+    assert {r["check_id"] for r in rules} == {
+        "suggested_notnull_role", "suggested_notnull_turn_idx",
+        "suggested_vocab_role", "suggested_range_turn_idx"}
+    assert unique_cols == []
+
+    # self-consistency: the snapshot that evidenced the rules passes them
+    assert rules_violations(clean, "snap0", rules).count() == 0
+
+    bad = clean.unionByName(spark.createDataFrame(
+        [(0, "c99", 999, "alien"),      # range + vocab
+         (0, "c99", 1, None)],          # not_null (vocab is tri-state NULL
+         "bucket int, conv_id string, turn_idx bigint, role string"))
+    v = rules_violations(bad, "snap1", rules)
+    got = {(r.check_id, r.turn_idx) for r in v.collect()}
+    assert got == {("suggested_range_turn_idx", 999),
+                   ("suggested_vocab_role", 999),
+                   ("suggested_notnull_role", 1)}
+
+
+def test_suggested_ts_range_rule_uses_micros_hop(spark):
+    import datetime as dt
+
+    from schema_inference_spark.operators.constraints import (
+        rules_violations,
+        suggest_constraints,
+        suggestions_to_rules,
+    )
+    clean = spark.createDataFrame(
+        [(0, "c0", i, dt.datetime(2024, 1, 1 + i)) for i in range(3)],
+        "bucket int, conv_id string, turn_idx bigint, ts timestamp")
+    sugg = suggest_constraints(clean, cols=["ts"]).collect()
+    rules, _ = suggestions_to_rules(sugg, clean.schema)
+    range_rule = [r for r in rules
+                  if r["check_id"] == "suggested_range_ts"][0]
+    assert "unix_micros" in range_rule["then"]
+    assert rules_violations(clean, "s", rules).count() == 0
+    late = clean.unionByName(spark.createDataFrame(
+        [(0, "c1", 9, dt.datetime(2025, 6, 1))],
+        "bucket int, conv_id string, turn_idx bigint, ts timestamp"))
+    v = rules_violations(late, "s", rules)
+    assert [(r.check_id, r.turn_idx) for r in v.collect()] \
+        == [("suggested_range_ts", 9)]
