@@ -350,8 +350,13 @@ def fk_orphans_bloom(fact: DataFrame, dim: DataFrame, fact_key: str,
     anti join; distinct-key-sized). Envelope: the broadcast candidate /
     matched sets are |distinct fact keys ∩ bloom|-sized — when the
     matched-key set itself exceeds driver memory (10^9 live users),
-    fall back to ``fk_orphans``' shuffle form; this operator is the
-    fast path for audit-shaped orphan checks, not a replacement.
+    fall back to ``fk_orphans``' shuffle form; this operator targets
+    the cluster regime where the avoided exchange is a NETWORK shuffle
+    of the fact side, not a replacement. Measured counter-example
+    (BENCH/stress_storage_ops.py, 19.1M turns, local[32] on tmpfs):
+    the shuffle path wins 2x (20.7s vs 42.2s) because a tmpfs-local
+    exchange is nearly free while the bloom pays two Python mapInArrow
+    probe passes — on local[*] keep ``fk_orphans``.
     NULL fact keys: deterministic bloom positions; if bloom-positive
     they survive to step 4, where SQL equality never matches them —
     either way they surface as an orphan group, same as ``fk_orphans``.
