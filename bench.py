@@ -37,13 +37,24 @@ def materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def bench_queries(spark) -> dict:
+def bench_queries(spark, probe=None) -> tuple:
+    """probe: optional zero-arg GB/s sampler, fired every 10 queries.
+    The host's co-tenant bursts are SHORTER than the suite (a 0.63 GB/s
+    burst once hit mid-suite, invisible to the pre/post probes, and
+    inflated an alphabetical stretch 8-22x) — mid-suite samples let a
+    reader attribute per-query outliers to the window they ran in."""
     out = {}
-    for name, fn in sorted(ALL_QUERIES.items()):
+    mid = []
+    probe_sec = 0.0
+    for i, (name, fn) in enumerate(sorted(ALL_QUERIES.items())):
+        if probe is not None and i % 10 == 0:
+            p0 = time.monotonic()
+            mid.append({"at": name, "gbps": probe()})
+            probe_sec += time.monotonic() - p0
         t0 = time.monotonic()
         materialize(fn(spark, SF_DIR))
         out[name] = round(time.monotonic() - t0, 3)
-    return out
+    return out, mid, probe_sec
 
 
 def bench_validation(spark) -> dict:
@@ -171,8 +182,10 @@ def main() -> None:
     setup["simhash_fp_sec"] = round(time.monotonic() - t0, 3)
 
     t0 = time.monotonic()
-    queries = bench_queries(spark)
-    total = round(time.monotonic() - t0, 3)
+    queries, bw_mid, probe_sec = bench_queries(spark, probe=bandwidth_gbps)
+    # suite_sec excludes the in-suite probe cost (comparable to the
+    # pre-mid-probe rounds' numbers)
+    total = round(time.monotonic() - t0 - probe_sec, 3)
     val = bench_validation(spark)
     spark.stop()
 
@@ -187,6 +200,9 @@ def main() -> None:
         # window context (see bandwidth_gbps): healthy >= 8 GB/s
         "bw_gbps_pre": bw_pre,
         "bw_gbps_post": bandwidth_gbps(),
+        # every-10-queries samples: bursts shorter than the suite land
+        # here even when pre/post look healthy
+        "bw_gbps_mid": bw_mid,
     }))
 
 
