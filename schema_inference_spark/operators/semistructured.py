@@ -100,8 +100,14 @@ def json_schema_drift(df: DataFrame, json_col: str, ts_col: str) -> DataFrame:
 
     This is the reference's schema-inference unify step lifted across
     TIME: two inferred payload schemas, diffed by key. Counts are exact
-    integers; the midpoint is exact; both halves aggregate map-side to
-    the (tiny) key vocabulary before the single full-outer join."""
+    integers; the midpoint is exact; both halves are computed in ONE
+    conditional aggregation over the exploded keys (map-side partials
+    collapse to the tiny key vocabulary), so the corpus is JSON-parsed
+    twice total — once for the midpoint scalar, once for the census —
+    instead of once per half per subtree (the earlier full-outer-join
+    form re-parsed it 4x and shuffled twice; absent-in-a-half keys now
+    carry count 0 where the join carried NULL, which the verdict
+    already coalesced to 0)."""
     parsed = F.from_json(F.col(json_col), "map<string,string>")
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     base = (df.select(parsed.alias("_m"), us.alias("_us"))
@@ -113,22 +119,17 @@ def json_schema_drift(df: DataFrame, json_col: str, ts_col: str) -> DataFrame:
                   (F.col("_us") < F.col("_mid")).alias("_early")))
     is_int = F.col("_val").rlike("^-?[0-9]+$").cast("int")
 
-    def half(flag):
-        return (kv.filter(F.col("_early") == flag)
-                .groupBy("key")
-                .agg(F.count(F.lit(1)).alias("n"),
-                     F.sum(is_int).alias("n_int")))
-
-    e, l = half(True), half(False)
-    ej = e.select(F.col("key"), F.col("n").alias("n_early"),
-                  F.col("n_int").alias("n_int_early"))
-    lj = l.select(F.col("key"), F.col("n").alias("n_late"),
-                  F.col("n_int").alias("n_int_late"))
-    j = ej.join(lj, "key", "full_outer")
-    n_e = F.coalesce(F.col("n_early"), F.lit(0))
-    n_l = F.coalesce(F.col("n_late"), F.lit(0))
-    all_int_e = F.col("n_int_early") == F.col("n_early")
-    all_int_l = F.col("n_int_late") == F.col("n_late")
+    one = F.lit(1)
+    j = kv.groupBy("key").agg(
+        F.sum(F.when(F.col("_early"), one).otherwise(0)).alias("n_early"),
+        F.sum(F.when(F.col("_early"), is_int).otherwise(0))
+         .alias("n_int_early"),
+        F.sum(F.when(~F.col("_early"), one).otherwise(0)).alias("n_late"),
+        F.sum(F.when(~F.col("_early"), is_int).otherwise(0))
+         .alias("n_int_late"))
+    n_e, n_l = F.col("n_early"), F.col("n_late")
+    all_int_e = F.col("n_int_early") == n_e
+    all_int_l = F.col("n_int_late") == n_l
     verdict = (F.when(n_e == 0, "added")
                .when(n_l == 0, "dropped")
                .when(all_int_e != all_int_l, "type_shift")
@@ -136,9 +137,7 @@ def json_schema_drift(df: DataFrame, json_col: str, ts_col: str) -> DataFrame:
     return j.select(
         "key",
         n_e.cast("bigint").alias("n_early"),
-        F.coalesce(F.col("n_int_early"), F.lit(0)).cast("bigint")
-         .alias("n_int_early"),
+        F.col("n_int_early").cast("bigint").alias("n_int_early"),
         n_l.cast("bigint").alias("n_late"),
-        F.coalesce(F.col("n_int_late"), F.lit(0)).cast("bigint")
-         .alias("n_int_late"),
+        F.col("n_int_late").cast("bigint").alias("n_int_late"),
         verdict.alias("verdict"))
