@@ -68,6 +68,8 @@ def main() -> int:
         with open(args.rules) as f:
             rules = json.load(f)
 
+    import time
+    t0 = time.monotonic()
     result = validate(spark, catalog, args.snapshot,
                       baseline_sketches=baseline_sketches,
                       rules=rules,
@@ -90,11 +92,22 @@ def main() -> int:
     verdicts = [v for v in result.verdicts.collect()
                 if v.partition_id in validated or v.partition_id == -1]
     n_fail = sum(1 for v in verdicts if v.verdict == "fail")
+    # engine wall: validate() through the last action (violation sink +
+    # verdict collect), excluding JVM/session startup — the number a
+    # two-cluster-size throughput comparison should use (startup is O(1)
+    # per job, see BENCH/AMORTIZATION.md)
+    wall = time.monotonic() - t0
+    n_turns = sum(p.get("n_rows", 0)
+                  for p in catalog.manifest(args.snapshot)["partitions"]
+                  if p["partition_id"] in validated)
     print(json.dumps({
         "snapshot": args.snapshot,
         "partitions_validated": len(validated),
         "partitions_failed": n_fail,
         "already_complete": not validated,
+        "wall_sec_validate": round(wall, 2),
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / wall, 1) if wall > 0 else None,
         "schema": {k: v for k, v in result.table_schema.items()},
     }, default=str))
     spark.stop()
