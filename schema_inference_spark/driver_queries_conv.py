@@ -769,3 +769,148 @@ CONV_ORACLES: Dict[str, str] = {
     "json_schema_drift": SQL_JSON_SCHEMA_DRIFT,
     "interval_join": SQL_INTERVAL_JOIN,
 }
+
+
+# ---------------------------------------------------------------------------
+# Per-turn replica equality + whole-conversation exact dedup
+# ---------------------------------------------------------------------------
+#
+# turn_text_diff instantiates the north rule's own per-row invariant —
+# "per-turn text equality under stable turn ordering" — as a first-class
+# violation-row check between two copies of the transcripts table. The
+# second copy is derived deterministically from pristine parquet in the
+# SHARED dialect (both engines compute the identical corrupted replica):
+# turn_idx is the stable (ts, event_id) rank, THEN the left copy loses
+# every 181st event (those turns appear in right only -> missing_left),
+# the right copy loses every 173rd (-> missing_right) and corrupts every
+# 131st's text (-> text_mismatch). Key stability under row loss is the
+# point: a replica that lost rows still addresses surviving turns by the
+# original (conv, turn_idx).
+
+def q_turn_text_diff(spark, sf_dir):
+    """Row-level per-turn text-equality diff between two table copies
+    (operators/checks.turn_text_diff) — the localization complement of
+    the aggregate-only reconcile_buckets: one violation row per turn
+    where the copies disagree, exchange carries digests only."""
+    from pyspark.sql import Window as W
+
+    from .operators.checks import turn_text_diff
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("event_id", "user_id", "props",
+                    (F.row_number().over(w) - 1).alias("turn_idx"))
+    left = (seq.filter("event_id % 181 != 0")
+            .select("user_id", "turn_idx", F.col("props").alias("text")))
+    right = (seq.filter("event_id % 173 != 0")
+             .select("user_id", "turn_idx",
+                     F.when(F.col("event_id") % 131 == 0,
+                            F.concat(F.col("props"),
+                                     F.lit(" [corrupted]")))
+                      .otherwise(F.col("props")).alias("text")))
+    return (turn_text_diff(left, right, keys=["user_id", "turn_idx"])
+            .orderBy("user_id", "turn_idx"))
+
+
+SQL_TURN_TEXT_DIFF = """
+WITH seq AS (
+  SELECT event_id, user_id, props,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) - 1 AS turn_idx
+  FROM events),
+l AS (SELECT user_id, turn_idx, md5(props) AS left_md5,
+             props IS NULL AS lnull, 1 AS _l
+      FROM seq WHERE event_id % 181 <> 0),
+r AS (SELECT user_id, turn_idx,
+             md5(CASE WHEN event_id % 131 = 0 THEN props || ' [corrupted]'
+                      ELSE props END) AS right_md5,
+             (CASE WHEN event_id % 131 = 0 THEN props || ' [corrupted]'
+                   ELSE props END) IS NULL AS rnull, 1 AS _r
+      FROM seq WHERE event_id % 173 <> 0)
+SELECT coalesce(l.user_id, r.user_id) AS user_id,
+       coalesce(l.turn_idx, r.turn_idx) AS turn_idx,
+       CASE WHEN _r IS NULL THEN 'missing_right'
+            WHEN _l IS NULL THEN 'missing_left'
+            ELSE 'text_mismatch' END AS status,
+       left_md5, right_md5
+FROM l FULL OUTER JOIN r
+  ON l.user_id = r.user_id AND l.turn_idx = r.turn_idx
+WHERE _r IS NULL OR _l IS NULL
+   OR (lnull <> rnull) OR (NOT lnull AND left_md5 <> right_md5)
+ORDER BY user_id, turn_idx
+"""
+
+
+# whole-conversation exact dedup: planted byte-identical transcripts in
+# the shared dialect (the synthetic corpus has no natural conv-level
+# dups). Every user with user_id % 17 = 3 has their transcript REPLACED
+# by a rank-indexed template parameterized only by user_id % 2, capped
+# at the first 40 turns — so all planted users of one parity with >= 40
+# turns are byte-identical whole conversations (shorter planted convs
+# group by their exact length; deterministic either way). Non-planted
+# turn text is event_type:props, so non-planted convs never collide.
+DUP_CONV_MOD, DUP_CONV_RES, DUP_CONV_CAP = 17, 3, 40
+
+
+def q_conv_dup_exact(spark, sf_dir):
+    """Whole-conversation exact dedup
+    (operators/conversations.conv_dup_groups): conversations whose full
+    ordered turn-content sequences are byte-identical, one row per dup
+    group with the canonical id — the transcript-level analog of
+    dedup_exact."""
+    from pyspark.sql import Window as W
+
+    from .operators.conversations import conv_dup_groups
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    planted = (F.col("user_id") % DUP_CONV_MOD == DUP_CONV_RES)
+    base = ev.withColumn("rn", F.row_number().over(w))
+    corpus = (base.filter(~(planted & (F.col("rn") > DUP_CONV_CAP)))
+              .withColumn(
+                  "turn_text",
+                  F.when(planted,
+                         F.concat(F.lit("tpl "),
+                                  (F.col("user_id") % 2).cast("string"),
+                                  F.lit(" "), F.col("rn").cast("string")))
+                   .otherwise(F.concat(F.col("event_type"), F.lit(":"),
+                                       F.coalesce(F.col("props"),
+                                                  F.lit(""))))))
+    return (conv_dup_groups(corpus, key_col="user_id", ts_col="ts",
+                            text_col="turn_text", tiebreak_col="event_id")
+            .orderBy("conv_sig"))
+
+
+SQL_CONV_DUP_EXACT = f"""
+WITH rnk AS (
+  SELECT user_id, event_id, ts, event_type, props,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+corpus AS (
+  SELECT user_id, rn,
+         CASE WHEN user_id % {DUP_CONV_MOD} = {DUP_CONV_RES}
+              THEN 'tpl ' || CAST(user_id % 2 AS VARCHAR)
+                   || ' ' || CAST(rn AS VARCHAR)
+              ELSE event_type || ':' || coalesce(props, '') END AS turn_text
+  FROM rnk
+  WHERE NOT (user_id % {DUP_CONV_MOD} = {DUP_CONV_RES}
+             AND rn > {DUP_CONV_CAP})),
+sigs AS (
+  SELECT user_id, count(*) AS n,
+         md5(string_agg(turn_text, chr(31) ORDER BY rn)) AS conv_sig
+  FROM corpus GROUP BY user_id)
+SELECT conv_sig, count(*) AS n_convs, min(n) AS n_turns,
+       min(user_id) AS canonical_id,
+       string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY user_id) AS members
+FROM sigs GROUP BY conv_sig HAVING count(*) > 1
+ORDER BY conv_sig
+"""
+
+
+CONV_QUERIES.update({
+    "turn_text_diff": q_turn_text_diff,
+    "conv_dup_exact": q_conv_dup_exact,
+})
+CONV_ORACLES.update({
+    "turn_text_diff": SQL_TURN_TEXT_DIFF,
+    "conv_dup_exact": SQL_CONV_DUP_EXACT,
+})

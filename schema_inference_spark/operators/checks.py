@@ -832,3 +832,49 @@ def violations_diff(cur: DataFrame, prev: DataFrame,
         F.when(F.col("_p").isNull(), F.lit("new"))
          .when(F.col("_c").isNull(), F.lit("resolved"))
          .otherwise(F.lit("persisting")).alias("status"))
+
+
+def turn_text_diff(left: DataFrame, right: DataFrame,
+                   keys: List[str], text_col: str = "text") -> DataFrame:
+    """Per-turn text-equality check between two copies of a transcripts
+    table — the north rule's per-row invariant ("per-turn text equality
+    under stable turn ordering") materialized as violation rows rather
+    than a boolean. One row per key where the invariant FAILS, with
+    ``status`` in {'missing_right', 'missing_left', 'text_mismatch'}
+    and each side's text digest for triage.
+
+    This is the row-level complement of ``anomaly.reconcile_checksum``:
+    the checksum reconciliation detects that two copies diverged using
+    a 256-bucket aggregate exchange; this operator localizes the
+    divergence to the exact (conv_id, turn_idx) turns once a bucket
+    mismatches. Run the aggregate first at 100 TB; run this on the
+    (partition-pruned) mismatching slice.
+
+    Scale shape: each side is reduced to (keys, md5, is_null) BEFORE
+    the join, so the full-outer exchange carries 16-byte digests and a
+    boolean per turn — never the text. Both sides hash-partition on the
+    same keys; with both copies bucketed by conv_id the join is
+    shuffle-free. NULL text on both sides is EQUAL (the invariant is
+    byte equality of the value including its absence); NULL vs non-NULL
+    is a mismatch. Keys are assumed unique per side (run the D10
+    uniqueness check first — duplicate keys would produce join
+    multiplicity, not wrong verdicts)."""
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            *keys,
+            F.md5(F.col(text_col)).alias(f"{tag}_md5"),
+            F.col(text_col).isNull().alias(f"_{tag}_null"),
+            F.lit(1).alias(f"_{tag}"))
+
+    j = side(left, "left").join(side(right, "right"),
+                                on=list(keys), how="full_outer")
+    status = (
+        F.when(F.col("_right").isNull(), F.lit("missing_right"))
+         .when(F.col("_left").isNull(), F.lit("missing_left"))
+         .when((F.col("_left_null") != F.col("_right_null"))
+               | (~F.col("_left_null")
+                  & (F.col("left_md5") != F.col("right_md5"))),
+               F.lit("text_mismatch")))
+    return (j.withColumn("status", status)
+             .filter(F.col("status").isNotNull())
+             .select(*keys, "status", "left_md5", "right_md5"))

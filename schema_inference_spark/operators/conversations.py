@@ -367,3 +367,47 @@ def conv_completeness(df: DataFrame, conv_col: str = "conv_id",
         head_missing.cast("bigint").alias("head_missing"),
         n_missing.cast("bigint").alias("n_missing"),
         verdict.alias("verdict"))
+
+
+def conv_dup_groups(df: DataFrame, key_col: str, ts_col: str,
+                    text_col: str, tiebreak_col: str,
+                    sep: str = "\x1f", null_marker: str = "\x00") -> DataFrame:
+    """Whole-conversation EXACT dedup: group conversations whose full
+    ordered turn-content sequences are byte-identical — the transcript
+    analog of document-level ``dedup.exact_dup_groups`` ("the same
+    conversation ingested twice under two conv_ids"). One row per
+    duplicate group: ``conv_sig`` (md5 of the ordered fold), ``n_convs``,
+    ``n_turns``, the canonical (min) key and the sorted member list.
+
+    Scale shape: the ordered per-conversation fold is the same bounded
+    ``collect_list`` + ``array_sort`` mechanism assemble_conversations
+    uses (per-group state = one conversation, never corpus-sized), but
+    it is reduced to a single 32-char digest BEFORE the second shuffle —
+    the group-by-signature exchange carries (digest, key, count) per
+    conversation, not transcripts. Members lists are duplicate-group
+    sized; cap with the same slice guidance as conv_prefix_groups if a
+    corpus can contain thousand-way boilerplate conversations.
+
+    NULL turn text folds as ``null_marker`` (array_join would otherwise
+    silently DROP the element, making [a, NULL, b] collide with [a, b]);
+    ``sep`` is an ASCII unit separator by default — a text that itself
+    contains the separator can alias a turn boundary, so pass a longer
+    separator for corpora where \\x1f can occur in payload."""
+    turn = F.struct(
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+        F.col(tiebreak_col).alias("tb"),
+        F.col(text_col).alias("v"))
+    sig = F.md5(F.array_join(
+        F.transform(F.array_sort(F.collect_list(turn)), lambda x: x["v"]),
+        sep, null_marker))
+    per_conv = (df.groupBy(F.col(key_col).alias("_k"))
+                .agg(sig.alias("conv_sig"),
+                     F.count(F.lit(1)).alias("_n")))
+    return (per_conv.groupBy("conv_sig")
+            .agg(F.count(F.lit(1)).alias("n_convs"),
+                 F.min("_n").alias("n_turns"),
+                 F.min("_k").alias("canonical_id"),
+                 F.concat_ws(",", F.transform(
+                     F.array_sort(F.collect_list("_k")),
+                     lambda x: x.cast("string"))).alias("members"))
+            .filter(F.col("n_convs") > 1))

@@ -330,3 +330,116 @@ def test_interval_join_left_keeps_misses(spark, windows):
     assert by_pid["p_miss"] == {None}      # kept, null interval payload
     miss = [r for r in out if r.pid == "p_miss"][0]
     assert miss.interval_start_us is None
+
+
+# ---------------------------------------------------------------------------
+# turn_text_diff: the per-turn replica-equality invariant as violation rows
+# ---------------------------------------------------------------------------
+
+def test_turn_text_diff_statuses_and_null_semantics(spark):
+    from schema_inference_spark.operators.checks import turn_text_diff
+    left = spark.createDataFrame(
+        [(1, 0, "hello"),       # equal -> excluded
+         (1, 1, "same-null"),   # mismatch: text vs NULL on right
+         (1, 2, None),          # NULL == NULL -> excluded
+         (1, 3, "dropped"),     # missing_right
+         (2, 0, "a")],          # content mismatch
+        "conv_id int, turn_idx int, text string")
+    right = spark.createDataFrame(
+        [(1, 0, "hello"),
+         (1, 1, None),
+         (1, 2, None),
+         (2, 0, "b"),
+         (3, 0, "right-only")],  # missing_left
+        "conv_id int, turn_idx int, text string")
+    got = {(r["conv_id"], r["turn_idx"]): r["status"]
+           for r in turn_text_diff(left, right,
+                                   keys=["conv_id", "turn_idx"]).collect()}
+    assert got == {(1, 1): "text_mismatch",
+                   (1, 3): "missing_right",
+                   (2, 0): "text_mismatch",
+                   (3, 0): "missing_left"}
+
+
+def test_turn_text_diff_exchange_carries_digests_not_text(spark):
+    """The full-outer join's inputs must project the md5 digest, not the
+    text column — at 100 TB the exchange is the cost; assert the join
+    sides' output attributes exclude the raw text."""
+    from schema_inference_spark.operators.checks import turn_text_diff
+    df = spark.createDataFrame([(1, 0, "x" * 100)],
+                               "conv_id int, turn_idx int, text string")
+    plan = turn_text_diff(df, df, keys=["conv_id", "turn_idx"]) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    # the Project below each join side keeps md5(text), never text alone:
+    # no plan node outputs the bare text attribute above the scan
+    import re
+    joins = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert joins, plan
+    for ln in joins:
+        assert "text#" not in ln, ln
+
+
+# ---------------------------------------------------------------------------
+# conv_dup_groups: whole-conversation exact dedup
+# ---------------------------------------------------------------------------
+
+def _conv_rows():
+    t0 = _ts("2026-01-01T00:00:00")
+    rows = []
+    # convs 1 and 2: byte-identical two-turn transcripts (dup group)
+    for k in (1, 2):
+        rows += [(k, t0, 1, "hi"), (k, _ts("2026-01-01T00:00:05"), 2, "yo")]
+    # conv 3: same turns, different ORDER of content -> distinct
+    rows += [(3, t0, 1, "yo"), (3, _ts("2026-01-01T00:00:05"), 2, "hi")]
+    # convs 4 and 5: [a, NULL, b] vs [a, b] must NOT collide
+    rows += [(4, t0, 1, "a"), (4, _ts("2026-01-01T00:00:05"), 2, None),
+             (4, _ts("2026-01-01T00:00:10"), 3, "b"),
+             (5, t0, 1, "a"), (5, _ts("2026-01-01T00:00:05"), 2, "b")]
+    return rows
+
+
+def test_conv_dup_groups_exact_and_null_fold(spark):
+    from schema_inference_spark.operators.conversations import (
+        conv_dup_groups,
+    )
+    df = spark.createDataFrame(
+        _conv_rows(), "k int, ts timestamp, tb int, txt string")
+    out = conv_dup_groups(df, key_col="k", ts_col="ts",
+                          text_col="txt", tiebreak_col="tb").collect()
+    assert len(out) == 1
+    (g,) = out
+    assert (g["n_convs"], g["n_turns"], g["canonical_id"],
+            g["members"]) == (2, 2, 1, "1,2")
+
+
+def test_conv_dup_groups_ordering_is_ts_then_tiebreak(spark):
+    """Same content multiset, different (ts, tiebreak) order -> the fold
+    must order by time (then tiebreak), not by insertion order."""
+    from schema_inference_spark.operators.conversations import (
+        conv_dup_groups,
+    )
+    t0, t1 = _ts("2026-01-01T00:00:00"), _ts("2026-01-01T00:00:05")
+    df = spark.createDataFrame(
+        # conv 1 rows arrive reversed; conv 2 in order — identical logical
+        # transcripts "x" then "y"
+        [(1, t1, 2, "y"), (1, t0, 1, "x"),
+         (2, t0, 1, "x"), (2, t1, 2, "y"),
+         # conv 3: same multiset {x, y} but y FIRST in time -> distinct
+         (3, t0, 1, "y"), (3, t1, 2, "x")],
+        "k int, ts timestamp, tb int, txt string")
+    out = conv_dup_groups(df, key_col="k", ts_col="ts",
+                          text_col="txt", tiebreak_col="tb").collect()
+    assert len(out) == 1 and out[0]["members"] == "1,2"
+
+
+def test_new_conv_queries_match_oracles(spark, sf_dir):
+    """Driver-gate parity for the two new queries at the test sf."""
+    con = duck_conn(sf_dir)
+    for name in ("turn_text_diff", "conv_dup_exact"):
+        sdf = CONV_QUERIES[name](spark, sf_dir)
+        srows, scols = [tuple(r) for r in sdf.collect()], sdf.columns
+        res = con.execute(CONV_ORACLES[name])
+        orows = [tuple(r) for r in res.fetchall()]
+        ocols = [d[0] for d in res.description]
+        assert sorted(scols) == sorted(ocols), name
+        assert normalize(srows, scols) == normalize(orows, ocols), name
