@@ -914,3 +914,118 @@ CONV_ORACLES.update({
     "turn_text_diff": SQL_TURN_TEXT_DIFF,
     "conv_dup_exact": SQL_CONV_DUP_EXACT,
 })
+
+
+# ---------------------------------------------------------------------------
+# Conversation-level NEAR-dup (MinHash+LSH over assembled transcripts)
+# ---------------------------------------------------------------------------
+#
+# The dedup_minhash_lsh composition lifted from documents to
+# conversations: each conversation folds to ONE text (ordered turn
+# contents joined by spaces), then the document near-dup machinery —
+# shingle, MinHash, banded LSH, exact-Jaccard verify — applies
+# unchanged. Planting: users with user_id % 13 = 5 have every turn's
+# content replaced by a rank-indexed template ('tpl<rn % 50>'), so all
+# planted conversations share the same cycling token stream and differ
+# only by their natural lengths — high-but-not-1 Jaccard pairs, the
+# near-dup shape (re-rollouts of one seed with divergent tails).
+# Two-stage gated check like dedup_minhash_lsh: the banded candidates
+# export to a parquet seam; BOTH engines run assembly + shingling +
+# exact Jaccard >= threshold from pristine parquet and the seam.
+NEAR_CONV_MOD, NEAR_CONV_RES = 13, 5
+
+_CONV_SHINGLED_CACHE: Dict[tuple, object] = {}
+
+
+def _assembled_convs(spark, sf_dir):
+    """One assembled-transcript frame (doc_id, text) per (session, sf),
+    shingled once and persisted — shared by the candidate and verify
+    stages exactly like driver_queries_extras._shingled_docs."""
+    from .operators import dedup as D
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _CONV_SHINGLED_CACHE.get(key)
+    if df is None:
+        from pyspark.sql import Window as W
+        ev = _t(spark, sf_dir, "events")
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        planted = (F.col("user_id") % NEAR_CONV_MOD == NEAR_CONV_RES)
+        turns = (ev.withColumn("rn", F.row_number().over(w))
+                 .withColumn(
+                     "turn_text",
+                     F.when(planted,
+                            F.concat(F.lit("tpl"),
+                                     (F.col("rn") % 50).cast("string")))
+                      .otherwise(F.concat(F.col("event_type"), F.lit(":"),
+                                          F.coalesce(F.col("props"),
+                                                     F.lit(""))))))
+        assembled = (turns.groupBy(F.col("user_id").alias("doc_id"))
+                     .agg(F.array_join(
+                         F.transform(
+                             F.array_sort(F.collect_list(F.struct(
+                                 F.col("rn"),
+                                 F.col("turn_text").alias("v")))),
+                             lambda x: x["v"]), " ").alias("text")))
+        df = D.with_shingles(assembled).persist()
+        _CONV_SHINGLED_CACHE[key] = df
+    return df
+
+
+def q_conv_near_dup(spark, sf_dir):
+    """Conversation-level near-dup pairs: MinHash+LSH candidates over
+    assembled transcripts, exact-Jaccard verified — the document
+    near-dup operator composed with the conversation fold; candidates
+    seam-exported so both engines gate the verification stage."""
+    from .driver_queries_extras import _SEAM_NS
+    from .operators import dedup as D
+    shingled = _assembled_convs(spark, sf_dir)
+    cand = D.lsh_candidate_pairs(shingled)
+    path = f"{_SEAM_NS}_conv_neardup_cand.parquet"
+    cand.write.mode("overwrite").parquet(path)
+    return D.verify_candidates(spark.read.parquet(path), shingled,
+                               threshold=0.5)
+
+
+def _sql_conv_near_dup() -> str:
+    from .driver_queries_extras import _SEAM_NS
+    return f"""
+WITH cand AS (SELECT d1, d2
+              FROM '{_SEAM_NS}_conv_neardup_cand.parquet/*.parquet'),
+rnk AS (
+  SELECT user_id, event_type, props,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+conv AS (
+  SELECT user_id AS doc_id,
+         string_agg(
+             CASE WHEN user_id % {NEAR_CONV_MOD} = {NEAR_CONV_RES}
+                  THEN 'tpl' || CAST(rn % 50 AS VARCHAR)
+                  ELSE event_type || ':' || coalesce(props, '') END,
+             ' ' ORDER BY rn) AS text
+  FROM rnk GROUP BY user_id),
+t AS (SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)),
+                                         '\\s+', ' ', 'g'), ' ') AS ws
+      FROM conv),
+sh AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(
+                  range(1, len(ws) - 1),
+                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+       FROM t WHERE len(ws) >= 3),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT c.d1, c.d2, count(*) AS i
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.d1
+          JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
+          GROUP BY 1, 2)
+SELECT d1, d2, round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard
+FROM inter
+JOIN cnt ca ON d1 = ca.doc_id
+JOIN cnt cb ON d2 = cb.doc_id
+WHERE round(i * 1.0 / (ca.n + cb.n - i), 4) >= 0.5
+ORDER BY d1, d2
+"""
+
+
+CONV_QUERIES.update({"conv_near_dup": q_conv_near_dup})
+CONV_ORACLES.update({"conv_near_dup": _sql_conv_near_dup()})

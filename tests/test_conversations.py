@@ -435,7 +435,7 @@ def test_conv_dup_groups_ordering_is_ts_then_tiebreak(spark):
 def test_new_conv_queries_match_oracles(spark, sf_dir):
     """Driver-gate parity for the two new queries at the test sf."""
     con = duck_conn(sf_dir)
-    for name in ("turn_text_diff", "conv_dup_exact"):
+    for name in ("turn_text_diff", "conv_dup_exact", "conv_near_dup"):
         sdf = CONV_QUERIES[name](spark, sf_dir)
         srows, scols = [tuple(r) for r in sdf.collect()], sdf.columns
         res = con.execute(CONV_ORACLES[name])
@@ -443,3 +443,29 @@ def test_new_conv_queries_match_oracles(spark, sf_dir):
         ocols = [d[0] for d in res.description]
         assert sorted(scols) == sorted(ocols), name
         assert normalize(srows, scols) == normalize(orows, ocols), name
+
+
+def test_conv_near_dup_composition_detects_planted_pair(spark):
+    """Two conversations sharing a long common turn stream (one with a
+    divergent tail) must pair via the assembled-transcript MinHash+LSH
+    composition; an unrelated conversation must not."""
+    from schema_inference_spark.operators import dedup as D
+    t0 = _ts("2026-01-01T00:00:00")
+    rows = []
+    for k, n_extra in ((1, 0), (2, 3)):   # conv 2 = conv 1 + 3 extra turns
+        for i in range(30):
+            rows.append((k, t0 + dt.timedelta(seconds=i), i, f"tok{i}"))
+        for i in range(30, 30 + n_extra):
+            rows.append((k, t0 + dt.timedelta(seconds=i), i, f"tail{k}_{i}"))
+    for i in range(30):                    # conv 3: disjoint vocabulary
+        rows.append((3, t0 + dt.timedelta(seconds=i), i, f"other{i}"))
+    ev = spark.createDataFrame(rows, "k int, ts timestamp, tb int, txt string")
+    assembled = (ev.groupBy(F.col("k").alias("doc_id"))
+                 .agg(F.array_join(F.transform(F.array_sort(
+                     F.collect_list(F.struct("tb", F.col("txt").alias("v")))),
+                     lambda x: x["v"]), " ").alias("text")))
+    shingled = D.with_shingles(assembled)
+    pairs = D.verify_candidates(D.lsh_candidate_pairs(shingled), shingled,
+                                threshold=0.5).collect()
+    assert [(r["d1"], r["d2"]) for r in pairs] == [(1, 2)]
+    assert pairs[0]["jaccard"] >= 0.8
