@@ -1029,3 +1029,82 @@ ORDER BY d1, d2
 
 CONV_QUERIES.update({"conv_near_dup": q_conv_near_dup})
 CONV_ORACLES.update({"conv_near_dup": _sql_conv_near_dup()})
+
+
+# incremental whole-conversation dedup: the planted template here is
+# parameterized by user_id % 3 (NOT % 2 as in conv_dup_exact) so planted
+# duplicate classes CROSS the even/odd history/batch split — every
+# planted odd (batch) conversation has an even (indexed) twin of its
+# % 3 class, exercising the source='index' branch; classes with no even
+# member would exercise source='batch'.
+def q_conv_dup_incremental(spark, sf_dir):
+    """Incremental whole-conversation exact dedup
+    (operators/conversations.build_conv_sig_index +
+    conv_dup_against_index): even-id conversations are the indexed
+    history, odd-id the arriving batch — O(new) signature rows probe
+    the persistent signature index instead of re-grouping the corpus."""
+    from pyspark.sql import Window as W
+
+    from .operators.conversations import (
+        build_conv_sig_index,
+        conv_dup_against_index,
+        conv_sigs,
+    )
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    planted = (F.col("user_id") % DUP_CONV_MOD == DUP_CONV_RES)
+    base = ev.withColumn("rn", F.row_number().over(w))
+    corpus = (base.filter(~(planted & (F.col("rn") > DUP_CONV_CAP)))
+              .withColumn(
+                  "turn_text",
+                  F.when(planted,
+                         F.concat(F.lit("tpl "),
+                                  (F.col("user_id") % 3).cast("string"),
+                                  F.lit(" "), F.col("rn").cast("string")))
+                   .otherwise(F.concat(F.col("event_type"), F.lit(":"),
+                                       F.coalesce(F.col("props"),
+                                                  F.lit(""))))))
+    sigs = conv_sigs(corpus, key_col="user_id", ts_col="ts",
+                     text_col="turn_text", tiebreak_col="event_id")
+    index = build_conv_sig_index(sigs.filter("conv_id % 2 = 0"))
+    return conv_dup_against_index(sigs.filter("conv_id % 2 = 1"), index)
+
+
+SQL_CONV_DUP_INCREMENTAL = f"""
+WITH rnk AS (
+  SELECT user_id, event_id, ts, event_type, props,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+corpus AS (
+  SELECT user_id, rn,
+         CASE WHEN user_id % {DUP_CONV_MOD} = {DUP_CONV_RES}
+              THEN 'tpl ' || CAST(user_id % 3 AS VARCHAR)
+                   || ' ' || CAST(rn AS VARCHAR)
+              ELSE event_type || ':' || coalesce(props, '') END AS turn_text
+  FROM rnk
+  WHERE NOT (user_id % {DUP_CONV_MOD} = {DUP_CONV_RES}
+             AND rn > {DUP_CONV_CAP})),
+sigs AS (
+  SELECT user_id AS conv_id,
+         md5(string_agg(turn_text, chr(31) ORDER BY rn)) AS conv_sig
+  FROM corpus GROUP BY user_id),
+idx AS (SELECT conv_sig, min(conv_id) AS canonical_id
+        FROM sigs WHERE conv_id % 2 = 0 GROUP BY 1),
+newd AS (SELECT conv_sig, conv_id FROM sigs WHERE conv_id % 2 = 1),
+grp AS (SELECT conv_sig, min(conv_id) AS min_new FROM newd GROUP BY 1)
+SELECT n.conv_sig, n.conv_id,
+       coalesce(i.canonical_id, g.min_new) AS canonical_id,
+       CASE WHEN i.canonical_id IS NOT NULL
+            THEN 'index' ELSE 'batch' END AS source
+FROM newd n
+JOIN grp g ON n.conv_sig = g.conv_sig
+LEFT JOIN idx i ON n.conv_sig = i.conv_sig
+WHERE (i.canonical_id IS NOT NULL AND n.conv_id != i.canonical_id)
+   OR (i.canonical_id IS NULL AND n.conv_id != g.min_new)
+ORDER BY n.conv_sig, n.conv_id
+"""
+
+
+CONV_QUERIES.update({"conv_dup_incremental": q_conv_dup_incremental})
+CONV_ORACLES.update({"conv_dup_incremental": SQL_CONV_DUP_INCREMENTAL})

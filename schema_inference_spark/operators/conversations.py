@@ -393,6 +393,27 @@ def conv_dup_groups(df: DataFrame, key_col: str, ts_col: str,
     ``sep`` is an ASCII unit separator by default — a text that itself
     contains the separator can alias a turn boundary, so pass a longer
     separator for corpora where \\x1f can occur in payload."""
+    per_conv = conv_sigs(df, key_col, ts_col, text_col, tiebreak_col,
+                         sep=sep, null_marker=null_marker)
+    return (per_conv.groupBy("conv_sig")
+            .agg(F.count(F.lit(1)).alias("n_convs"),
+                 F.min("_n_turns").alias("n_turns"),
+                 F.min("conv_id").alias("canonical_id"),
+                 F.concat_ws(",", F.transform(
+                     F.array_sort(F.collect_list("conv_id")),
+                     lambda x: x.cast("string"))).alias("members"))
+            .filter(F.col("n_convs") > 1))
+
+
+def conv_sigs(df: DataFrame, key_col: str, ts_col: str,
+              text_col: str, tiebreak_col: str,
+              sep: str = "\x1f", null_marker: str = "\x00") -> DataFrame:
+    """One (conv_id, conv_sig, _n_turns) row per conversation: the md5 of
+    the ordered turn-content fold — the signature primitive shared by
+    batch dedup (``conv_dup_groups``) and the incremental ingest path
+    (``build_conv_sig_index`` / ``conv_dup_against_index``). One shuffle
+    on the conversation key; the output is one 32-char digest per
+    conversation."""
     turn = F.struct(
         F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
         F.col(tiebreak_col).alias("tb"),
@@ -400,14 +421,45 @@ def conv_dup_groups(df: DataFrame, key_col: str, ts_col: str,
     sig = F.md5(F.array_join(
         F.transform(F.array_sort(F.collect_list(turn)), lambda x: x["v"]),
         sep, null_marker))
-    per_conv = (df.groupBy(F.col(key_col).alias("_k"))
-                .agg(sig.alias("conv_sig"),
-                     F.count(F.lit(1)).alias("_n")))
-    return (per_conv.groupBy("conv_sig")
-            .agg(F.count(F.lit(1)).alias("n_convs"),
-                 F.min("_n").alias("n_turns"),
-                 F.min("_k").alias("canonical_id"),
-                 F.concat_ws(",", F.transform(
-                     F.array_sort(F.collect_list("_k")),
-                     lambda x: x.cast("string"))).alias("members"))
-            .filter(F.col("n_convs") > 1))
+    return (df.groupBy(F.col(key_col).alias("conv_id"))
+            .agg(sig.alias("conv_sig"),
+                 F.count(F.lit(1)).alias("_n_turns")))
+
+
+def build_conv_sig_index(sigs: DataFrame) -> DataFrame:
+    """Signature index of an already-ingested transcript corpus:
+    (conv_sig, canonical_id) for EVERY distinct signature — the
+    conversation-level analog of ``dedup.build_hash_index``, and the
+    persistent artifact ``conv_dup_against_index`` probes. canonical =
+    min conv_id, matching conv_dup_groups. Same bucketed-write guidance
+    as build_hash_index: at the warehouse the index is bucketed by
+    conv_sig so the per-ingest join is co-located."""
+    return (sigs.groupBy("conv_sig")
+            .agg(F.min("conv_id").alias("canonical_id")))
+
+
+def conv_dup_against_index(new_sigs: DataFrame,
+                           index: DataFrame) -> DataFrame:
+    """Incremental whole-conversation exact dedup: each NEW conversation
+    that duplicates the indexed corpus (source='index') or another new
+    conversation (source='batch') — the O(new)-per-ingest form of
+    ``conv_dup_groups``, mirroring ``dedup.dedup_against_index``'s
+    algebra over conversation signatures instead of document hashes.
+    Row-based (no list aggregates), one shuffle of the new batch's
+    signature rows; the index side is co-located when bucketed by
+    conv_sig. Re-ingesting indexed conversations is idempotent: the
+    index canonical never self-reports."""
+    mins = (new_sigs.groupBy("conv_sig")
+            .agg(F.min("conv_id").alias("_min_new")))
+    joined = (new_sigs.select("conv_sig", "conv_id")
+              .join(mins, "conv_sig")
+              .join(index.withColumnRenamed("canonical_id", "_idx_canon"),
+                    "conv_sig", "left"))
+    canonical = F.coalesce("_idx_canon", "_min_new")
+    return (joined
+            .filter(F.col("conv_id") != canonical)
+            .select("conv_sig", "conv_id",
+                    canonical.alias("canonical_id"),
+                    F.when(F.col("_idx_canon").isNotNull(), F.lit("index"))
+                    .otherwise(F.lit("batch")).alias("source"))
+            .orderBy("conv_sig", "conv_id"))

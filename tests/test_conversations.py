@@ -469,3 +469,33 @@ def test_conv_near_dup_composition_detects_planted_pair(spark):
                                 threshold=0.5).collect()
     assert [(r["d1"], r["d2"]) for r in pairs] == [(1, 2)]
     assert pairs[0]["jaccard"] >= 0.8
+
+
+def test_conv_dup_against_index_sources_and_idempotence(spark):
+    from schema_inference_spark.operators.conversations import (
+        build_conv_sig_index,
+        conv_dup_against_index,
+        conv_sigs,
+    )
+    t0, t1 = _ts("2026-01-01T00:00:00"), _ts("2026-01-01T00:00:05")
+    # history: convs 2 ("x y") and 4 ("z w"); batch: 5 dups 2 (index),
+    # 7 and 9 are batch-internal twins ("q r"), 11 is unique
+    def conv(k, a, b):
+        return [(k, t0, 1, a), (k, t1, 2, b)]
+    hist = spark.createDataFrame(conv(2, "x", "y") + conv(4, "z", "w"),
+                                 "k int, ts timestamp, tb int, txt string")
+    batch = spark.createDataFrame(
+        conv(5, "x", "y") + conv(7, "q", "r") + conv(9, "q", "r")
+        + conv(11, "u", "v"),
+        "k int, ts timestamp, tb int, txt string")
+    args = dict(key_col="k", ts_col="ts", text_col="txt",
+                tiebreak_col="tb")
+    index = build_conv_sig_index(conv_sigs(hist, **args))
+    out = {r["conv_id"]: (r["canonical_id"], r["source"])
+           for r in conv_dup_against_index(conv_sigs(batch, **args),
+                                           index).collect()}
+    assert out == {5: (2, "index"), 9: (7, "batch")}
+    # idempotent re-ingest: the HISTORY itself probed against its own
+    # index reports nothing (canonicals never self-report)
+    again = conv_dup_against_index(conv_sigs(hist, **args), index)
+    assert again.count() == 0
