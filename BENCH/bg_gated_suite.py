@@ -7,7 +7,7 @@ sf0.1 and save its JSON line to BENCH/r5_suite_gated.json with the
 pre/post probes attached. One successful run, then exit (the suite
 itself re-probes inside bench.py, so the record self-describes).
 
-Usage: python BENCH/bg_gated_suite.py [DEADLINE_S]
+Usage: python BENCH/bg_gated_suite.py [DEADLINE_S] [OUT_JSON]
 """
 import json
 import os
@@ -44,8 +44,11 @@ def probe(tag: str) -> float:
 
 
 def main():
+    global OUT
     deadline = time.monotonic() + (
         float(sys.argv[1]) if len(sys.argv) > 1 else 4 * 3600)
+    if len(sys.argv) > 2:
+        OUT = sys.argv[2]
     while time.monotonic() < deadline:
         bw = probe("suite-idle")
         if bw < THRESH_GBPS or os.path.exists(BUSY_FLAG):
