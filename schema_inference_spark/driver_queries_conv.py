@@ -843,12 +843,64 @@ ORDER BY user_id, turn_idx
 # whole-conversation exact dedup: planted byte-identical transcripts in
 # the shared dialect (the synthetic corpus has no natural conv-level
 # dups). Every user with user_id % 17 = 3 has their transcript REPLACED
-# by a rank-indexed template parameterized only by user_id % 2, capped
-# at the first 40 turns — so all planted users of one parity with >= 40
-# turns are byte-identical whole conversations (shorter planted convs
-# group by their exact length; deterministic either way). Non-planted
-# turn text is event_type:props, so non-planted convs never collide.
+# by a rank-indexed template parameterized only by user_id % tpl_mod,
+# capped at the first 40 turns — so all planted users of one template
+# class with >= 40 turns are byte-identical whole conversations
+# (shorter planted convs group by their exact length; deterministic
+# either way). Non-planted turn text is event_type:props, so
+# non-planted convs never collide. ONE corpus construction (Python +
+# SQL fragment below) serves both the batch query (tpl_mod=2) and the
+# incremental query (tpl_mod=3, chosen so template classes CROSS the
+# even/odd history/batch split).
 DUP_CONV_MOD, DUP_CONV_RES, DUP_CONV_CAP = 17, 3, 40
+
+
+def _dup_conv_corpus(spark, sf_dir, tpl_mod: int):
+    """The planted-duplicate transcript corpus as a Spark frame with the
+    derived ``turn_text`` and ``rn`` columns."""
+    from pyspark.sql import Window as W
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    planted = (F.col("user_id") % DUP_CONV_MOD == DUP_CONV_RES)
+    base = ev.withColumn("rn", F.row_number().over(w))
+    return (base.filter(~(planted & (F.col("rn") > DUP_CONV_CAP)))
+            .withColumn(
+                "turn_text",
+                F.when(planted,
+                       F.concat(F.lit("tpl "),
+                                (F.col("user_id") % tpl_mod).cast("string"),
+                                F.lit(" "), F.col("rn").cast("string")))
+                 .otherwise(F.concat(F.col("event_type"), F.lit(":"),
+                                     F.coalesce(F.col("props"),
+                                                F.lit(""))))))
+
+
+def _dup_conv_ctes(tpl_mod: int) -> str:
+    """The identical corpus in DuckDB SQL (rnk + corpus CTEs), plus the
+    per-conversation signature fold. The fold coalesces NULL turn_text
+    to chr(0), mirroring conv_sigs' null_marker — string_agg would
+    otherwise SKIP a NULL turn and collide [a, NULL, b] with [a, b]
+    (the planted turn_text here is never NULL, but the oracle must
+    define the same function of its input as the operator)."""
+    return f"""rnk AS (
+  SELECT user_id, event_id, ts, event_type, props,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+corpus AS (
+  SELECT user_id, rn,
+         CASE WHEN user_id % {DUP_CONV_MOD} = {DUP_CONV_RES}
+              THEN 'tpl ' || CAST(user_id % {tpl_mod} AS VARCHAR)
+                   || ' ' || CAST(rn AS VARCHAR)
+              ELSE event_type || ':' || coalesce(props, '') END AS turn_text
+  FROM rnk
+  WHERE NOT (user_id % {DUP_CONV_MOD} = {DUP_CONV_RES}
+             AND rn > {DUP_CONV_CAP})),
+sigs AS (
+  SELECT user_id, count(*) AS n,
+         md5(string_agg(coalesce(turn_text, chr(0)), chr(31)
+                        ORDER BY rn)) AS conv_sig
+  FROM corpus GROUP BY user_id)"""
 
 
 def q_conv_dup_exact(spark, sf_dir):
@@ -857,47 +909,15 @@ def q_conv_dup_exact(spark, sf_dir):
     ordered turn-content sequences are byte-identical, one row per dup
     group with the canonical id — the transcript-level analog of
     dedup_exact."""
-    from pyspark.sql import Window as W
-
     from .operators.conversations import conv_dup_groups
-    ev = _t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    planted = (F.col("user_id") % DUP_CONV_MOD == DUP_CONV_RES)
-    base = ev.withColumn("rn", F.row_number().over(w))
-    corpus = (base.filter(~(planted & (F.col("rn") > DUP_CONV_CAP)))
-              .withColumn(
-                  "turn_text",
-                  F.when(planted,
-                         F.concat(F.lit("tpl "),
-                                  (F.col("user_id") % 2).cast("string"),
-                                  F.lit(" "), F.col("rn").cast("string")))
-                   .otherwise(F.concat(F.col("event_type"), F.lit(":"),
-                                       F.coalesce(F.col("props"),
-                                                  F.lit(""))))))
+    corpus = _dup_conv_corpus(spark, sf_dir, tpl_mod=2)
     return (conv_dup_groups(corpus, key_col="user_id", ts_col="ts",
                             text_col="turn_text", tiebreak_col="event_id")
             .orderBy("conv_sig"))
 
 
 SQL_CONV_DUP_EXACT = f"""
-WITH rnk AS (
-  SELECT user_id, event_id, ts, event_type, props,
-         row_number() OVER (PARTITION BY user_id
-                            ORDER BY ts, event_id) AS rn
-  FROM events),
-corpus AS (
-  SELECT user_id, rn,
-         CASE WHEN user_id % {DUP_CONV_MOD} = {DUP_CONV_RES}
-              THEN 'tpl ' || CAST(user_id % 2 AS VARCHAR)
-                   || ' ' || CAST(rn AS VARCHAR)
-              ELSE event_type || ':' || coalesce(props, '') END AS turn_text
-  FROM rnk
-  WHERE NOT (user_id % {DUP_CONV_MOD} = {DUP_CONV_RES}
-             AND rn > {DUP_CONV_CAP})),
-sigs AS (
-  SELECT user_id, count(*) AS n,
-         md5(string_agg(turn_text, chr(31) ORDER BY rn)) AS conv_sig
-  FROM corpus GROUP BY user_id)
+WITH {_dup_conv_ctes(tpl_mod=2)}
 SELECT conv_sig, count(*) AS n_convs, min(n) AS n_turns,
        min(user_id) AS canonical_id,
        string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY user_id) AS members
@@ -986,11 +1006,13 @@ def q_conv_near_dup(spark, sf_dir):
 
 
 def _sql_conv_near_dup() -> str:
-    from .driver_queries_extras import _SEAM_NS
+    # the assembled-transcript CTE feeds the SAME shingle + exact-Jaccard
+    # verification fragment the document-level minhash oracle uses
+    # (driver_queries_extras.verify_stage_sql) — one definition of the
+    # verify stage, parameterized by source relation
+    from .driver_queries_extras import _SEAM_NS, verify_stage_sql
     return f"""
-WITH cand AS (SELECT d1, d2
-              FROM '{_SEAM_NS}_conv_neardup_cand.parquet/*.parquet'),
-rnk AS (
+WITH rnk AS (
   SELECT user_id, event_type, props,
          row_number() OVER (PARTITION BY user_id
                             ORDER BY ts, event_id) AS rn
@@ -1003,27 +1025,7 @@ conv AS (
                   ELSE event_type || ':' || coalesce(props, '') END,
              ' ' ORDER BY rn) AS text
   FROM rnk GROUP BY user_id),
-t AS (SELECT doc_id,
-             string_split(regexp_replace(lower(trim(text)),
-                                         '\\s+', ' ', 'g'), ' ') AS ws
-      FROM conv),
-sh AS (SELECT doc_id,
-              unnest(list_distinct(list_transform(
-                  range(1, len(ws) - 1),
-                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
-       FROM t WHERE len(ws) >= 3),
-cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-inter AS (SELECT c.d1, c.d2, count(*) AS i
-          FROM cand c
-          JOIN sh a ON a.doc_id = c.d1
-          JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
-          GROUP BY 1, 2)
-SELECT d1, d2, round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard
-FROM inter
-JOIN cnt ca ON d1 = ca.doc_id
-JOIN cnt cb ON d2 = cb.doc_id
-WHERE round(i * 1.0 / (ca.n + cb.n - i), 4) >= 0.5
-ORDER BY d1, d2
+{verify_stage_sql(f"{_SEAM_NS}_conv_neardup_cand.parquet", src="conv")}
 """
 
 
@@ -1043,27 +1045,12 @@ def q_conv_dup_incremental(spark, sf_dir):
     conv_dup_against_index): even-id conversations are the indexed
     history, odd-id the arriving batch — O(new) signature rows probe
     the persistent signature index instead of re-grouping the corpus."""
-    from pyspark.sql import Window as W
-
     from .operators.conversations import (
         build_conv_sig_index,
         conv_dup_against_index,
         conv_sigs,
     )
-    ev = _t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    planted = (F.col("user_id") % DUP_CONV_MOD == DUP_CONV_RES)
-    base = ev.withColumn("rn", F.row_number().over(w))
-    corpus = (base.filter(~(planted & (F.col("rn") > DUP_CONV_CAP)))
-              .withColumn(
-                  "turn_text",
-                  F.when(planted,
-                         F.concat(F.lit("tpl "),
-                                  (F.col("user_id") % 3).cast("string"),
-                                  F.lit(" "), F.col("rn").cast("string")))
-                   .otherwise(F.concat(F.col("event_type"), F.lit(":"),
-                                       F.coalesce(F.col("props"),
-                                                  F.lit(""))))))
+    corpus = _dup_conv_corpus(spark, sf_dir, tpl_mod=3)
     sigs = conv_sigs(corpus, key_col="user_id", ts_col="ts",
                      text_col="turn_text", tiebreak_col="event_id")
     index = build_conv_sig_index(sigs.filter("conv_id % 2 = 0"))
@@ -1071,27 +1058,11 @@ def q_conv_dup_incremental(spark, sf_dir):
 
 
 SQL_CONV_DUP_INCREMENTAL = f"""
-WITH rnk AS (
-  SELECT user_id, event_id, ts, event_type, props,
-         row_number() OVER (PARTITION BY user_id
-                            ORDER BY ts, event_id) AS rn
-  FROM events),
-corpus AS (
-  SELECT user_id, rn,
-         CASE WHEN user_id % {DUP_CONV_MOD} = {DUP_CONV_RES}
-              THEN 'tpl ' || CAST(user_id % 3 AS VARCHAR)
-                   || ' ' || CAST(rn AS VARCHAR)
-              ELSE event_type || ':' || coalesce(props, '') END AS turn_text
-  FROM rnk
-  WHERE NOT (user_id % {DUP_CONV_MOD} = {DUP_CONV_RES}
-             AND rn > {DUP_CONV_CAP})),
-sigs AS (
-  SELECT user_id AS conv_id,
-         md5(string_agg(turn_text, chr(31) ORDER BY rn)) AS conv_sig
-  FROM corpus GROUP BY user_id),
+WITH {_dup_conv_ctes(tpl_mod=3)},
+sigk AS (SELECT user_id AS conv_id, conv_sig FROM sigs),
 idx AS (SELECT conv_sig, min(conv_id) AS canonical_id
-        FROM sigs WHERE conv_id % 2 = 0 GROUP BY 1),
-newd AS (SELECT conv_sig, conv_id FROM sigs WHERE conv_id % 2 = 1),
+        FROM sigk WHERE conv_id % 2 = 0 GROUP BY 1),
+newd AS (SELECT conv_sig, conv_id FROM sigk WHERE conv_id % 2 = 1),
 grp AS (SELECT conv_sig, min(conv_id) AS min_new FROM newd GROUP BY 1)
 SELECT n.conv_sig, n.conv_id,
        coalesce(i.canonical_id, g.min_new) AS canonical_id,

@@ -358,14 +358,41 @@ def q_dedup_jaccard(spark, sf_dir):
 
 
 # shingle CTE chain (distinct word 3-shingles + per-doc counts), shared
-# by the jaccard oracles and the minhash verification-stage oracle
-_SHINGLE_CTES = f"""t AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
+# by the jaccard oracles and the minhash verification-stage oracle;
+# parameterized by the source relation so the conversation-level
+# near-dup oracle (driver_queries_conv) consumes the SAME definition
+# over its assembled-transcript CTE instead of a hand-copied one
+def shingle_ctes(src: str = "documents") -> str:
+    return f"""t AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM {src}),
 sh AS (SELECT doc_id,
               unnest(list_distinct(list_transform(
                   range(1, len(ws) - 1),
                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
        FROM t WHERE len(ws) >= 3),
 cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)"""
+
+
+def verify_stage_sql(cand_path: str, src: str = "documents") -> str:
+    """The exact-Jaccard verification stage (mirrors
+    dedup.verify_candidates at threshold 0.5) over an exported candidate
+    seam — the tail of a WITH chain: interpolate AFTER the CTE defining
+    ``src``."""
+    return f"""cand AS (SELECT d1, d2 FROM '{cand_path}/*.parquet'),
+{shingle_ctes(src)},
+inter AS (SELECT c.d1, c.d2, count(*) AS i
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.d1
+          JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
+          GROUP BY 1, 2)
+SELECT d1, d2, round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard
+FROM inter
+JOIN cnt ca ON d1 = ca.doc_id
+JOIN cnt cb ON d2 = cb.doc_id
+WHERE round(i * 1.0 / (ca.n + cb.n - i), 4) >= 0.5
+ORDER BY d1, d2"""
+
+
+_SHINGLE_CTES = shingle_ctes()
 
 # jaccard pair CTE chain, shared by the pair oracle and the
 # connected-components (dedup groups) oracle
@@ -416,19 +443,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 SQL_DEDUP_MINHASH_LSH = f"""
-WITH cand AS (SELECT d1, d2 FROM '{MINHASH_CAND_EXPORT}/*.parquet'),
-{_SHINGLE_CTES},
-inter AS (SELECT c.d1, c.d2, count(*) AS i
-          FROM cand c
-          JOIN sh a ON a.doc_id = c.d1
-          JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
-          GROUP BY 1, 2)
-SELECT d1, d2, round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard
-FROM inter
-JOIN cnt ca ON d1 = ca.doc_id
-JOIN cnt cb ON d2 = cb.doc_id
-WHERE round(i * 1.0 / (ca.n + cb.n - i), 4) >= 0.5
-ORDER BY d1, d2
+WITH {verify_stage_sql(MINHASH_CAND_EXPORT)}
 """
 
 

@@ -432,19 +432,6 @@ def test_conv_dup_groups_ordering_is_ts_then_tiebreak(spark):
     assert len(out) == 1 and out[0]["members"] == "1,2"
 
 
-def test_new_conv_queries_match_oracles(spark, sf_dir):
-    """Driver-gate parity for the two new queries at the test sf."""
-    con = duck_conn(sf_dir)
-    for name in ("turn_text_diff", "conv_dup_exact", "conv_near_dup"):
-        sdf = CONV_QUERIES[name](spark, sf_dir)
-        srows, scols = [tuple(r) for r in sdf.collect()], sdf.columns
-        res = con.execute(CONV_ORACLES[name])
-        orows = [tuple(r) for r in res.fetchall()]
-        ocols = [d[0] for d in res.description]
-        assert sorted(scols) == sorted(ocols), name
-        assert normalize(srows, scols) == normalize(orows, ocols), name
-
-
 def test_conv_near_dup_composition_detects_planted_pair(spark):
     """Two conversations sharing a long common turn stream (one with a
     divergent tail) must pair via the assembled-transcript MinHash+LSH
