@@ -877,11 +877,13 @@ def _dup_conv_corpus(spark, sf_dir, tpl_mod: int):
 
 def _dup_conv_ctes(tpl_mod: int) -> str:
     """The identical corpus in DuckDB SQL (rnk + corpus CTEs), plus the
-    per-conversation signature fold. The fold coalesces NULL turn_text
-    to chr(0), mirroring conv_sigs' null_marker — string_agg would
-    otherwise SKIP a NULL turn and collide [a, NULL, b] with [a, b]
-    (the planted turn_text here is never NULL, but the oracle must
-    define the same function of its input as the operator)."""
+    per-conversation signature fold. The fold mirrors conv_sigs'
+    digest-turns form: each turn md5-digested first (with NULL
+    coalesced to chr(0), conv_sigs' null_marker — string_agg would
+    otherwise SKIP a NULL turn and collide [a, NULL, b] with [a, b]),
+    then the ordered digest sequence md5'd. The planted turn_text here
+    is never NULL, but the oracle must define the same function of its
+    input as the operator."""
     return f"""rnk AS (
   SELECT user_id, event_id, ts, event_type, props,
          row_number() OVER (PARTITION BY user_id
@@ -898,7 +900,7 @@ corpus AS (
              AND rn > {DUP_CONV_CAP})),
 sigs AS (
   SELECT user_id, count(*) AS n,
-         md5(string_agg(coalesce(turn_text, chr(0)), chr(31)
+         md5(string_agg(md5(coalesce(turn_text, chr(0))), chr(31)
                         ORDER BY rn)) AS conv_sig
   FROM corpus GROUP BY user_id)"""
 

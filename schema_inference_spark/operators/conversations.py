@@ -407,17 +407,36 @@ def conv_dup_groups(df: DataFrame, key_col: str, ts_col: str,
 
 def conv_sigs(df: DataFrame, key_col: str, ts_col: str,
               text_col: str, tiebreak_col: str,
-              sep: str = "\x1f", null_marker: str = "\x00") -> DataFrame:
+              sep: str = "\x1f", null_marker: str = "\x00",
+              digest_turns: bool = True) -> DataFrame:
     """One (conv_id, conv_sig, _n_turns) row per conversation: the md5 of
     the ordered turn-content fold — the signature primitive shared by
     batch dedup (``conv_dup_groups``) and the incremental ingest path
     (``build_conv_sig_index`` / ``conv_dup_against_index``). One shuffle
     on the conversation key; the output is one 32-char digest per
-    conversation."""
+    conversation.
+
+    With ``digest_turns`` (the default) each turn's text is md5-digested
+    MAP-SIDE and the fold runs over the 32-char digests, so the
+    conversation-key exchange carries fixed-width digests instead of
+    raw transcript payload — the same digests-not-text exchange rule
+    checks.turn_text_diff follows. For KB-sized turns on a real network
+    shuffle this shrinks the exchange ~30x; it also removes the
+    separator-aliasing caveat (hex digests can't contain ``sep``).
+    Equality semantics are unchanged (two conversations sign equal iff
+    their ordered turn texts are byte-equal, NULL folding as
+    ``null_marker`` — a real text equal to the marker aliases NULL,
+    the documented marker tradeoff). Set ``digest_turns=False`` to
+    fold the raw texts (the historical form; only the sig VALUES
+    differ, never the grouping)."""
+    if digest_turns:
+        v = F.md5(F.coalesce(F.col(text_col), F.lit(null_marker)))
+    else:
+        v = F.col(text_col)
     turn = F.struct(
         F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
         F.col(tiebreak_col).alias("tb"),
-        F.col(text_col).alias("v"))
+        v.alias("v"))
     sig = F.md5(F.array_join(
         F.transform(F.array_sort(F.collect_list(turn)), lambda x: x["v"]),
         sep, null_marker))
