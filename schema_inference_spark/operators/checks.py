@@ -178,6 +178,48 @@ def check_conv_completeness(df: DataFrame, snapshot_id: str,
     return head.unionByName(gap)
 
 
+def check_conv_dup(df: DataFrame, snapshot_id: str,
+                   partition_col: str = "bucket") -> DataFrame:
+    """Violation-store form of ``conversations.conv_dup_groups``: one
+    row per NON-CANONICAL member of a whole-conversation duplicate
+    group ("the same transcript ingested twice under two conv_ids") —
+    check_id ``conv_dup``, ``turn_idx`` carries the conversation's turn
+    count, payload carries the canonical conv_id, group size and the
+    shared signature. Duplicate content is (role, text) per turn under
+    the stable (ts, turn_idx) ordering.
+
+    Plan: ONE fold exchange on the conversation key (turn content
+    md5-digested map-side — the exchange carries 32-char digests, see
+    conv_sigs), then a signature-keyed self-join over the
+    one-row-per-conversation frame. A conversation lives in exactly one
+    bucket, so ``partition_col`` rides the fold as a
+    functionally-dependent group column — exact partition attribution.
+    The canonical (first-ingested = min conv_id) member never reports,
+    so re-validating after dropping the flagged members converges."""
+    from .conversations import conv_sigs
+    content = F.concat(
+        F.coalesce(F.col("role"), F.lit("\x00")), F.lit("\x1e"),
+        F.coalesce(F.col("text"), F.lit("\x00")))
+    sigs = conv_sigs(
+        df.select(partition_col, "conv_id", "turn_idx", "ts",
+                  content.alias("_content")),
+        key_col="conv_id", ts_col="ts", text_col="_content",
+        tiebreak_col="turn_idx", extra_group_cols=[partition_col])
+    groups = (sigs.groupBy("conv_sig")
+              .agg(F.min("conv_id").alias("_canonical"),
+                   F.count(F.lit(1)).alias("_n_convs"))
+              .filter(F.col("_n_convs") > 1))
+    dups = (sigs.join(groups, "conv_sig")
+            .filter(F.col("conv_id") != F.col("_canonical"))
+            .withColumnRenamed(partition_col, "partition_id")
+            .withColumn("turn_idx", F.col("_n_turns")))
+    payload = F.to_json(F.struct(
+        F.col("_canonical").alias("canonical_id"),
+        F.col("_n_convs").alias("n_convs"),
+        F.col("conv_sig")))
+    return _shape(dups, snapshot_id, "conv_dup", payload_col=payload)
+
+
 def check_stuck_loops(df: DataFrame, snapshot_id: str,
                       min_run: int = 3, seq_col: str = "role",
                       partition_col: str = "bucket") -> DataFrame:

@@ -408,7 +408,8 @@ def conv_dup_groups(df: DataFrame, key_col: str, ts_col: str,
 def conv_sigs(df: DataFrame, key_col: str, ts_col: str,
               text_col: str, tiebreak_col: str,
               sep: str = "\x1f", null_marker: str = "\x00",
-              digest_turns: bool = True) -> DataFrame:
+              digest_turns: bool = True,
+              extra_group_cols: Sequence[str] = ()) -> DataFrame:
     """One (conv_id, conv_sig, _n_turns) row per conversation: the md5 of
     the ordered turn-content fold — the signature primitive shared by
     batch dedup (``conv_dup_groups``) and the incremental ingest path
@@ -428,7 +429,9 @@ def conv_sigs(df: DataFrame, key_col: str, ts_col: str,
     ``null_marker`` — a real text equal to the marker aliases NULL,
     the documented marker tradeoff). Set ``digest_turns=False`` to
     fold the raw texts (the historical form; only the sig VALUES
-    differ, never the grouping)."""
+    differ, never the grouping). ``extra_group_cols`` ride the fold as
+    functionally-dependent group columns (e.g. the catalog bucket — a
+    conversation lives in exactly one)."""
     if digest_turns:
         v = F.md5(F.coalesce(F.col(text_col), F.lit(null_marker)))
     else:
@@ -440,7 +443,8 @@ def conv_sigs(df: DataFrame, key_col: str, ts_col: str,
     sig = F.md5(F.array_join(
         F.transform(F.array_sort(F.collect_list(turn)), lambda x: x["v"]),
         sep, null_marker))
-    return (df.groupBy(F.col(key_col).alias("conv_id"))
+    return (df.groupBy(F.col(key_col).alias("conv_id"),
+                       *[F.col(c) for c in extra_group_cols])
             .agg(sig.alias("conv_sig"),
                  F.count(F.lit(1)).alias("_n_turns")))
 

@@ -94,6 +94,7 @@ def validate(
     rules: Optional[List[Dict]] = None,
     completeness: bool = False,
     stuck_loops: bool = False,
+    conv_dedup: bool = False,
     context_budget: Optional[int] = None,
     resume: bool = True,
     write_audit: bool = True,
@@ -297,7 +298,7 @@ def validate(
                         violations = violations.unionByName(v)
 
             if role_protocol or baseline_transitions or rules \
-                    or completeness or stuck_loops \
+                    or completeness or stuck_loops or conv_dedup \
                     or context_budget is not None:
                 # opt-in conversation-structure checks: the protocol
                 # matrix (checks.check_role_protocol) and/or the
@@ -332,6 +333,16 @@ def validate(
                     violations = violations.unionByName(
                         C.check_stuck_loops(df, snapshot_id,
                                             partition_col=partition_col))
+                if conv_dedup:
+                    # whole-conversation duplicate members: one fold
+                    # exchange on the conv key (turn content digested
+                    # map-side) + a signature-keyed join over the
+                    # one-row-per-conversation frame; invisible to every
+                    # other check (a duplicate transcript is internally
+                    # perfectly well-formed)
+                    violations = violations.unionByName(
+                        C.check_conv_dup(df, snapshot_id,
+                                         partition_col=partition_col))
                 if context_budget is not None:
                     # running text-cost budget crossing per conversation
                     # (serving context limit / export row cap audit)
