@@ -694,6 +694,100 @@ def assembly_stream(sdf: DataFrame, seq_col: str = "role",
                 timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
 
 
+CONV_SIG_OUT_SCHEMA = "conv_id string, conv_sig string, n_turns bigint"
+CONV_SIG_STATE_SCHEMA = ("turn_idx array<bigint>, ts_us array<bigint>, "
+                         "dig array<string>")
+
+
+def conv_sig_stream(sdf: DataFrame, text_col: str = "text",
+                    idle_ms: int = 60_000) -> DataFrame:
+    """Streaming form of ``conversations.conv_sigs`` (digest-turns
+    fold): a conversation's signature is emitted ONCE when it goes idle
+    for ``idle_ms`` (the close signal on an endless turn stream), equal
+    byte-for-byte to the batch fold over the same turns — asserted
+    row-for-row in tests/test_streaming.py.
+
+    State per key is (turn_idx, ts_us, per-turn md5 hex) arrays —
+    arriving turns are digested IMMEDIATELY (hashlib md5 over the
+    UTF-8 text, NULL folding as the same \\x00 marker the batch side
+    uses), so the state never holds transcript payload, the streaming
+    analog of the batch fold's digest-only exchange. Ordering matches
+    the batch ``array_sort(struct(us, tb, v))``: (ts, turn_idx,
+    digest). A turn arriving after its conversation was exported
+    restarts the state (late-data tradeoff, size ``idle_ms`` like a
+    watermark); downstream consumers dedup on conv_id keeping the
+    first emission."""
+    import hashlib
+
+    def _digest(x) -> str:
+        s = "\x00" if x is None else str(x)
+        return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+    def fn(key: Tuple[str], pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        conv_id = key[0]
+        cols = ["conv_id", "conv_sig", "n_turns"]
+        if state.hasTimedOut:
+            t_prev, s_prev, d_prev = state.get
+            state.remove()
+            t = np.asarray(t_prev, dtype=np.int64)
+            s = np.asarray(s_prev, dtype=np.int64)
+            d = np.asarray(d_prev, dtype=object)
+            order = np.lexsort((d, t, s))
+            sig = hashlib.md5(
+                "\x1f".join(d[order]).encode("utf-8")).hexdigest()
+            yield pd.DataFrame([(conv_id, sig, len(t))], columns=cols)
+            return
+        t_prev, s_prev, d_prev = (state.get if state.exists
+                                  else ([], [], []))
+        t_new, s_new, d_new = [], [], []
+        for pdf in pdfs:
+            t_new.append(pdf["turn_idx"].to_numpy(dtype=np.int64))
+            s_new.append(pdf["ts"].astype("datetime64[us]")
+                         .to_numpy().astype(np.int64))
+            d_new.append(np.asarray(
+                [_digest(x) for x in pdf[text_col]], dtype=object))
+        turn = np.concatenate([np.asarray(t_prev, dtype=np.int64)] + t_new)
+        ts_us = np.concatenate([np.asarray(s_prev, dtype=np.int64)] + s_new)
+        dig = np.concatenate([np.asarray(d_prev, dtype=object)] + d_new)
+        state.update((turn.tolist(), ts_us.tolist(), dig.tolist()))
+        state.setTimeoutDuration(idle_ms)
+        yield pd.DataFrame(columns=cols)
+
+    return (sdf.select("conv_id", "turn_idx", "ts", F.col(text_col))
+            .groupBy("conv_id")
+            .applyInPandasWithState(
+                fn,
+                outputStructType=CONV_SIG_OUT_SCHEMA,
+                stateStructType=CONV_SIG_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
+
+
+def conv_dup_stream(sdf: DataFrame, index: DataFrame, emit,
+                    text_col: str = "text", idle_ms: int = 60_000):
+    """Streaming incremental whole-conversation dedup: conv_sig_stream
+    closes each conversation to one signature row, and every micro-batch
+    of closed conversations probes the STATIC signature index
+    (``conversations.build_conv_sig_index``) via
+    ``conv_dup_against_index`` — the stream form of
+    conv_dup_incremental, same foreachBatch composition as
+    segment_dedup_stream. ``emit(df, epoch)`` receives the dup rows
+    (conv_sig, conv_id, canonical_id, source). Batch-internal dups
+    resolve within one micro-batch; in production the index is unioned
+    with each batch's signatures afterwards so cross-batch new dups
+    resolve on the next probe (same append-shaped maintenance as
+    build_hash_index). Returns the writeStream handle (caller starts)."""
+    from ..operators.conversations import conv_dup_against_index
+
+    sigs = conv_sig_stream(sdf, text_col=text_col, idle_ms=idle_ms)
+
+    def _probe(batch_df: DataFrame, epoch_id: int) -> None:
+        emit(conv_dup_against_index(batch_df, index), epoch_id)
+
+    return (sigs.writeStream.outputMode("update").foreachBatch(_probe))
+
+
 # ---------------------------------------------------------------------------
 # windowed column stats on a stream (D7, stream form)
 # ---------------------------------------------------------------------------

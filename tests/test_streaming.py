@@ -1068,3 +1068,83 @@ def test_contamination_stream_matches_per_batch_probe(spark, tmp_path):
             got.get(age, [])), f"epoch {age} mismatch"
     # docs 1 and 3 are contaminated, 2 and 4 are not
     assert sorted(r[0] for r in seen) == [1, 3]
+
+
+def test_conv_sig_stream_converges_to_batch_fold(spark, tmp_path):
+    """conv_sig_stream: each conversation emits ONE signature row on
+    idle timeout, byte-identical to the batch conv_sigs digest-turns
+    fold over the same turns; the dup-probe composition against a
+    static signature index then reports exactly the batch
+    conv_dup_against_index rows."""
+    import datetime
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from schema_inference_spark.operators.conversations import (
+        build_conv_sig_index,
+        conv_dup_against_index,
+        conv_sigs,
+    )
+    from schema_inference_spark.streaming.stream_checks import (
+        conv_dup_stream,
+        read_turn_stream,
+    )
+
+    stream_dir = tmp_path / "sig_stream"
+    (stream_dir / "bucket=0").mkdir(parents=True)
+    base = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+    # B duplicates the indexed conversation X; C is novel; D has a NULL
+    # turn text (must fold as the marker, not be skipped)
+    rows = [("B", 0, "hi"), ("B", 1, "yo"),
+            ("C", 0, "fresh"), ("C", 1, None),
+            ("D", 0, "hi"), ("D", 1, None)]
+
+    def to_table(rs):
+        return pa.table({
+            "conv_id": pa.array([r[0] for r in rs], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rs], pa.int32()),
+            "role": pa.array(["user"] * len(rs), pa.string()),
+            "text": pa.array([r[2] for r in rs], pa.string()),
+            "tool": pa.array([None] * len(rs), pa.string()),
+            "ts": pa.array([base + datetime.timedelta(minutes=r[1])
+                            for r in rs], pa.timestamp("us", tz="UTC")),
+        })
+
+    pq.write_table(to_table(rows), str(stream_dir / "bucket=0" / "f1.parquet"))
+
+    args = dict(key_col="conv_id", ts_col="ts", text_col="text",
+                tiebreak_col="turn_idx")
+    hist = spark.createDataFrame(
+        [("X", 0, "hi", base), ("X", 1, "yo",
+                                base + datetime.timedelta(minutes=1))],
+        "conv_id string, turn_idx int, text string, ts timestamp")
+    index = build_conv_sig_index(conv_sigs(hist, **args)).cache()
+    index.count()
+
+    got = []
+
+    def emit(df, _epoch):
+        got.extend(tuple(r) for r in df.collect())
+
+    sdf = read_turn_stream(spark, str(stream_dir))
+    q = (conv_dup_stream(sdf, index, emit, idle_ms=300)
+         .option("checkpointLocation", str(tmp_path / "ckpt_sig"))
+         .start())
+    try:
+        deadline = time.monotonic() + 90
+        while time.monotonic() < deadline and len(got) < 1:
+            time.sleep(0.2)
+    finally:
+        q.stop()
+
+    bdf = spark.createDataFrame(
+        [(c, i, t, base + datetime.timedelta(minutes=i))
+         for (c, i, t) in rows],
+        "conv_id string, turn_idx int, text string, ts timestamp")
+    want = {tuple(r) for r in conv_dup_against_index(
+        conv_sigs(bdf, **args), index).collect()}
+    assert set(got) == want
+    # the batch twin itself found the planted dup (non-vacuous)
+    assert {r[1] for r in want} == {"B"}
