@@ -552,3 +552,86 @@ def bind_baseline(table_schema: Dict[str, Dict],
                     for v in schema["s_vars"]}
         out[col] = concretize(bindings, schema)
     return out
+
+
+def validate_replica(
+    spark: SparkSession,
+    catalog: SnapshotCatalog,
+    snapshot_id: str,
+    reference_id: str,
+    partitions: Optional[List[int]] = None,
+    text_col: str = "text",
+    partition_col: str = "bucket",
+    write_violations: bool = False,
+) -> DataFrame:
+    """Copy/migration verification job: the north rule's per-row
+    invariant — per-turn text equality under stable turn ordering —
+    between a candidate snapshot (a migrated/replicated copy) and its
+    reference, as standard violation rows. One row per failing turn:
+
+    - ``replica_text_mismatch`` — the turn exists in both, texts differ
+      (NULL vs NULL is equal; NULL vs text is a mismatch)
+    - ``replica_missing_turn``  — the reference has the turn, the copy
+      lost it
+    - ``replica_extra_turn``    — the copy has a turn the reference
+      never had
+
+    The aggregate-only ``reconcile_checksum`` (operators/anomaly.py)
+    DETECTS divergence with a 256-bucket exchange; this job LOCALIZES
+    it — run this on the mismatching slice (``partitions=...``) after
+    the cheap detector fires, or standalone as a post-migration gate.
+
+    Plan (operators/checks.turn_text_diff): each side reduces map-side
+    to (bucket, conv_id, turn_idx, md5, is_null), so the full-outer
+    join's exchange carries 16-byte digests per turn, never transcript
+    payload; joining on ``partition_col`` too keeps attribution exact
+    and, with both snapshots written under the same conv_id bucketing
+    (the catalog guarantees this), keeps the join co-partitioned.
+    Duplicate (conv_id, turn_idx) keys — the F1 planted anomaly shape,
+    which turn_text_diff's unique-key contract excludes — compare as
+    MULTISETS: each side first folds to one sorted-digest-of-digests
+    row per key (the fold's hash partitioning is the join's own
+    exchange, so robustness costs zero extra shuffle), so a copy that
+    preserved the duplicates byte-for-byte is clean and one that
+    dropped or altered any copy of a duplicated turn mismatches.
+    ``write_violations=True`` appends the rows to the candidate
+    snapshot's violation store under the same idempotence contract as
+    validate()."""
+    keys = [partition_col, "conv_id", "turn_idx"]
+    cols = keys + [text_col]
+    row_dig = F.md5(F.coalesce(F.col(text_col), F.lit("\x00")))
+
+    def _multiset(df: DataFrame) -> DataFrame:
+        return (df.groupBy(*keys)
+                .agg(F.concat_ws("\x1f", F.array_sort(
+                    F.collect_list(row_dig))).alias(text_col)))
+
+    left = _multiset(
+        catalog.read_snapshot(spark, snapshot_id, partitions).select(*cols))
+    right = _multiset(
+        catalog.read_snapshot(spark, reference_id, partitions).select(*cols))
+    d = C.turn_text_diff(left, right, keys=keys, text_col=text_col)
+    check_id = (F.when(F.col("status") == "text_mismatch",
+                       F.lit("replica_text_mismatch"))
+                 .when(F.col("status") == "missing_left",
+                       F.lit("replica_missing_turn"))
+                 .otherwise(F.lit("replica_extra_turn")))
+    payload = F.to_json(F.struct(
+        F.lit(reference_id).alias("reference_id"),
+        F.col("left_md5").alias("copy_md5"),
+        F.col("right_md5").alias("reference_md5")))
+    shaped = d.select(
+        F.lit(snapshot_id).alias("snapshot_id"),
+        F.col(partition_col).cast("int").alias("partition_id"),
+        check_id.alias("check_id"),
+        F.lit(None).cast("string").alias("mgu_failure"),
+        F.lit(None).cast("string").alias("schema_1"),
+        F.lit(None).cast("string").alias("schema_2"),
+        F.col("conv_id").cast("string").alias("conv_id"),
+        F.col("turn_idx").cast("bigint").alias("turn_idx"),
+        payload.alias("payload"))
+    if write_violations:
+        catalog.append_violations(shaped, snapshot_id)
+        shaped = catalog.read_violations(spark, snapshot_id)
+        shaped = shaped.filter(F.col("check_id").startswith("replica_"))
+    return C.stable_order(shaped)

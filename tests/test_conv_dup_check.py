@@ -71,3 +71,53 @@ def test_pipeline_conv_dedup_optin(spark, tmp_path):
     res_off = validate(spark, cat, "s1",
                        resume=False, write_audit=False)
     assert res_off.violations.filter("check_id = 'conv_dup'").count() == 0
+
+
+def test_validate_replica_localizes_planted_divergence(spark, tmp_path):
+    """validate_replica: a migrated copy with one corrupted turn, one
+    lost turn, and one fabricated turn yields exactly three violation
+    rows with the right check_ids, keys, and digests — the row-level
+    localization stage behind the aggregate reconcile detector."""
+    import pandas as pd
+
+    from schema_inference_spark.pipeline import validate_replica
+    from schema_inference_spark.sources.catalog import SnapshotCatalog
+    from schema_inference_spark.sources.transcripts import (
+        generate_turns,
+        write_snapshot,
+    )
+
+    table = generate_turns(n_conv=30, seed=11)
+    root = str(tmp_path / "snap")
+    write_snapshot(root, "ref", table, n_buckets=4)
+
+    pdf = table.to_pandas()
+    # the candidate copy: corrupt c000005 turn 1, lose c000008 turn 0,
+    # fabricate a turn the reference never had (c000002, turn 999)
+    mut = (pdf.conv_id == "c000005") & (pdf.turn_idx == 1)
+    assert mut.sum() == 1
+    pdf.loc[mut, "text"] = pdf.loc[mut, "text"] + " CORRUPTED"
+    pdf = pdf[~((pdf.conv_id == "c000008") & (pdf.turn_idx == 0))]
+    extra = pdf[(pdf.conv_id == "c000002") & (pdf.turn_idx == 0)].copy()
+    extra["turn_idx"] = 999
+    pdf = pd.concat([pdf, extra], ignore_index=True)
+    copy_table = pa.Table.from_pandas(pdf, schema=table.schema,
+                                      preserve_index=False)
+    write_snapshot(root, "copy", copy_table, n_buckets=4)
+
+    cat = SnapshotCatalog(root)
+    v = validate_replica(spark, cat, "copy", "ref").collect()
+    got = {(r.check_id, r.conv_id, r.turn_idx) for r in v}
+    assert got == {
+        ("replica_text_mismatch", "c000005", 1),
+        ("replica_missing_turn", "c000008", 0),
+        ("replica_extra_turn", "c000002", 999),
+    }
+    # digests present on both sides only for the mismatch row
+    by_check = {r.check_id: r for r in v}
+    mm = json.loads(by_check["replica_text_mismatch"].payload)
+    assert mm["copy_md5"] and mm["reference_md5"] \
+        and mm["copy_md5"] != mm["reference_md5"]
+    # to_json drops NULL fields: the lost turn has no copy-side digest
+    assert json.loads(
+        by_check["replica_missing_turn"].payload).get("copy_md5") is None
