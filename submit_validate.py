@@ -43,6 +43,15 @@ def main() -> int:
     ap.add_argument("--stuck-loops", action="store_true",
                     help="also emit stuck_loop violations (runs of >=3 "
                          "consecutive identical roles per conversation)")
+    ap.add_argument("--conv-dedup", action="store_true",
+                    help="also emit conv_dup violations for whole-"
+                         "conversation duplicates (byte-identical "
+                         "(role, text) turn streams under two conv_ids)")
+    ap.add_argument("--replica-of", default=None,
+                    help="run the replica-verification job instead of "
+                         "validate(): per-turn text equality of "
+                         "--snapshot against this reference snapshot, "
+                         "violations to --violations-out")
     ap.add_argument("--context-budget", type=int, default=None,
                     help="emit context_overflow violations for "
                          "conversations whose running text length "
@@ -69,12 +78,37 @@ def main() -> int:
             rules = json.load(f)
 
     import time
+    if args.replica_of:
+        from schema_inference_spark.pipeline import validate_replica
+        t0 = time.monotonic()
+        v = validate_replica(spark, catalog, args.snapshot,
+                             args.replica_of).cache()
+        n_viol = v.count()
+        wall = time.monotonic() - t0
+        if args.violations_out:
+            (v.write.option("partitionOverwriteMode", "dynamic")
+             .mode("overwrite").partitionBy("snapshot_id")
+             .parquet(args.violations_out))
+        n_turns = sum(p.get("n_rows", 0)
+                      for p in catalog.manifest(args.snapshot)["partitions"])
+        print(json.dumps({
+            "snapshot": args.snapshot,
+            "replica_of": args.replica_of,
+            "n_violations": n_viol,
+            "wall_sec_validate": round(wall, 2),
+            "turns": n_turns,
+            "turns_per_sec": round(n_turns / wall, 1) if wall > 0 else None,
+        }))
+        spark.stop()
+        return 1 if n_viol else 0
+
     t0 = time.monotonic()
     result = validate(spark, catalog, args.snapshot,
                       baseline_sketches=baseline_sketches,
                       rules=rules,
                       completeness=args.completeness,
                       stuck_loops=args.stuck_loops,
+                      conv_dedup=args.conv_dedup,
                       context_budget=args.context_budget,
                       resume=not args.no_resume)
 

@@ -68,3 +68,41 @@ def test_submit_validate_idempotent_rerun_resumes(submit_root):
     assert out["already_complete"] is True
     assert out["partitions_validated"] == 0
     assert out["turns"] == 0
+
+
+def test_submit_replica_mode(submit_root, tmp_path):
+    """--replica-of runs the replica-verification job: a faithful copy
+    exits 0 with zero violations; a copy with one corrupted turn exits
+    1 and its metrics JSON counts it."""
+    import pyarrow as pa
+
+    from schema_inference_spark.sources.transcripts import (
+        generate_turns,
+        write_snapshot,
+    )
+    root, _ = submit_root
+    table = generate_turns(n_conv=40, seed=11)
+    write_snapshot(root, "s1copy", table, n_buckets=4)    # faithful copy
+
+    pdf = table.to_pandas()
+    bad = (pdf.conv_id == "c000004") & (pdf.turn_idx == 2)
+    assert bad.sum() == 1
+    pdf.loc[bad, "text"] = "tampered"
+    write_snapshot(root, "s1bad",
+                   pa.Table.from_pandas(pdf, schema=table.schema,
+                                        preserve_index=False), n_buckets=4)
+
+    rc, out, res = _run(["--root", root, "--snapshot", "s1copy",
+                         "--replica-of", "s1"])
+    assert rc == 0, res.stderr[-2000:]
+    assert out["n_violations"] == 0 and out["replica_of"] == "s1"
+    assert out["turns_per_sec"] > 0
+
+    rc, out, res = _run(["--root", root, "--snapshot", "s1bad",
+                         "--replica-of", "s1",
+                         "--violations-out", str(tmp_path / "rviol")])
+    assert rc == 1, res.stderr[-2000:]
+    assert out["n_violations"] == 1
+    files = [f for _, _, fs in os.walk(tmp_path / "rviol") for f in fs
+             if f.endswith(".parquet")]
+    assert files
