@@ -449,20 +449,53 @@ def conv_sigs(df: DataFrame, key_col: str, ts_col: str,
                  F.count(F.lit(1)).alias("_n_turns")))
 
 
-def build_conv_sig_index(sigs: DataFrame) -> DataFrame:
+# signature-fold version, stored in every persisted index: 2 = the
+# digest-turns fold (conv_sigs default), 1 = the raw-text fold
+# (digest_turns=False). Bump whenever the fold function changes — an
+# index persisted under one fold matches NOTHING probed under another,
+# and without the marker that failure is silent (every dup enters the
+# corpus as novel).
+SIG_VERSION = 2
+
+
+def build_conv_sig_index(sigs: DataFrame,
+                         sig_version: int = SIG_VERSION) -> DataFrame:
     """Signature index of an already-ingested transcript corpus:
-    (conv_sig, canonical_id) for EVERY distinct signature — the
+    (conv_sig, canonical_id, sig_v) for EVERY distinct signature — the
     conversation-level analog of ``dedup.build_hash_index``, and the
     persistent artifact ``conv_dup_against_index`` probes. canonical =
-    min conv_id, matching conv_dup_groups. Same bucketed-write guidance
-    as build_hash_index: at the warehouse the index is bucketed by
-    conv_sig so the per-ingest join is co-located."""
+    min conv_id, matching conv_dup_groups. ``sig_v`` records which fold
+    produced the signatures so a probe under a different fold FAILS
+    LOUDLY instead of silently matching nothing. Same bucketed-write
+    guidance as build_hash_index: at the warehouse the index is
+    bucketed by conv_sig so the per-ingest join is co-located."""
     return (sigs.groupBy("conv_sig")
-            .agg(F.min("conv_id").alias("canonical_id")))
+            .agg(F.min("conv_id").alias("canonical_id"))
+            .withColumn("sig_v", F.lit(int(sig_version))))
+
+
+def _check_sig_version(index: DataFrame,
+                       expect: int = SIG_VERSION) -> None:
+    """Raise if a persisted index was built under a different signature
+    fold than the probe will use. One metadata-sized driver action
+    (first row of a constant column); an index with NO sig_v column
+    predates the marker and is treated as version 1 (raw-text fold)."""
+    if "sig_v" in index.columns:
+        row = index.select("sig_v").first()
+        found = None if row is None else row[0]
+    else:
+        found = 1 if index.columns else None
+    if found is not None and int(found) != int(expect):
+        raise ValueError(
+            f"conv-sig index was built under signature-fold version "
+            f"{found}, but this probe computes version {expect} "
+            f"signatures — rebuild the index (or pass the matching "
+            f"digest_turns setting to conv_sigs)")
 
 
 def conv_dup_against_index(new_sigs: DataFrame,
-                           index: DataFrame) -> DataFrame:
+                           index: DataFrame,
+                           sig_version: int = SIG_VERSION) -> DataFrame:
     """Incremental whole-conversation exact dedup: each NEW conversation
     that duplicates the indexed corpus (source='index') or another new
     conversation (source='batch') — the O(new)-per-ingest form of
@@ -471,12 +504,17 @@ def conv_dup_against_index(new_sigs: DataFrame,
     Row-based (no list aggregates), one shuffle of the new batch's
     signature rows; the index side is co-located when bucketed by
     conv_sig. Re-ingesting indexed conversations is idempotent: the
-    index canonical never self-reports."""
+    index canonical never self-reports. Raises if the index's recorded
+    signature-fold version (``sig_v``) differs from the current fold —
+    a mismatched index matches nothing, which would otherwise silently
+    admit every duplicate as novel."""
+    _check_sig_version(index, expect=sig_version)
     mins = (new_sigs.groupBy("conv_sig")
             .agg(F.min("conv_id").alias("_min_new")))
     joined = (new_sigs.select("conv_sig", "conv_id")
               .join(mins, "conv_sig")
-              .join(index.withColumnRenamed("canonical_id", "_idx_canon"),
+              .join(index.select("conv_sig", "canonical_id")
+                    .withColumnRenamed("canonical_id", "_idx_canon"),
                     "conv_sig", "left"))
     canonical = F.coalesce("_idx_canon", "_min_new")
     return (joined

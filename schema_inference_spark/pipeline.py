@@ -339,10 +339,24 @@ def validate(
                     # map-side) + a signature-keyed join over the
                     # one-row-per-conversation frame; invisible to every
                     # other check (a duplicate transcript is internally
-                    # perfectly well-formed)
+                    # perfectly well-formed). UNLIKE the other opt-ins
+                    # this check is cross-partition (dup members live in
+                    # different buckets), so a resumed run must compute
+                    # signatures over the FULL corpus — but it emits
+                    # rows only for PENDING partitions: the completed
+                    # partitions' members were emitted by the run that
+                    # completed them, and re-emitting would let the
+                    # store's per-partition overwrite wipe their other
+                    # checks' persisted rows.
+                    full_parts = [p for p in all_parts if p not in errors]
+                    df_dup = (df if set(pending) == set(full_parts)
+                              else catalog.read_snapshot(spark, snapshot_id,
+                                                         full_parts))
                     violations = violations.unionByName(
-                        C.check_conv_dup(df, snapshot_id,
-                                         partition_col=partition_col))
+                        C.check_conv_dup(df_dup, snapshot_id,
+                                         partition_col=partition_col)
+                        .filter(F.col("partition_id")
+                                .isin([int(p) for p in pending])))
                 if context_budget is not None:
                     # running text-cost budget crossing per conversation
                     # (serving context limit / export row cap audit)
@@ -594,9 +608,17 @@ def validate_replica(
     exchange, so robustness costs zero extra shuffle), so a copy that
     preserved the duplicates byte-for-byte is clean and one that
     dropped or altered any copy of a duplicated turn mismatches.
-    ``write_violations=True`` appends the rows to the candidate
-    snapshot's violation store under the same idempotence contract as
-    validate()."""
+
+    ``write_violations=True`` persists the rows to a store of their
+    OWN, keyed by (snapshot, reference) — NOT the candidate's
+    validate() store: the store's per-partition dynamic overwrite
+    assumes one writer produces all of a partition's rows, so sharing
+    it would let a replica run wipe validate()'s persisted violations
+    for any partition with a replica finding (and vice versa). A full
+    run (``partitions=None``) replaces the pair's store wholesale, so
+    the read-back is exactly this run's findings; a ``partitions=``
+    subset run overwrites only those partitions' rows (other
+    partitions' earlier findings for the SAME pair remain)."""
     keys = [partition_col, "conv_id", "turn_idx"]
     cols = keys + [text_col]
     row_dig = F.md5(F.coalesce(F.col(text_col), F.lit("\x00")))
@@ -631,7 +653,13 @@ def validate_replica(
         F.col("turn_idx").cast("bigint").alias("turn_idx"),
         payload.alias("payload"))
     if write_violations:
-        catalog.append_violations(shaped, snapshot_id)
-        shaped = catalog.read_violations(spark, snapshot_id)
-        shaped = shaped.filter(F.col("check_id").startswith("replica_"))
+        import shutil
+
+        store_id = f"{snapshot_id}--replica--{reference_id}"
+        if partitions is None:
+            shutil.rmtree(catalog._violations_dir(store_id),
+                          ignore_errors=True)
+        catalog.append_violations(shaped, store_id)
+        shaped = (catalog.read_violations(spark, store_id)
+                  .withColumn("snapshot_id", F.lit(snapshot_id)))
     return C.stable_order(shaped)

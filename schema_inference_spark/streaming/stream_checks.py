@@ -781,9 +781,26 @@ def conv_dup_stream(sdf: DataFrame, index: DataFrame, emit,
     from ..operators.conversations import conv_dup_against_index
 
     sigs = conv_sig_stream(sdf, text_col=text_col, idle_ms=idle_ms)
+    # conv_sig_stream's contract — "downstream consumers dedup on
+    # conv_id keeping the first emission" — is enforced HERE: a turn
+    # arriving after its conversation was exported restarts state and
+    # re-emits a FRAGMENT signature covering only the late turns, and
+    # fragments of DIFFERENT conversations can collide (two convs each
+    # re-opened by an identical trailing 'ok' ping sign equal), so
+    # probing re-emissions would report false whole-conversation dups.
+    # The filter is a driver-side seen-set in the foreachBatch closure
+    # — exact for one query lifetime (it does not survive a checkpoint
+    # restart); at warehouse scale the sink itself dedups (MERGE on
+    # conv_id into the probed-conversations table) instead of holding
+    # the set in driver memory.
+    seen: set = set()
 
     def _probe(batch_df: DataFrame, epoch_id: int) -> None:
-        emit(conv_dup_against_index(batch_df, index), epoch_id)
+        rows = batch_df.collect()
+        fresh = [r for r in rows if r["conv_id"] not in seen]
+        seen.update(r["conv_id"] for r in fresh)
+        first = batch_df.sparkSession.createDataFrame(fresh, batch_df.schema)
+        emit(conv_dup_against_index(first, index), epoch_id)
 
     return (sigs.writeStream.outputMode("update").foreachBatch(_probe))
 

@@ -58,6 +58,23 @@ def main() -> int:
                          "crosses this budget")
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
+    if args.replica_of:
+        # --replica-of is a STANDALONE job (per-turn replica equality);
+        # silently ignoring validation flags would let an operator read
+        # its exit 0 as "snapshot fully validated" when no check ran
+        clashing = [n for n, v in (
+            ("--conv-dedup", args.conv_dedup),
+            ("--completeness", args.completeness),
+            ("--stuck-loops", args.stuck_loops),
+            ("--context-budget", args.context_budget is not None),
+            ("--baseline", args.baseline),
+            ("--rules", args.rules),
+        ) if v]
+        if clashing:
+            ap.error("--replica-of runs the replica-verification job "
+                     "only and cannot be combined with validation flags: "
+                     + " ".join(clashing)
+                     + " (run a separate validate invocation)")
 
     from schema_inference_spark.functions import get_spark
     from schema_inference_spark.pipeline import validate

@@ -8,6 +8,7 @@ import datetime as dt
 import json
 
 import pyarrow as pa
+from pyspark.sql import functions as F
 
 from schema_inference_spark.operators.checks import check_conv_dup
 
@@ -121,3 +122,122 @@ def test_validate_replica_localizes_planted_divergence(spark, tmp_path):
     # to_json drops NULL fields: the lost turn has no copy-side digest
     assert json.loads(
         by_check["replica_missing_turn"].payload).get("copy_md5") is None
+
+
+def test_conv_dedup_detects_cross_partition_dup_on_subset_run(spark, tmp_path):
+    """The check is cross-partition (dup members hash to different
+    buckets): a run validating ONLY the member's partition must still
+    detect the dup against the unread canonical's bucket — signatures
+    fold over the FULL corpus — while emitting rows only for pending
+    partitions (so the store's per-partition overwrite never touches
+    completed partitions' rows)."""
+    import pandas as pd
+
+    from schema_inference_spark.pipeline import validate
+    from schema_inference_spark.sources.catalog import SnapshotCatalog
+    from schema_inference_spark.sources.transcripts import (
+        generate_turns,
+        write_snapshot,
+    )
+
+    table = generate_turns(n_conv=40, seed=7)
+    pdf = table.to_pandas()
+    planted = pdf[pdf.conv_id == "c000003"].copy()
+    planted["conv_id"] = "zdup0003"
+    merged = pa.Table.from_pandas(
+        pd.concat([pdf, planted], ignore_index=True),
+        schema=table.schema, preserve_index=False)
+    root = str(tmp_path / "snap")
+    write_snapshot(root, "s1", merged, n_buckets=4)
+    cat = SnapshotCatalog(root)
+
+    # locate the two members' buckets; the planting is only meaningful
+    # for this test if they differ (hash("c000003") != hash("zdup0003"))
+    full = cat.read_snapshot(spark, "s1")
+    buckets = {r.conv_id: r.bucket for r in
+               full.filter(F.col("conv_id").isin("c000003", "zdup0003"))
+               .select("conv_id", "bucket").distinct().collect()}
+    assert buckets["c000003"] != buckets["zdup0003"]
+
+    member_bucket = buckets["zdup0003"]
+    res = validate(spark, cat, "s1", conv_dedup=True, resume=False,
+                   write_audit=False, partitions=[member_bucket])
+    v = res.violations.filter("check_id = 'conv_dup'").collect()
+    assert {r.conv_id for r in v} == {"zdup0003"}
+    assert {r.partition_id for r in v} == {member_bucket}
+
+    # the canonical's bucket alone emits nothing (its member is the
+    # canonical — never reported), even though the dup spans into it
+    res2 = validate(spark, cat, "s1", conv_dedup=True, resume=False,
+                    write_audit=False,
+                    partitions=[buckets["c000003"]])
+    assert res2.violations.filter("check_id = 'conv_dup'").count() == 0
+
+
+def test_conv_sig_index_version_guard(spark):
+    """A persisted index built under a different signature fold must
+    fail LOUDLY at probe time: silence would admit every duplicate as
+    novel (the index matches nothing)."""
+    import pytest as _pytest
+
+    from schema_inference_spark.operators.conversations import (
+        build_conv_sig_index,
+        conv_dup_against_index,
+        conv_sigs,
+    )
+    df = spark.createDataFrame(
+        [("a", 0, "x", dt.datetime(2026, 1, 1))],
+        "conv_id string, turn_idx int, text string, ts timestamp")
+    args = dict(key_col="conv_id", ts_col="ts", text_col="text",
+                tiebreak_col="turn_idx")
+    sigs = conv_sigs(df, **args)
+    ok = build_conv_sig_index(sigs)
+    assert conv_dup_against_index(sigs, ok).count() == 0  # version match
+
+    legacy = ok.drop("sig_v")            # pre-marker index: treated as v1
+    with _pytest.raises(ValueError, match="signature-fold version"):
+        conv_dup_against_index(sigs, legacy)
+    v1 = build_conv_sig_index(sigs, sig_version=1)
+    with _pytest.raises(ValueError, match="signature-fold version"):
+        conv_dup_against_index(sigs, v1)
+    # both sides explicitly v1 (raw-text fold) is a valid pairing
+    assert conv_dup_against_index(sigs, v1, sig_version=1).count() == 0
+
+
+def test_validate_replica_store_isolated_from_validate_store(spark, tmp_path):
+    """write_violations=True persists to a (snapshot, reference)-keyed
+    store of its own: it must never wipe validate()'s persisted
+    violations for partitions where the replica run has findings."""
+    import pandas as pd
+
+    from schema_inference_spark.pipeline import validate, validate_replica
+    from schema_inference_spark.sources.catalog import SnapshotCatalog
+    from schema_inference_spark.sources.transcripts import (
+        generate_turns,
+        write_snapshot,
+    )
+
+    table = generate_turns(n_conv=40, seed=11)
+    root = str(tmp_path / "snap")
+    write_snapshot(root, "ref", table, n_buckets=4)
+    pdf = table.to_pandas()
+    bad = (pdf.conv_id == "c000004") & (pdf.turn_idx == 2)
+    pdf.loc[bad, "text"] = "tampered"
+    write_snapshot(root, "copy",
+                   pa.Table.from_pandas(pdf, schema=table.schema,
+                                        preserve_index=False), n_buckets=4)
+    cat = SnapshotCatalog(root)
+
+    res = validate(spark, cat, "copy", resume=False)  # persists its store
+    before = {(r.check_id, r.conv_id, r.turn_idx)
+              for r in cat.read_violations(spark, "copy").collect()}
+    assert before  # generate_turns plants violations
+
+    rv = validate_replica(spark, cat, "copy", "ref",
+                          write_violations=True).collect()
+    assert {r.check_id for r in rv} == {"replica_text_mismatch"}
+    assert all(r.snapshot_id == "copy" for r in rv)
+
+    after = {(r.check_id, r.conv_id, r.turn_idx)
+             for r in cat.read_violations(spark, "copy").collect()}
+    assert after == before  # validate()'s store untouched
