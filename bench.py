@@ -158,6 +158,9 @@ def main() -> None:
     # ingest runs against it (the operator's contract), so the
     # near_dup_incremental query time below measures the O(new) probe —
     # the index build cost is not hidden, it is this number.
+    from schema_inference_spark.driver_queries_conv import (
+        conv_minhash_index_exported,
+    )
     from schema_inference_spark.driver_queries_extras import (
         ann_ivf_exported,
         ann_lsh_exported,
@@ -169,6 +172,10 @@ def main() -> None:
     for part in minhash_index_exported(spark, SF_DIR):
         materialize(part)
     setup = {"minhash_index_sec": round(time.monotonic() - t0, 3)}
+    t0 = time.monotonic()
+    for part in conv_minhash_index_exported(spark, SF_DIR):
+        materialize(part)
+    setup["conv_minhash_index_sec"] = round(time.monotonic() - t0, 3)
     t0 = time.monotonic()
     materialize(ann_lsh_exported(spark, SF_DIR))
     for part in ann_ivf_exported(spark, SF_DIR):

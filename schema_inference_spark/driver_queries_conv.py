@@ -1081,3 +1081,96 @@ ORDER BY n.conv_sig, n.conv_id
 
 CONV_QUERIES.update({"conv_dup_incremental": q_conv_dup_incremental})
 CONV_ORACLES.update({"conv_dup_incremental": SQL_CONV_DUP_INCREMENTAL})
+
+
+# ---------------------------------------------------------------------------
+# Conversation-level incremental NEAR-dup — the last cell of the dedup
+# matrix {document, conversation} x {exact, near} x {batch, incremental}
+# ---------------------------------------------------------------------------
+#
+# Pure composition: the conversation fold (one assembled transcript per
+# conv_id, the SAME cached shingled frame conv_near_dup uses) feeds the
+# document-level incremental MinHash machinery unchanged
+# (operators/dedup.build_minhash_index / build_minhash_sigs /
+# near_dup_against_index). Even-id conversations are the ingested
+# history — the two-table index artifact exported once per (session, sf)
+# to parquet seams, so the query measures the O(new) ingest probe, not
+# an index rebuild (the index build cost is bench.py's setup number,
+# same contract as the document-level near_dup_incremental). The planted
+# % 13 template classes (NEAR_CONV_MOD/RES above) span even and odd ids,
+# so every odd planted conversation has an even indexed near-twin —
+# the source='index' crossings this operator exists to catch.
+
+
+def _conv_minhash_seam_paths():
+    from .driver_queries_extras import _SEAM_NS
+    return (f"{_SEAM_NS}_conv_minhash_index.parquet",
+            f"{_SEAM_NS}_conv_minhash_sigs.parquet",
+            f"{_SEAM_NS}_conv_neardup_inc_cand.parquet")
+
+
+def _build_conv_minhash_seams(spark, sf_dir):
+    from .operators import dedup as D
+    idx_path, sigs_path, _ = _conv_minhash_seam_paths()
+    history = _assembled_convs(spark, sf_dir).filter("doc_id % 2 = 0")
+    # ONE signature pass feeds both index tables (the shingles are
+    # already on the cached frame, so neither table re-tokenizes)
+    sig = D.minhash_signature(history).persist()
+    try:
+        D.build_minhash_index(history, sig=sig) \
+            .write.mode("overwrite").parquet(idx_path)
+        D.build_minhash_sigs(history, sig=sig) \
+            .write.mode("overwrite").parquet(sigs_path)
+    finally:
+        sig.unpersist()
+    return (spark.read.parquet(idx_path), spark.read.parquet(sigs_path))
+
+
+def conv_minhash_index_exported(spark, sf_dir):
+    """The even-id conversation history as the two-table MinHash index
+    artifact (capped band rows + one signature row per conversation),
+    exported once per (session, sf). Returns (index, index_sigs) lazy
+    seam reads."""
+    from .driver_queries_extras import _cached_export
+    idx_path, _, _ = _conv_minhash_seam_paths()
+    return _cached_export(spark, sf_dir, idx_path,
+                          _build_conv_minhash_seams)
+
+
+def q_conv_near_dup_incremental(spark, sf_dir):
+    """Incremental conversation-level near-dup: new odd-id conversations
+    that LSH-collide with the even-id indexed history, verified by
+    signature agreement (estimated Jaccard) — the O(new)-per-ingest form
+    of conv_near_dup. Two-stage gated like near_dup_incremental: the
+    banded candidates (with the per-pair agreement count) export to a
+    parquet seam and BOTH engines run the estimate+threshold stage; the
+    MinHash banding and agreement count stay engine-side (hash-seeded).
+    Re-ingesting indexed conversations is idempotent (a re-ingested id
+    never self-reports)."""
+    from .operators import dedup as D
+    _, _, cand_path = _conv_minhash_seam_paths()
+    index, index_sigs = conv_minhash_index_exported(spark, sf_dir)
+    batch = _assembled_convs(spark, sf_dir).filter("doc_id % 2 = 1")
+    cand = D.near_dup_candidates(batch, index, index_sigs)
+    cand.write.mode("overwrite").parquet(cand_path)
+    return D.near_dup_verify(spark.read.parquet(cand_path))
+
+
+def _sql_conv_near_dup_incremental() -> str:
+    _, _, cand_path = _conv_minhash_seam_paths()
+    return f"""
+WITH cand AS (SELECT doc_id, index_id, n_agree
+              FROM '{cand_path}/*.parquet'),
+est AS (SELECT doc_id, index_id,
+               round(n_agree / 64.0, 4) AS est_jaccard
+        FROM cand)
+SELECT doc_id, index_id, est_jaccard FROM est
+WHERE est_jaccard >= 0.5
+ORDER BY doc_id, index_id
+"""
+
+
+CONV_QUERIES.update(
+    {"conv_near_dup_incremental": q_conv_near_dup_incremental})
+CONV_ORACLES.update(
+    {"conv_near_dup_incremental": _sql_conv_near_dup_incremental()})
