@@ -485,6 +485,22 @@ def near_dup_candidates(new_df: DataFrame, index: DataFrame,
     sig = minhash_signature(new_df, n_hashes, text_col, k, id_col)
     if persist_sig:
         sig = sig.persist()
+    return near_dup_candidates_from_sigs(sig, index, index_sigs, id_col,
+                                         n_hashes, bands)
+
+
+def near_dup_candidates_from_sigs(sig: DataFrame, index: DataFrame,
+                                  index_sigs: DataFrame,
+                                  id_col: str = "doc_id",
+                                  n_hashes: int = 64,
+                                  bands: int = 16) -> DataFrame:
+    """The post-signature half of ``near_dup_candidates``: candidates
+    from a PRECOMPUTED (id, minhash) frame. Exposed for callers whose
+    signatures do not come from a text scan — the streaming probe folds
+    them incrementally in state (streaming.minhash_sig_stream), and a
+    warehouse ingest that persisted the batch's signature table probes
+    from that artifact directly. Same join shape and exchange notes as
+    ``near_dup_candidates``."""
     nb = _band_buckets(sig, id_col, n_hashes, bands)
     idxb = index.select(F.col("doc").alias("_idx_doc"), "band", "bucket")
     pairs = (nb.join(idxb, ["band", "bucket"])

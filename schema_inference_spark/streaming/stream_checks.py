@@ -806,6 +806,170 @@ def conv_dup_stream(sdf: DataFrame, index: DataFrame, emit,
 
 
 # ---------------------------------------------------------------------------
+# streaming incremental MinHash → conversation near-dup against an index
+# ---------------------------------------------------------------------------
+
+MINHASH_SIG_OUT_SCHEMA = "conv_id string, minhash array<bigint>, n_turns bigint"
+# per-conversation state: 64 running minima + per-turn boundary rows —
+# a LONG turn (>= 2k-1 tokens) stores only its first/last k-1 words
+# (its interior shingles fold into `mins` on arrival); a SHORT turn
+# stores its whole <= 2k-2-token text in `head`. State is O(turns ×
+# constant), never the transcript: the payload-free doctrine of
+# conv_sig_stream applied to a fold whose shingles cross turn
+# boundaries (the cross-boundary windows are resolved at close from
+# the stored boundary words alone).
+MINHASH_SIG_STATE_SCHEMA = (
+    "mins array<bigint>, turn_idx array<bigint>, ts_us array<bigint>, "
+    "n_tok array<int>, head array<string>, tail array<string>")
+
+
+def minhash_sig_stream(sdf: DataFrame, text_col: str = "text",
+                       idle_ms: int = 60_000, n_hashes: int = 64,
+                       k: int = 3) -> DataFrame:
+    """Streaming form of ``dedup.minhash_signature`` over the ASSEMBLED
+    conversation (ordered turn texts joined by spaces): each
+    conversation's MinHash signature is emitted ONCE when it goes idle
+    for ``idle_ms``, byte-identical to the batch fold over the same
+    turns (asserted in tests/test_streaming_minhash.py) — the signature
+    half of the streaming conversation near-dup probe.
+
+    The fold is INCREMENTAL because min is associative/commutative: a
+    turn's interior word k-shingles are hashed on arrival (pure-Python
+    XXH64 bit-equal to the JVM's ``xxhash64`` — xxh64.py — with the
+    per-shingle seed sweep vectorized in numpy) and folded into the 64
+    running minima; only each turn's boundary words (first/last k-1)
+    persist, so the k-windows that CROSS turn boundaries — including
+    runs of sub-k-word turns a window can span entirely — are formed at
+    close, in (ts, turn_idx) order, from those stored fragments.
+    Out-of-order arrival therefore costs nothing: interior shingles are
+    order-free under min, and boundary adjacency is resolved only at
+    close. A conversation with fewer than k total tokens emits nothing,
+    mirroring the batch frame's absence of a signature row. Same
+    late-turn contract as conv_sig_stream: arrival after close restarts
+    state (a fragment re-emission downstream consumers must dedup on
+    first emission — conv_near_dup_stream does)."""
+    from ..xxh64 import hash_int32_vec, xxh64
+
+    BIG = np.int64(2_147_483_647)
+    seeds = np.arange(n_hashes)
+    boundary = k - 1
+    short_cap = 2 * k - 2
+
+    def _fold(mins: np.ndarray, windows) -> np.ndarray:
+        for w in windows:
+            h = xxh64(" ".join(w).encode("utf-8"), 42)
+            mins = np.minimum(mins, hash_int32_vec(seeds, h) % BIG)
+        return mins
+
+    def _tok(x) -> list:
+        return [] if x is None else str(x).lower().split()
+
+    def fn(key: Tuple[str], pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        conv_id = key[0]
+        cols = ["conv_id", "minhash", "n_turns"]
+        if state.hasTimedOut:
+            mins_p, ti_p, ts_p, nt_p, hd_p, tl_p = state.get
+            state.remove()
+            mins = np.asarray(mins_p, dtype=np.int64)
+            order = np.lexsort((np.asarray(ti_p, dtype=np.int64),
+                                np.asarray(ts_p, dtype=np.int64)))
+            # reduced token stream: short turns whole, long turns
+            # head + sentinel + tail; windows containing a sentinel
+            # would span an omitted interior (already folded) — skip
+            stream: list = []
+            for j in order:
+                toks = hd_p[j].split()
+                if nt_p[j] > short_cap:
+                    stream += toks + [None] + tl_p[j].split()
+                else:
+                    stream += toks
+            wins = [stream[i:i + k] for i in range(len(stream) - k + 1)]
+            mins = _fold(mins, [w for w in wins if None not in w])
+            # any folded shingle lowers every lane below the int64.max
+            # sentinel; an all-sentinel vector means < k total tokens —
+            # the batch frame has no signature row for it either
+            if mins[0] != np.iinfo(np.int64).max:
+                yield pd.DataFrame(
+                    [(conv_id, mins.tolist(), len(ti_p))], columns=cols)
+            return
+        if state.exists:
+            mins_p, ti_p, ts_p, nt_p, hd_p, tl_p = state.get
+            mins = np.asarray(mins_p, dtype=np.int64)
+            ti, ts_us = list(ti_p), list(ts_p)
+            nt, hd, tl = list(nt_p), list(hd_p), list(tl_p)
+        else:
+            mins = np.full(n_hashes, np.iinfo(np.int64).max,
+                           dtype=np.int64)
+            ti, ts_us, nt, hd, tl = [], [], [], [], []
+        for pdf in pdfs:
+            ts_col = (pdf["ts"].astype("datetime64[us]")
+                      .to_numpy().astype(np.int64))
+            for row_i, text in enumerate(pdf[text_col]):
+                toks = _tok(text)
+                ti.append(int(pdf["turn_idx"].iloc[row_i]))
+                ts_us.append(int(ts_col[row_i]))
+                nt.append(len(toks))
+                if len(toks) > short_cap:
+                    mins = _fold(mins, (toks[i:i + k]
+                                        for i in range(len(toks) - k + 1)))
+                    hd.append(" ".join(toks[:boundary]))
+                    tl.append(" ".join(toks[-boundary:]))
+                else:
+                    hd.append(" ".join(toks))
+                    tl.append("")
+        state.update((mins.tolist(), ti, ts_us, nt, hd, tl))
+        state.setTimeoutDuration(idle_ms)
+        yield pd.DataFrame(columns=cols)
+
+    return (sdf.select("conv_id", "turn_idx", "ts", F.col(text_col))
+            .groupBy("conv_id")
+            .applyInPandasWithState(
+                fn,
+                outputStructType=MINHASH_SIG_OUT_SCHEMA,
+                stateStructType=MINHASH_SIG_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
+
+
+def conv_near_dup_stream(sdf: DataFrame, index: DataFrame,
+                         index_sigs: DataFrame, emit,
+                         text_col: str = "text", idle_ms: int = 60_000,
+                         threshold: float = 0.5):
+    """Streaming conversation-level near-dup against a persistent
+    MinHash index: minhash_sig_stream closes each conversation to one
+    signature row, and every micro-batch of closed conversations runs
+    the O(new) probe (``dedup.near_dup_candidates_from_sigs`` — banding,
+    capped index equi-join, signature-agreement verify) against the
+    STATIC (index, index_sigs) artifact pair — the stream form of
+    conv_near_dup_incremental. ``emit(df, epoch)`` receives
+    (conv_id, index_id, est_jaccard) rows. Same first-emission dedup as
+    conv_dup_stream: fragment re-emissions from late turns never probe.
+    Returns the writeStream handle (caller starts)."""
+    from ..operators.dedup import (
+        near_dup_candidates_from_sigs,
+        near_dup_verify,
+    )
+
+    sigs = minhash_sig_stream(sdf, text_col=text_col, idle_ms=idle_ms)
+    seen: set = set()
+
+    def _probe(batch_df: DataFrame, epoch_id: int) -> None:
+        rows = batch_df.collect()
+        fresh = [r for r in rows if r["conv_id"] not in seen]
+        seen.update(r["conv_id"] for r in fresh)
+        first = batch_df.sparkSession.createDataFrame(fresh,
+                                                      batch_df.schema)
+        cand = near_dup_candidates_from_sigs(
+            first.select(F.col("conv_id").alias("doc_id"), "minhash"),
+            index, index_sigs)
+        emit(near_dup_verify(cand, threshold)
+             .withColumnRenamed("doc_id", "conv_id"), epoch_id)
+
+    return (sigs.writeStream.outputMode("update").foreachBatch(_probe))
+
+
+# ---------------------------------------------------------------------------
 # windowed column stats on a stream (D7, stream form)
 # ---------------------------------------------------------------------------
 
