@@ -293,6 +293,46 @@ def update_segment_index(index: DataFrame, new_df: DataFrame,
                     F.col("w.idx").alias("seg_idx")))
 
 
+# hash-scheme version stamped into every persisted MinHash artifact:
+# bump if the shingle normalization, xxhash64 seeding, or pmod range
+# changes — same silent-mismatch hazard class as conversations.SIG_VERSION
+MH_SCHEME_VERSION = 1
+
+
+def _mh_params(n_hashes: int, bands: int | None = None,
+               k: int | None = None) -> str:
+    parts = [f"v{MH_SCHEME_VERSION}", f"n{n_hashes}"]
+    if bands is not None:
+        parts.append(f"b{bands}")
+    if k is not None:
+        parts.append(f"k{k}")
+    return ":".join(parts)
+
+
+def _check_mh_params(df: DataFrame, what: str, n_hashes: int | None = None,
+                     bands: int | None = None, k: int | None = None) -> None:
+    """Raise if a persisted MinHash artifact records parameters that
+    differ from the probe's — a mismatch scrambles bucket hashes or
+    signature lanes and silently matches nothing. One metadata-sized
+    driver action (first non-null of a constant column); artifacts
+    predating the marker (no column, or null rows appended by a legacy
+    union) pass unchecked."""
+    if "mh_params" not in df.columns:
+        return
+    row = (df.select("mh_params")
+           .filter(F.col("mh_params").isNotNull()).first())
+    if row is None:
+        return
+    expect = {"v": MH_SCHEME_VERSION, "n": n_hashes, "b": bands, "k": k}
+    for tok in row[0].split(":"):
+        key, want = tok[0], expect.get(tok[0])
+        if want is not None and int(tok[1:]) != int(want):
+            raise ValueError(
+                f"{what} was built under MinHash parameters '{row[0]}', "
+                f"but this probe expects {key}={want} — rebuild the "
+                f"artifact or pass the matching n_hashes/bands/k")
+
+
 def build_minhash_index(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n_hashes: int = 64,
                         bands: int = 16, k: int = 3,
@@ -325,14 +365,23 @@ def build_minhash_index(df: DataFrame, id_col: str = "doc_id",
     ``sig``: optionally pass the batch's precomputed signature frame
     (``minhash_signature``) — a caller building BOTH index tables
     (this + ``build_minhash_sigs``) computes the signature aggregation
-    once and shares it, instead of paying the dominant cost twice."""
+    once and shares it, instead of paying the dominant cost twice.
+
+    Every row carries ``mh_params`` (hash-scheme version + n_hashes +
+    bands + k) so a probe under DIFFERENT parameters fails loudly
+    instead of matching wrong-or-no buckets silently — the MinHash
+    analog of the conv-sig index's ``sig_v`` marker (a k or bands
+    mismatch scrambles every bucket hash; nothing errors, every
+    duplicate just enters the corpus as novel). Constant per file, so
+    parquet RLE stores it for free."""
     if sig is None:
         sig = minhash_signature(df, n_hashes, text_col, k, id_col)
     w = Window.partitionBy("band", "bucket").orderBy("doc")
     return (_band_buckets(sig, id_col, n_hashes, bands)
             .withColumn("_rnk", F.row_number().over(w))
             .filter(F.col("_rnk") <= bucket_cap)
-            .drop("_rnk"))
+            .drop("_rnk")
+            .withColumn("mh_params", F.lit(_mh_params(n_hashes, bands, k))))
 
 
 def build_minhash_sigs(df: DataFrame, id_col: str = "doc_id",
@@ -343,10 +392,13 @@ def build_minhash_sigs(df: DataFrame, id_col: str = "doc_id",
     row per doc — what the probe's verify stage joins per candidate
     pair. Stored bucketed by doc at the warehouse so the (broadcast
     pair side) verify join streams it in place. ``sig``: share a
-    precomputed signature frame, same note as ``build_minhash_index``."""
+    precomputed signature frame, same note as ``build_minhash_index``.
+    Stamped with ``mh_params`` (version, n_hashes, k — bands don't
+    shape signatures) under the same loud-mismatch contract."""
     if sig is None:
         sig = minhash_signature(df, n_hashes, text_col, k, id_col)
-    return sig.select(F.col(id_col).alias("doc"), "minhash")
+    return (sig.select(F.col(id_col).alias("doc"), "minhash")
+            .withColumn("mh_params", F.lit(_mh_params(n_hashes, k=k))))
 
 
 def update_minhash_sigs(sigs: DataFrame, new_df: DataFrame,
@@ -360,7 +412,10 @@ def update_minhash_sigs(sigs: DataFrame, new_df: DataFrame,
     so one ingest cycle pays the signature aggregation once."""
     fresh = build_minhash_sigs(new_df, id_col, text_col, n_hashes, k,
                                sig=sig)
-    return sigs.unionByName(fresh).dropDuplicates(["doc"])
+    # allowMissingColumns: a pre-marker signature table appends with
+    # null mh_params (passes the guard unchecked, documented there)
+    return (sigs.unionByName(fresh, allowMissingColumns=True)
+            .dropDuplicates(["doc"]))
 
 
 def compact_minhash_index(index: DataFrame,
@@ -413,7 +468,9 @@ def update_minhash_index(index: DataFrame, new_df: DataFrame,
     the cap."""
     fresh = build_minhash_index(new_df, id_col, text_col, n_hashes,
                                 bands, k, bucket_cap, sig=sig)
-    return compact_minhash_index(index.unionByName(fresh), bucket_cap)
+    _check_mh_params(index, "MinHash index", n_hashes, bands, k)
+    return compact_minhash_index(
+        index.unionByName(fresh, allowMissingColumns=True), bucket_cap)
 
 
 def near_dup_against_index(new_df: DataFrame, index: DataFrame,
@@ -486,21 +543,27 @@ def near_dup_candidates(new_df: DataFrame, index: DataFrame,
     if persist_sig:
         sig = sig.persist()
     return near_dup_candidates_from_sigs(sig, index, index_sigs, id_col,
-                                         n_hashes, bands)
+                                         n_hashes, bands, k=k)
 
 
 def near_dup_candidates_from_sigs(sig: DataFrame, index: DataFrame,
                                   index_sigs: DataFrame,
                                   id_col: str = "doc_id",
                                   n_hashes: int = 64,
-                                  bands: int = 16) -> DataFrame:
+                                  bands: int = 16,
+                                  k: int | None = None) -> DataFrame:
     """The post-signature half of ``near_dup_candidates``: candidates
     from a PRECOMPUTED (id, minhash) frame. Exposed for callers whose
     signatures do not come from a text scan — the streaming probe folds
     them incrementally in state (streaming.minhash_sig_stream), and a
     warehouse ingest that persisted the batch's signature table probes
     from that artifact directly. Same join shape and exchange notes as
-    ``near_dup_candidates``."""
+    ``near_dup_candidates``. Raises if either index artifact records
+    MinHash parameters differing from this probe's (``k=None`` skips
+    the shingle-width check for callers that never see text)."""
+    _check_mh_params(index, "MinHash index", n_hashes, bands, k)
+    _check_mh_params(index_sigs, "MinHash signature table", n_hashes,
+                     k=k)
     nb = _band_buckets(sig, id_col, n_hashes, bands)
     idxb = index.select(F.col("doc").alias("_idx_doc"), "band", "bucket")
     pairs = (nb.join(idxb, ["band", "bucket"])

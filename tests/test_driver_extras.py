@@ -542,3 +542,42 @@ def test_segment_index_two_ingest_cycle(spark):
     idx2 = update_segment_index(idx1, batch_a)
     assert sorted(map(tuple, idx2.collect())) \
         == sorted(map(tuple, idx1.collect()))
+
+
+def test_minhash_index_params_guard(spark):
+    """A persisted MinHash artifact probed under different parameters
+    must fail loudly: a k or bands mismatch scrambles every bucket
+    hash, so the silent outcome is every duplicate admitted as novel."""
+    import pytest as _pytest
+
+    from schema_inference_spark.operators.dedup import (
+        build_minhash_index,
+        build_minhash_sigs,
+        near_dup_against_index,
+        update_minhash_index,
+    )
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f h")],
+        "doc_id int, text string")
+    hist, new = docs.filter("doc_id = 1"), docs.filter("doc_id = 2")
+    idx = build_minhash_index(hist)
+    sigs = build_minhash_sigs(hist)
+    assert near_dup_against_index(new, idx, sigs).count() == 1
+
+    with _pytest.raises(ValueError, match="MinHash index"):
+        near_dup_against_index(new, idx, sigs, k=5).count()
+    with _pytest.raises(ValueError, match="MinHash index"):
+        near_dup_against_index(new, idx, sigs, bands=32).count()
+    with _pytest.raises(ValueError, match="signature table"):
+        near_dup_against_index(new, idx.drop("mh_params"),
+                               build_minhash_sigs(hist, k=5)).count()
+    with _pytest.raises(ValueError, match="MinHash index"):
+        update_minhash_index(idx, new, k=5).count()
+
+    # pre-marker artifacts (no column) pass unchecked — documented
+    legacy_idx, legacy_sigs = idx.drop("mh_params"), sigs.drop("mh_params")
+    assert near_dup_against_index(new, legacy_idx, legacy_sigs).count() == 1
+    # legacy + stamped union: null rows don't trip the guard
+    merged = update_minhash_index(legacy_idx, new)
+    assert near_dup_against_index(
+        hist, merged, build_minhash_sigs(docs)).count() == 1
