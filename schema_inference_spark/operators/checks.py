@@ -220,6 +220,60 @@ def check_conv_dup(df: DataFrame, snapshot_id: str,
     return _shape(dups, snapshot_id, "conv_dup", payload_col=payload)
 
 
+def check_conv_near_dup(df: DataFrame, snapshot_id: str,
+                        partition_col: str = "bucket",
+                        threshold: float = 0.5) -> DataFrame:
+    """Violation-store form of conversation-level NEAR-dup (the
+    re-rollout pathology ``conv_dup`` misses: same seed conversation,
+    divergent tail): one row per conversation whose assembled
+    transcript exact-Jaccard-matches an EARLIER conversation at >=
+    ``threshold`` — check_id ``conv_near_dup``, ``turn_idx`` carries
+    the turn count, payload the earliest counterpart, the best match's
+    jaccard, and the pair count. The earliest member of a near-dup
+    cluster never reports, so re-validating after dropping the flagged
+    members converges (same canonical contract as conv_dup).
+
+    Plan: the conversation fold here is the ONE fold in the engine that
+    must carry raw text on its exchange — shingling is content-
+    dependent, so no digest trick applies. Downstream is the standard
+    capped machinery (dedup.lsh_candidate_pairs banding with
+    bucket_cap, exact-Jaccard verify on the candidate pairs only). At
+    the warehouse this runs as the scheduled corpus near-dedup pass —
+    the per-ingest and streaming forms (conv_dup_against_index's
+    MinHash analog via near_dup_candidates_from_sigs, and
+    streaming.conv_near_dup_stream) exist so this full-corpus pass is
+    NOT on any ingest path. The assembled+shingled frame is persisted
+    for its three consumers (banding + both verify sides) — session
+    -scoped cache note as ``dedup.jaccard_pairs``."""
+    from .dedup import lsh_candidate_pairs, verify_candidates, with_shingles
+    assembled = (df.groupBy(F.col("conv_id").alias("doc_id"))
+                 .agg(F.min(partition_col).alias("_part"),
+                      F.count(F.lit(1)).alias("_n_turns"),
+                      F.array_join(F.transform(F.array_sort(
+                          F.collect_list(F.struct(
+                              "ts", "turn_idx",
+                              F.col("text").alias("v")))),
+                          lambda x: x["v"]), " ").alias("text")))
+    shingled = with_shingles(assembled).persist()
+    pairs = verify_candidates(lsh_candidate_pairs(shingled), shingled,
+                              threshold=threshold)
+    # best counterpart per reporting (later-id) member: min over
+    # (-jaccard, earlier id) = highest jaccard, ties to the earliest
+    best = (pairs.groupBy(F.col("d2").alias("conv_id"))
+            .agg(F.min(F.struct((-F.col("jaccard")).alias("nj"),
+                                F.col("d1").alias("m"))).alias("_b"),
+                 F.count(F.lit(1)).alias("_n_pairs")))
+    dups = (best.join(shingled.select(F.col("doc_id").alias("conv_id"),
+                                      "_part", "_n_turns"), "conv_id")
+            .withColumnRenamed("_part", "partition_id")
+            .withColumn("turn_idx", F.col("_n_turns")))
+    payload = F.to_json(F.struct(
+        F.col("_b.m").alias("matched_id"),
+        F.round(-F.col("_b.nj"), 6).alias("jaccard"),
+        F.col("_n_pairs").alias("n_pairs")))
+    return _shape(dups, snapshot_id, "conv_near_dup", payload_col=payload)
+
+
 def check_stuck_loops(df: DataFrame, snapshot_id: str,
                       min_run: int = 3, seq_col: str = "role",
                       partition_col: str = "bucket") -> DataFrame:

@@ -95,6 +95,7 @@ def validate(
     completeness: bool = False,
     stuck_loops: bool = False,
     conv_dedup: bool = False,
+    conv_near_dedup: Optional[float] = None,
     context_budget: Optional[int] = None,
     resume: bool = True,
     write_audit: bool = True,
@@ -299,6 +300,7 @@ def validate(
 
             if role_protocol or baseline_transitions or rules \
                     or completeness or stuck_loops or conv_dedup \
+                    or conv_near_dedup is not None \
                     or context_budget is not None:
                 # opt-in conversation-structure checks: the protocol
                 # matrix (checks.check_role_protocol) and/or the
@@ -355,6 +357,21 @@ def validate(
                     violations = violations.unionByName(
                         C.check_conv_dup(df_dup, snapshot_id,
                                          partition_col=partition_col)
+                        .filter(F.col("partition_id")
+                                .isin([int(p) for p in pending])))
+                if conv_near_dedup is not None:
+                    # conversation near-dup (re-rollout) members at
+                    # exact-Jaccard >= the given threshold — same
+                    # cross-partition contract as conv_dedup: full-
+                    # corpus fold, pending-partitions-only emission
+                    full_parts = [p for p in all_parts if p not in errors]
+                    df_nd = (df if set(pending) == set(full_parts)
+                             else catalog.read_snapshot(spark, snapshot_id,
+                                                        full_parts))
+                    violations = violations.unionByName(
+                        C.check_conv_near_dup(df_nd, snapshot_id,
+                                              partition_col=partition_col,
+                                              threshold=conv_near_dedup)
                         .filter(F.col("partition_id")
                                 .isin([int(p) for p in pending])))
                 if context_budget is not None:

@@ -47,6 +47,12 @@ def main() -> int:
                     help="also emit conv_dup violations for whole-"
                          "conversation duplicates (byte-identical "
                          "(role, text) turn streams under two conv_ids)")
+    ap.add_argument("--conv-near-dedup", type=float, default=None,
+                    metavar="JACCARD",
+                    help="also emit conv_near_dup violations for "
+                         "conversation-level near-duplicates (re-rollouts:"
+                         " assembled transcripts at exact-Jaccard >= the "
+                         "given threshold, e.g. 0.5)")
     ap.add_argument("--replica-of", default=None,
                     help="run the replica-verification job instead of "
                          "validate(): per-turn text equality of "
@@ -64,6 +70,7 @@ def main() -> int:
         # its exit 0 as "snapshot fully validated" when no check ran
         clashing = [n for n, v in (
             ("--conv-dedup", args.conv_dedup),
+            ("--conv-near-dedup", args.conv_near_dedup is not None),
             ("--completeness", args.completeness),
             ("--stuck-loops", args.stuck_loops),
             ("--context-budget", args.context_budget is not None),
@@ -126,6 +133,7 @@ def main() -> int:
                       completeness=args.completeness,
                       stuck_loops=args.stuck_loops,
                       conv_dedup=args.conv_dedup,
+                      conv_near_dedup=args.conv_near_dedup,
                       context_budget=args.context_budget,
                       resume=not args.no_resume)
 

@@ -241,3 +241,63 @@ def test_validate_replica_store_isolated_from_validate_store(spark, tmp_path):
     after = {(r.check_id, r.conv_id, r.turn_idx)
              for r in cat.read_violations(spark, "copy").collect()}
     assert after == before  # validate()'s store untouched
+
+
+def test_conv_near_dedup_detects_planted_rerollout(spark, tmp_path):
+    """validate(conv_near_dedup=...) flags a conversation that is a
+    near-copy of an earlier one (verbatim except a divergent final
+    turn) — the re-rollout conv_dedup's exact-signature check cannot
+    see — with the same cross-partition subset-run contract."""
+    import pandas as pd
+
+    from schema_inference_spark.pipeline import validate
+    from schema_inference_spark.sources.catalog import SnapshotCatalog
+    from schema_inference_spark.sources.transcripts import (
+        generate_turns,
+        write_snapshot,
+    )
+
+    table = generate_turns(n_conv=40, seed=13)
+    pdf = table.to_pandas()
+    planted = pdf[pdf.conv_id == "c000003"].copy()
+    planted["conv_id"] = "znear03a"
+    last = planted.turn_idx == planted.turn_idx.max()
+    planted.loc[last, "text"] = "totally divergent rerollout tail here"
+    merged = pa.Table.from_pandas(
+        pd.concat([pdf, planted], ignore_index=True),
+        schema=table.schema, preserve_index=False)
+    root = str(tmp_path / "snap")
+    write_snapshot(root, "s1", merged, n_buckets=4)
+    cat = SnapshotCatalog(root)
+
+    res = validate(spark, cat, "s1", conv_near_dedup=0.5, resume=False,
+                   write_audit=False)
+    v = res.violations.filter("check_id = 'conv_near_dup'").collect()
+    assert {r.conv_id for r in v} == {"znear03a"}
+    info = json.loads(v[0].payload)
+    assert info["matched_id"] == "c000003"
+    assert 0.5 <= info["jaccard"] < 1.0   # near, not exact
+    # invisible to the exact check
+    res2 = validate(spark, cat, "s1", conv_dedup=True, resume=False,
+                    write_audit=False)
+    assert res2.violations.filter(
+        "check_id = 'conv_dup' and conv_id = 'znear03a'").count() == 0
+
+    # cross-partition subset run: validating only the member's bucket
+    # still detects it against the unread canonical's bucket
+    full = cat.read_snapshot(spark, "s1")
+    buckets = {r.conv_id: r.bucket for r in
+               full.filter(F.col("conv_id").isin("c000003", "znear03a"))
+               .select("conv_id", "bucket").distinct().collect()}
+    assert buckets["c000003"] != buckets["znear03a"]
+    res3 = validate(spark, cat, "s1", conv_near_dedup=0.5, resume=False,
+                    write_audit=False,
+                    partitions=[buckets["znear03a"]])
+    v3 = res3.violations.filter("check_id = 'conv_near_dup'").collect()
+    assert {r.conv_id for r in v3} == {"znear03a"}
+    assert {r.partition_id for r in v3} == {buckets["znear03a"]}
+    # the canonical's bucket alone emits nothing (earliest never reports)
+    res4 = validate(spark, cat, "s1", conv_near_dedup=0.5, resume=False,
+                    write_audit=False, partitions=[buckets["c000003"]])
+    assert res4.violations.filter(
+        "check_id = 'conv_near_dup'").count() == 0
