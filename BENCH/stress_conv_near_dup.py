@@ -35,8 +35,15 @@ CORPUS = sys.argv[1] if len(sys.argv) > 1 else "/dev/shm/scaling_r5g/scale"
 
 
 def main():
+    # 512 shuffle partitions, NOT the suite's 64: the assembled fold and
+    # the shingle explode carry raw transcript text, and a 19.1M-turn
+    # corpus at 64 partitions puts ~1 GB of buffered aggregation state
+    # per partition x 32 concurrent tasks on one 32 GB heap (measured
+    # OOM). Sizing the text-carrying exchanges so partitions fit
+    # executor memory is the standing 100-TB guidance (SURVEY §2.D18);
+    # AQE coalesces the small post-fold stages back down.
     spark = get_spark(app_name="stress-conv-near-dup", master="local[32]",
-                      shuffle_partitions=64)
+                      shuffle_partitions=512)
     turns = (spark.read.option("basePath", CORPUS)
              .parquet(os.path.join(CORPUS, "bucket=*")))
     n = turns.count()

@@ -242,19 +242,32 @@ def check_conv_near_dup(df: DataFrame, snapshot_id: str,
     the per-ingest and streaming forms (conv_dup_against_index's
     MinHash analog via near_dup_candidates_from_sigs, and
     streaming.conv_near_dup_stream) exist so this full-corpus pass is
-    NOT on any ingest path. The assembled+shingled frame is persisted
-    for its three consumers (banding + both verify sides) — session
-    -scoped cache note as ``dedup.jaccard_pairs``."""
+    NOT on any ingest path.
+
+    MEMORY CONTRACT (measured, not guessed): what gets persisted for
+    the three shingle consumers (banding + both verify sides) is the
+    ASSEMBLED frame — one text row per conversation — and each
+    consumer recomputes shingles from it (narrow, JVM-side, no extra
+    shuffle). Caching the shingled frame instead OOMs at corpus scale:
+    the distinct word-k-shingle arrays are ~k× the text in per-string
+    JVM objects, and materializing them into storage blocks blew a
+    32 GB heap at 19.1M turns (BENCH/stress_conv_near_dup.py) while
+    the assembled-text cache fits comfortably. Session-scoped cache
+    note as ``dedup.jaccard_pairs``. ``partition_col`` rides the fold
+    as a functionally-dependent group column (a conversation lives in
+    exactly one partition — same contract as ``conv_sigs``)."""
+    from .conversations import assemble_conversations
     from .dedup import lsh_candidate_pairs, verify_candidates, with_shingles
-    assembled = (df.groupBy(F.col("conv_id").alias("doc_id"))
-                 .agg(F.min(partition_col).alias("_part"),
-                      F.count(F.lit(1)).alias("_n_turns"),
-                      F.array_join(F.transform(F.array_sort(
-                          F.collect_list(F.struct(
-                              "ts", "turn_idx",
-                              F.col("text").alias("v")))),
-                          lambda x: x["v"]), " ").alias("text")))
-    shingled = with_shingles(assembled).persist()
+    assembled = (assemble_conversations(
+        df, key_col="conv_id", ts_col="ts", seq_col="text",
+        tiebreak_col="turn_idx", sep=" ",
+        extra_group_cols=[partition_col])
+        .select(F.col("conv_id").alias("doc_id"),
+                F.col(partition_col).alias("_part"),
+                F.col("n_turns").alias("_n_turns"),
+                F.col("seq").alias("text"))
+        .persist())
+    shingled = with_shingles(assembled)
     pairs = verify_candidates(lsh_candidate_pairs(shingled), shingled,
                               threshold=threshold)
     # best counterpart per reporting (later-id) member: min over
@@ -263,8 +276,8 @@ def check_conv_near_dup(df: DataFrame, snapshot_id: str,
             .agg(F.min(F.struct((-F.col("jaccard")).alias("nj"),
                                 F.col("d1").alias("m"))).alias("_b"),
                  F.count(F.lit(1)).alias("_n_pairs")))
-    dups = (best.join(shingled.select(F.col("doc_id").alias("conv_id"),
-                                      "_part", "_n_turns"), "conv_id")
+    dups = (best.join(assembled.select(F.col("doc_id").alias("conv_id"),
+                                       "_part", "_n_turns"), "conv_id")
             .withColumnRenamed("_part", "partition_id")
             .withColumn("turn_idx", F.col("_n_turns")))
     payload = F.to_json(F.struct(

@@ -43,11 +43,18 @@ def assemble_conversations(
     tiebreak_col: str,
     sep: str = ">",
     max_turns: Optional[int] = None,
+    extra_group_cols: Sequence[str] = (),
 ) -> DataFrame:
     """One row per key: ``n_turns``, ``seq`` (ordered ``seq_col`` values
     joined by ``sep``), ``first_us``/``last_us`` (epoch microseconds of
-    the span). Ordering is (ts, tiebreak) — stable under the per-turn
-    text-equality invariant's "stable turn ordering" clause."""
+    the span). Ordering is (ts, tiebreak, value) — stable under the
+    per-turn text-equality invariant's "stable turn ordering" clause.
+    ``extra_group_cols`` ride the fold as functionally-dependent group
+    columns (e.g. the catalog bucket — a conversation lives in exactly
+    one), same contract as ``conv_sigs``. This is THE assembled-
+    transcript fold: every conversation-granularity consumer
+    (near-dup shingling, the driver queries' assembled CTE) goes
+    through it so the ordering semantics live in one place."""
     ts = F.col(ts_col).cast("timestamp")
     turn = F.struct(
         F.unix_micros(ts).alias("us"),
@@ -57,7 +64,7 @@ def assemble_conversations(
     if max_turns is not None:
         turns = F.slice(turns, 1, int(max_turns))
     return (df
-            .groupBy(key_col)
+            .groupBy(key_col, *[F.col(c) for c in extra_group_cols])
             .agg(F.count(F.lit(1)).alias("n_turns"),
                  F.array_join(
                      F.transform(turns, lambda x: x["v"]), sep).alias("seq"),

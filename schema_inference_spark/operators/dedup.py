@@ -412,6 +412,11 @@ def update_minhash_sigs(sigs: DataFrame, new_df: DataFrame,
     so one ingest cycle pays the signature aggregation once."""
     fresh = build_minhash_sigs(new_df, id_col, text_col, n_hashes, k,
                                sig=sig)
+    # same loud-mismatch guard as update_minhash_index: appending
+    # k/n_hashes-mismatched rows would produce a mixed-lane table whose
+    # probe-time check reads only one row's stamp — half the estimates
+    # would be silent garbage
+    _check_mh_params(sigs, "MinHash signature table", n_hashes, k=k)
     # allowMissingColumns: a pre-marker signature table appends with
     # null mh_params (passes the guard unchecked, documented there)
     return (sigs.unionByName(fresh, allowMissingColumns=True)

@@ -335,45 +335,52 @@ def validate(
                     violations = violations.unionByName(
                         C.check_stuck_loops(df, snapshot_id,
                                             partition_col=partition_col))
-                if conv_dedup:
-                    # whole-conversation duplicate members: one fold
-                    # exchange on the conv key (turn content digested
-                    # map-side) + a signature-keyed join over the
-                    # one-row-per-conversation frame; invisible to every
-                    # other check (a duplicate transcript is internally
-                    # perfectly well-formed). UNLIKE the other opt-ins
-                    # this check is cross-partition (dup members live in
-                    # different buckets), so a resumed run must compute
-                    # signatures over the FULL corpus — but it emits
-                    # rows only for PENDING partitions: the completed
-                    # partitions' members were emitted by the run that
-                    # completed them, and re-emitting would let the
-                    # store's per-partition overwrite wipe their other
-                    # checks' persisted rows.
+                if (conv_dedup or conv_near_dedup is not None) and pending:
+                    # whole-conversation dedup checks. UNLIKE the other
+                    # opt-ins these are cross-partition (dup members
+                    # live in different buckets), so a resumed run must
+                    # fold the FULL corpus (minus errored partitions) —
+                    # ONE read plan shared by both — but emits rows only
+                    # for PENDING partitions: the completed partitions'
+                    # members were emitted by the run that completed
+                    # them, and re-emitting would let the store's
+                    # per-partition overwrite wipe their other checks'
+                    # persisted rows. (`and pending`: with nothing
+                    # pending the post-fold filter would discard every
+                    # row, so skipping avoids paying the corpus fold —
+                    # the near-dup one carries raw text — for a
+                    # guaranteed-empty result.) Emission across runs is
+                    # COMPLETE because snapshots are immutable: every
+                    # run folds the same full corpus, so the run that
+                    # validates a reporter's partition sees its dup
+                    # group and emits it — rows for new data appended
+                    # AS A NEW SNAPSHOT come from that snapshot's own
+                    # validation (or the incremental index probes).
                     full_parts = [p for p in all_parts if p not in errors]
-                    df_dup = (df if set(pending) == set(full_parts)
-                              else catalog.read_snapshot(spark, snapshot_id,
-                                                         full_parts))
-                    violations = violations.unionByName(
-                        C.check_conv_dup(df_dup, snapshot_id,
-                                         partition_col=partition_col)
-                        .filter(F.col("partition_id")
-                                .isin([int(p) for p in pending])))
-                if conv_near_dedup is not None:
-                    # conversation near-dup (re-rollout) members at
-                    # exact-Jaccard >= the given threshold — same
-                    # cross-partition contract as conv_dedup: full-
-                    # corpus fold, pending-partitions-only emission
-                    full_parts = [p for p in all_parts if p not in errors]
-                    df_nd = (df if set(pending) == set(full_parts)
-                             else catalog.read_snapshot(spark, snapshot_id,
-                                                        full_parts))
-                    violations = violations.unionByName(
-                        C.check_conv_near_dup(df_nd, snapshot_id,
-                                              partition_col=partition_col,
-                                              threshold=conv_near_dedup)
-                        .filter(F.col("partition_id")
-                                .isin([int(p) for p in pending])))
+                    df_full = (df if set(pending) == set(full_parts)
+                               else catalog.read_snapshot(spark, snapshot_id,
+                                                          full_parts))
+                    pend_ids = [int(p) for p in pending]
+                    if conv_dedup:
+                        # exact members: one fold exchange on the conv
+                        # key (turn content digested map-side) + a
+                        # signature-keyed join over the one-row-per-
+                        # conversation frame; invisible to every other
+                        # check (a duplicate transcript is internally
+                        # perfectly well-formed)
+                        violations = violations.unionByName(
+                            C.check_conv_dup(df_full, snapshot_id,
+                                             partition_col=partition_col)
+                            .filter(F.col("partition_id").isin(pend_ids)))
+                    if conv_near_dedup is not None:
+                        # near-dup (re-rollout) members at exact-Jaccard
+                        # >= the given threshold
+                        violations = violations.unionByName(
+                            C.check_conv_near_dup(
+                                df_full, snapshot_id,
+                                partition_col=partition_col,
+                                threshold=conv_near_dedup)
+                            .filter(F.col("partition_id").isin(pend_ids)))
                 if context_budget is not None:
                     # running text-cost budget crossing per conversation
                     # (serving context limit / export row cap audit)
@@ -670,12 +677,25 @@ def validate_replica(
         F.col("turn_idx").cast("bigint").alias("turn_idx"),
         payload.alias("payload"))
     if write_violations:
+        import os
         import shutil
 
         store_id = f"{snapshot_id}--replica--{reference_id}"
         if partitions is None:
             shutil.rmtree(catalog._violations_dir(store_id),
                           ignore_errors=True)
+        else:
+            # dynamic partition overwrite only replaces partitions
+            # PRESENT in the written frame: a re-verified partition
+            # whose findings dropped to zero (the replica was repaired
+            # in place) writes nothing and would read back its stale
+            # rows as still-divergent — so the requested partitions'
+            # dirs are cleared explicitly first, making the subset run
+            # a true per-partition replace
+            base = catalog._violations_dir(store_id)
+            for p in partitions:
+                shutil.rmtree(os.path.join(base, f"partition_id={int(p)}"),
+                              ignore_errors=True)
         catalog.append_violations(shaped, store_id)
         shaped = (catalog.read_violations(spark, store_id)
                   .withColumn("snapshot_id", F.lit(snapshot_id)))

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from typing import Iterator, List, Tuple
 
 import numpy as np
@@ -798,9 +799,15 @@ def conv_dup_stream(sdf: DataFrame, index: DataFrame, emit,
     def _probe(batch_df: DataFrame, epoch_id: int) -> None:
         rows = batch_df.collect()
         fresh = [r for r in rows if r["conv_id"] not in seen]
-        seen.update(r["conv_id"] for r in fresh)
         first = batch_df.sparkSession.createDataFrame(fresh, batch_df.schema)
         emit(conv_dup_against_index(first, index), epoch_id)
+        # only after a successful emit: if emit (or the probe) throws and
+        # the engine retries this micro-batch, a pre-updated seen-set
+        # would make the retry's `fresh` empty and those conversations
+        # would never be probed (silent at-most-once loss); updating
+        # afterwards keeps the retry exact and costs only the documented
+        # checkpoint-restart duplicate direction
+        seen.update(r["conv_id"] for r in fresh)
 
     return (sigs.writeStream.outputMode("update").foreachBatch(_probe))
 
@@ -861,8 +868,21 @@ def minhash_sig_stream(sdf: DataFrame, text_col: str = "text",
             mins = np.minimum(mins, hash_int32_vec(seeds, h) % BIG)
         return mins
 
+    # tokenization mirrors dedup.normalized(): Java's \s is ASCII-only
+    # ([ \t\n\x0b\f\r]), so a Unicode space (\xa0,  , ...) stays
+    # INSIDE its token exactly as the batch fold keeps it — Python's
+    # str.split() would split there and the signatures would diverge.
+    # One known residual vs the batch: a conversation whose FIRST
+    # turn's text begins with non-space ASCII whitespace gains an
+    # empty head token batch-side (F.trim strips 0x20 only, before the
+    # \s+ collapse), i.e. one extra leading shingle this per-turn fold
+    # cannot see; everywhere else per-turn edge whitespace merges into
+    # the assembled join-space and collapses identically.
+    _ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
     def _tok(x) -> list:
-        return [] if x is None else str(x).lower().split()
+        return ([] if x is None
+                else [t for t in _ws.split(str(x).lower()) if t])
 
     def fn(key: Tuple[str], pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
@@ -872,16 +892,29 @@ def minhash_sig_stream(sdf: DataFrame, text_col: str = "text",
             mins_p, ti_p, ts_p, nt_p, hd_p, tl_p = state.get
             state.remove()
             mins = np.asarray(mins_p, dtype=np.int64)
-            order = np.lexsort((np.asarray(ti_p, dtype=np.int64),
+            # (ts, turn_idx, stored-head-words): the batch fold's
+            # array_sort(struct(us, tb, text)) breaks (ts, turn_idx)
+            # ties on the RAW turn text; state holds only the
+            # normalized head fragment, so the tie lands on that
+            # instead (numpy unicode compare = code-point order =
+            # UTF-8 byte order = Spark's string compare). Residual
+            # divergence: tied turns whose raw texts order differently
+            # than their normalized heads — the price of the
+            # payload-free state doctrine, documented over stored.
+            order = np.lexsort((np.asarray(hd_p, dtype="U"),
+                                np.asarray(ti_p, dtype=np.int64),
                                 np.asarray(ts_p, dtype=np.int64)))
             # reduced token stream: short turns whole, long turns
             # head + sentinel + tail; windows containing a sentinel
             # would span an omitted interior (already folded) — skip
             stream: list = []
             for j in order:
-                toks = hd_p[j].split()
+                # _tok, not str.split(): the stored fragments are
+                # " "-joined _tok output, and a token carrying a
+                # Unicode space must survive the round-trip intact
+                toks = _tok(hd_p[j])
                 if nt_p[j] > short_cap:
-                    stream += toks + [None] + tl_p[j].split()
+                    stream += toks + [None] + _tok(tl_p[j])
                 else:
                     stream += toks
             wins = [stream[i:i + k] for i in range(len(stream) - k + 1)]
@@ -935,7 +968,8 @@ def minhash_sig_stream(sdf: DataFrame, text_col: str = "text",
 def conv_near_dup_stream(sdf: DataFrame, index: DataFrame,
                          index_sigs: DataFrame, emit,
                          text_col: str = "text", idle_ms: int = 60_000,
-                         threshold: float = 0.5):
+                         threshold: float = 0.5, n_hashes: int = 64,
+                         k: int = 3):
     """Streaming conversation-level near-dup against a persistent
     MinHash index: minhash_sig_stream closes each conversation to one
     signature row, and every micro-batch of closed conversations runs
@@ -951,20 +985,28 @@ def conv_near_dup_stream(sdf: DataFrame, index: DataFrame,
         near_dup_verify,
     )
 
-    sigs = minhash_sig_stream(sdf, text_col=text_col, idle_ms=idle_ms)
+    sigs = minhash_sig_stream(sdf, text_col=text_col, idle_ms=idle_ms,
+                              n_hashes=n_hashes, k=k)
     seen: set = set()
 
     def _probe(batch_df: DataFrame, epoch_id: int) -> None:
         rows = batch_df.collect()
         fresh = [r for r in rows if r["conv_id"] not in seen]
-        seen.update(r["conv_id"] for r in fresh)
         first = batch_df.sparkSession.createDataFrame(fresh,
                                                       batch_df.schema)
+        # k is passed EXPLICITLY: this probe's signatures come from the
+        # stream fold above, whose shingle width is k — omitting it
+        # (k=None) would skip the mh_params shingle-width comparison
+        # and a k-mismatched index would silently admit every streamed
+        # near-duplicate as novel, the exact failure the stamp exists
+        # to make loud
         cand = near_dup_candidates_from_sigs(
             first.select(F.col("conv_id").alias("doc_id"), "minhash"),
-            index, index_sigs)
-        emit(near_dup_verify(cand, threshold)
+            index, index_sigs, n_hashes=n_hashes, k=k)
+        emit(near_dup_verify(cand, threshold, n_hashes=n_hashes)
              .withColumnRenamed("doc_id", "conv_id"), epoch_id)
+        # after the emit — see conv_dup_stream's retry note
+        seen.update(r["conv_id"] for r in fresh)
 
     return (sigs.writeStream.outputMode("update").foreachBatch(_probe))
 

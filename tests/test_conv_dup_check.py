@@ -301,3 +301,51 @@ def test_conv_near_dedup_detects_planted_rerollout(spark, tmp_path):
                     write_audit=False, partitions=[buckets["c000003"]])
     assert res4.violations.filter(
         "check_id = 'conv_near_dup'").count() == 0
+
+
+def test_validate_replica_subset_rerun_clears_repaired_partition(spark,
+                                                                 tmp_path):
+    """A partitions= subset re-run is a true per-partition REPLACE:
+    after the replica is repaired in place, the same subset run must
+    read back ZERO rows for that partition — dynamic partition
+    overwrite alone would leave the stale divergence rows (nothing is
+    written for a clean partition) and report the repaired replica as
+    still divergent."""
+    import shutil
+
+    from schema_inference_spark.pipeline import validate_replica
+    from schema_inference_spark.sources.catalog import SnapshotCatalog
+    from schema_inference_spark.sources.transcripts import (
+        generate_turns,
+        write_snapshot,
+    )
+
+    table = generate_turns(n_conv=24, seed=7)
+    root = str(tmp_path / "snap")
+    write_snapshot(root, "ref", table, n_buckets=4)
+
+    pdf = table.to_pandas()
+    mut = (pdf.conv_id == "c000004") & (pdf.turn_idx == 1)
+    assert mut.sum() == 1
+    pdf.loc[mut, "text"] = pdf.loc[mut, "text"] + " CORRUPTED"
+    bad = pa.Table.from_pandas(pdf, schema=table.schema,
+                               preserve_index=False)
+    write_snapshot(root, "copy", bad, n_buckets=4)
+    cat = SnapshotCatalog(root)
+
+    first = validate_replica(spark, cat, "copy", "ref",
+                             write_violations=True).collect()
+    assert {(r.check_id, r.conv_id) for r in first} \
+        == {("replica_text_mismatch", "c000004")}
+    bucket = first[0].partition_id
+
+    # repair the copy IN PLACE (re-migrate the same snapshot id)
+    shutil.rmtree(str(tmp_path / "snap" / "copy"))
+    write_snapshot(root, "copy", table, n_buckets=4)
+    again = validate_replica(spark, cat, "copy", "ref",
+                             partitions=[bucket],
+                             write_violations=True).collect()
+    assert again == []
+    # and the persisted store agrees (the stale rows were cleared)
+    assert cat.read_violations(
+        spark, "copy--replica--ref").count() == 0

@@ -573,6 +573,26 @@ def test_minhash_index_params_guard(spark):
                                build_minhash_sigs(hist, k=5)).count()
     with _pytest.raises(ValueError, match="MinHash index"):
         update_minhash_index(idx, new, k=5).count()
+    # the signature-table update has the same guard as the index update:
+    # a mismatched append would build a mixed-lane table whose probe-time
+    # check reads only one row's stamp
+    from pyspark.sql import functions as F
+
+    from schema_inference_spark.operators.dedup import (
+        near_dup_candidates_from_sigs,
+        update_minhash_sigs,
+    )
+    with _pytest.raises(ValueError, match="signature table"):
+        update_minhash_sigs(sigs, new, k=5).count()
+    # probing from precomputed signatures with an EXPLICIT k (the
+    # streaming probe's form) trips the shingle-width comparison that
+    # k=None would skip
+    with _pytest.raises(ValueError, match="MinHash index"):
+        near_dup_candidates_from_sigs(
+            build_minhash_sigs(new).select(F.col("doc").alias("doc_id"),
+                                           "minhash"),
+            build_minhash_index(hist, k=5),
+            build_minhash_sigs(hist, k=5), k=3).count()
 
     # pre-marker artifacts (no column) pass unchecked — documented
     legacy_idx, legacy_sigs = idx.drop("mh_params"), sigs.drop("mh_params")

@@ -190,3 +190,36 @@ def test_conv_near_dup_stream_probes_index(spark, tmp_path):
             for r in D.near_dup_against_index(new_assembled, index,
                                               index_sigs).collect()]
     assert got == want
+
+
+def test_minhash_sig_stream_tied_turns_and_unicode_whitespace(spark,
+                                                              tmp_path):
+    """Two batch-parity edges: (a) turns TIED on (ts, turn_idx) — the
+    F1 duplicate-key anomaly — order by their text on both engines
+    (the stream ties on the stored normalized head, which agrees with
+    the batch's raw-text tiebreak whenever the heads differ); (b) a
+    Unicode space (\\xa0) stays INSIDE its token exactly as the batch
+    fold keeps it — Java's \\s is ASCII-only, so a str.split()-style
+    tokenizer would shingle differently and diverge."""
+    # D: duplicate (conv_id, turn_idx=1) rows, same ts, different texts
+    # arriving in the order OPPOSITE to their sort order
+    d_hi = "zebra yak xray wolf vulture unicorn"
+    d_lo = "apple banana cherry date elderberry fig"
+    # U: non-breaking space inside a token; ASCII tab between others
+    u0 = "foo\xa0bar baz qux quux corge"
+    u1 = "grault\tgarply waldo fred plugh xyzzy"
+    file0 = [("D", 0, "opening words here"), ("D", 1, d_hi),
+             ("U", 0, u0)]
+    file1 = [("D", 1, d_lo), ("D", 2, "closing words there"),
+             ("U", 1, u1)]
+    q, got = _run_sig_stream(spark, tmp_path, [file0, file1])
+    try:
+        deadline = time.monotonic() + 90
+        while time.monotonic() < deadline and len(got) < 2:
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    want = _batch_sigs(spark, file0 + file1)
+    assert set(got) == {"D", "U"}
+    assert list(got["D"]) == list(want["D"])
+    assert list(got["U"]) == list(want["U"])
