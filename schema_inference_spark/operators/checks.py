@@ -24,7 +24,7 @@ invariant: by-value failure propagation, algo_w.clj:9-11).
 from __future__ import annotations
 
 import json
-from typing import Iterable, List
+from typing import Iterable, List, Optional
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -222,7 +222,8 @@ def check_conv_dup(df: DataFrame, snapshot_id: str,
 
 def check_conv_near_dup(df: DataFrame, snapshot_id: str,
                         partition_col: str = "bucket",
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        max_turns: Optional[int] = 1024) -> DataFrame:
     """Violation-store form of conversation-level NEAR-dup (the
     re-rollout pathology ``conv_dup`` misses: same seed conversation,
     divergent tail): one row per conversation whose assembled
@@ -255,11 +256,34 @@ def check_conv_near_dup(df: DataFrame, snapshot_id: str,
     the assembled-text cache fits comfortably. Session-scoped cache
     note as ``dedup.jaccard_pairs``. ``partition_col`` rides the fold
     as a functionally-dependent group column (a conversation lives in
-    exactly one partition — same contract as ``conv_sigs``)."""
+    exactly one partition — same contract as ``conv_sigs``).
+
+    WHALE GUARD: transcripts are compared on their first ``max_turns``
+    turns. Without the cap one pathological conversation dominates
+    everything row-wise — the 19.1M-turn scaling corpus plants a
+    1.9M-turn / 360 MB conversation, and its assembled row's shingle
+    array (~54M strings built by per-row higher-order expressions)
+    is multi-GB in one task: the measured outcome is heap exhaustion
+    or a never-finishing stage, at ANY cluster size, because a single
+    row cannot be split across tasks. Prefix comparison is also
+    semantically aligned with the pathology this check hunts: a
+    re-rollout shares the seed HEAD and diverges at the tail, so two
+    conversations identical through the cap report as near-dups —
+    the documented prefix semantics (a megaturn conversation is
+    itself pathological and surfaces via check_stuck_loops /
+    context_budget). The cap is a MAP-SIDE filter on the turn ordinal
+    (``turn_idx < max_turns``), not a post-fold slice: it bounds the
+    fold's exchange bytes AND its per-group aggregation buffer before
+    any shuffle, which a slice after ``collect_list`` cannot (the
+    whale's 360 MB would still materialize in one group's state).
+    ``max_turns=None`` disables the cap; ``turn_idx`` always carries
+    the turn count of the COMPARED prefix."""
     from .conversations import assemble_conversations
     from .dedup import lsh_candidate_pairs, verify_candidates, with_shingles
+    capped = (df if max_turns is None
+              else df.filter(F.col("turn_idx") < int(max_turns)))
     assembled = (assemble_conversations(
-        df, key_col="conv_id", ts_col="ts", seq_col="text",
+        capped, key_col="conv_id", ts_col="ts", seq_col="text",
         tiebreak_col="turn_idx", sep=" ",
         extra_group_cols=[partition_col])
         .select(F.col("conv_id").alias("doc_id"),

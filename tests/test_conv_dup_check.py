@@ -349,3 +349,39 @@ def test_validate_replica_subset_rerun_clears_repaired_partition(spark,
     # and the persisted store agrees (the stale rows were cleared)
     assert cat.read_violations(
         spark, "copy--replica--ref").count() == 0
+
+
+def test_check_conv_near_dup_whale_cap_prefix_semantics(spark):
+    """The max_turns whale guard compares PREFIXES: a pair identical
+    through the cap but divergent beyond it reports as a near-dup
+    (jaccard ~1.0) under the cap, while the uncapped check sees the
+    divergence — and the cap is a map-side turn_idx filter, so the
+    whale's tail never reaches the fold's exchange."""
+    from schema_inference_spark.operators.checks import check_conv_near_dup
+
+    shared = [(0, "a", i, "user", f"common words alpha beta tok{i} gamma")
+              for i in range(20)]
+    tail = [(0, "b", i, "user",
+             f"entirely different divergent content piece{i} here")
+            for i in range(20, 120)]
+    a = [(0, "a", i, ro, t) for (_, _, i, ro, t) in shared]
+    b = ([(1, "b", i, ro, t) for (_, _, i, ro, t) in shared]
+         + [(1, "b", i, ro, t) for (_, _, i, ro, t) in tail])
+    df = spark.createDataFrame(
+        [(bk, cv, ix, ro, tx,
+          dt.datetime(2026, 1, 1) + dt.timedelta(seconds=ix))
+         for (bk, cv, ix, ro, tx) in a + b],
+        "bucket int, conv_id string, turn_idx int, role string, "
+        "text string, ts timestamp")
+
+    capped = check_conv_near_dup(df, "s", threshold=0.5,
+                                 max_turns=20).collect()
+    assert {r.conv_id for r in capped} == {"b"}
+    info = json.loads(capped[0].payload)
+    assert info["matched_id"] == "a" and info["jaccard"] >= 0.99
+    # turn_idx reports the COMPARED prefix's turn count
+    assert capped[0].turn_idx == 20
+
+    # uncapped: the 100 divergent turns dilute jaccard below threshold
+    assert check_conv_near_dup(df, "s", threshold=0.5,
+                               max_turns=None).count() == 0
