@@ -105,6 +105,50 @@ def validate(
     partition_col: str = "bucket",
     partitions: Optional[List[int]] = None,
 ) -> ValidationResult:
+    """Validate one snapshot end-to-end: schema inference + row-level
+    constraint checks + opt-in conversation-structure checks, with
+    per-partition verdicts, violation rows, and checkpoint/resume —
+    the engine's main entry point (the north rule's job, deployed by
+    ``submit_validate.py``).
+
+    Always on: per-partition schema inference (the reference's
+    Algorithm-W merge semantics over column states; conflicts emit
+    ``mgu_failure`` violation rows), uniqueness of (conv_id, turn_idx)
+    (D10), role/tool referential integrity (D11, ``role_vocab`` /
+    ``tool_vocab`` default to the module vocabularies), and turn-
+    ordering gap/regression checks (D12). A corrupt partition gets a
+    ``verdict='error'`` row and is excluded — never aborts the run —
+    and is NOT marked completed, so a resumed run retries exactly the
+    errored partitions after repair (the reference's ``:throw`` at
+    partition granularity).
+
+    Opt-in, each adding the minimum extra plan over the shared scan:
+    ``baseline_sketches``/``baseline_schema`` (PSI/KS drift + schema
+    compat vs a baseline snapshot, D13), ``contract`` (sub-schema
+    conformance gate), ``role_protocol`` (transition-matrix check),
+    ``baseline_transitions`` (structure drift), ``rules`` (declared
+    FD/implication constraints), ``completeness`` (head-truncation /
+    gap totals per conversation), ``stuck_loops`` (repeated-run
+    detection), ``conv_dedup`` (whole-conversation exact dup members),
+    ``conv_near_dedup=<jaccard>`` (conversation near-dups — re-rollouts
+    — at the given exact-Jaccard threshold; the one raw-text fold, see
+    ``checks.check_conv_near_dup`` for its memory contract), and
+    ``context_budget`` (running text-cost crossings).
+
+    Execution: a metadata census first selects the check path —
+    ``clustered`` (one fused native Arrow scan, zero shuffle, taken
+    when the manifest declares the Iceberg sort-order contract and the
+    snapshot is past the measured ~2M-row amortization point),
+    ``fused`` (one scan + one skew-blocked shuffle), or ``separate``;
+    all three are row-identical (tested) and the chosen path is
+    reported as ``ValidationResult.check_path``. ``resume=True`` skips
+    partitions already marked complete in the audit store;
+    ``partitions=[...]`` restricts to an explicit subset (the conv-
+    dedup checks still fold the full corpus but emit only pending
+    partitions' rows). ``write_audit``/``write_violations`` persist
+    per-partition lineage + violation rows idempotently (dynamic
+    per-partition overwrite), which is what makes interrupted runs
+    resumable without rescanning validated partitions."""
     t0 = time.monotonic()
     _mark = profile_marker("validate")
 
