@@ -832,13 +832,28 @@ MINHASH_SIG_STATE_SCHEMA = (
 
 def minhash_sig_stream(sdf: DataFrame, text_col: str = "text",
                        idle_ms: int = 60_000, n_hashes: int = 64,
-                       k: int = 3) -> DataFrame:
+                       k: int = 3,
+                       max_turns: int | None = None) -> DataFrame:
     """Streaming form of ``dedup.minhash_signature`` over the ASSEMBLED
     conversation (ordered turn texts joined by spaces): each
     conversation's MinHash signature is emitted ONCE when it goes idle
     for ``idle_ms``, byte-identical to the batch fold over the same
     turns (asserted in tests/test_streaming_minhash.py) — the signature
     half of the streaming conversation near-dup probe.
+
+    ``max_turns`` is the streaming face of ``check_conv_near_dup``'s
+    whale guard: per-conversation state holds one boundary row per
+    turn, so without a cap a megaturn conversation (the scaling
+    corpus plants 1.9M turns) accumulates an unbounded state value.
+    Turns with ``turn_idx >= max_turns`` are ignored entirely —
+    neither folded nor stored — making the signature the PREFIX
+    signature, byte-identical to the batch fold over
+    ``turn_idx < max_turns`` (tested). Default None preserves exact
+    whole-transcript parity; a deployment that caps must build its
+    MinHash index artifacts from the SAME capped assembled fold, or
+    probe Jaccard estimates silently degrade toward the prefix
+    fraction (the cap is a property of the text fed to the fold —
+    upstream of the ``mh_params`` stamp's scope).
 
     The fold is INCREMENTAL because min is associative/commutative: a
     turn's interior word k-shingles are hashed on arrival (pure-Python
@@ -891,6 +906,10 @@ def minhash_sig_stream(sdf: DataFrame, text_col: str = "text",
         if state.hasTimedOut:
             mins_p, ti_p, ts_p, nt_p, hd_p, tl_p = state.get
             state.remove()
+            if not ti_p:
+                # every arrived turn was beyond the max_turns cap —
+                # the capped batch frame has no row for it either
+                return
             mins = np.asarray(mins_p, dtype=np.int64)
             # (ts, turn_idx, stored-head-words): the batch fold's
             # array_sort(struct(us, tb, text)) breaks (ts, turn_idx)
@@ -936,6 +955,10 @@ def minhash_sig_stream(sdf: DataFrame, text_col: str = "text",
                            dtype=np.int64)
             ti, ts_us, nt, hd, tl = [], [], [], [], []
         for pdf in pdfs:
+            if max_turns is not None:
+                # the whale guard: beyond-cap turns never enter state
+                # or the fold (prefix-signature semantics, see above)
+                pdf = pdf[pdf["turn_idx"] < max_turns]
             ts_col = (pdf["ts"].astype("datetime64[us]")
                       .to_numpy().astype(np.int64))
             for row_i, text in enumerate(pdf[text_col]):
@@ -969,7 +992,7 @@ def conv_near_dup_stream(sdf: DataFrame, index: DataFrame,
                          index_sigs: DataFrame, emit,
                          text_col: str = "text", idle_ms: int = 60_000,
                          threshold: float = 0.5, n_hashes: int = 64,
-                         k: int = 3):
+                         k: int = 3, max_turns: int | None = None):
     """Streaming conversation-level near-dup against a persistent
     MinHash index: minhash_sig_stream closes each conversation to one
     signature row, and every micro-batch of closed conversations runs
@@ -979,14 +1002,17 @@ def conv_near_dup_stream(sdf: DataFrame, index: DataFrame,
     conv_near_dup_incremental. ``emit(df, epoch)`` receives
     (conv_id, index_id, est_jaccard) rows. Same first-emission dedup as
     conv_dup_stream: fragment re-emissions from late turns never probe.
-    Returns the writeStream handle (caller starts)."""
+    ``max_turns`` forwards to ``minhash_sig_stream``'s whale guard —
+    if set, the index artifacts must come from the SAME capped fold
+    (see the guard's docstring). Returns the writeStream handle
+    (caller starts)."""
     from ..operators.dedup import (
         near_dup_candidates_from_sigs,
         near_dup_verify,
     )
 
     sigs = minhash_sig_stream(sdf, text_col=text_col, idle_ms=idle_ms,
-                              n_hashes=n_hashes, k=k)
+                              n_hashes=n_hashes, k=k, max_turns=max_turns)
     seen: set = set()
 
     def _probe(batch_df: DataFrame, epoch_id: int) -> None:

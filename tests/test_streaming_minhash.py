@@ -223,3 +223,27 @@ def test_minhash_sig_stream_tied_turns_and_unicode_whitespace(spark,
     assert set(got) == {"D", "U"}
     assert list(got["D"]) == list(want["D"])
     assert list(got["U"]) == list(want["U"])
+
+
+def test_minhash_sig_stream_max_turns_prefix_parity(spark, tmp_path):
+    """The whale guard's streaming face: with max_turns=N the stream
+    emits the PREFIX signature, byte-identical to the batch fold over
+    turn_idx < N; beyond-cap turns never enter state or the fold, and
+    a conversation arriving entirely beyond the cap emits nothing."""
+    a = [("A", i, f"alpha beta tok{i} gamma delta common") for i in
+         range(6)]
+    z = [("Z", i, f"only beyond cap words here piece{i}") for i in
+         range(3, 6)]  # every turn >= cap
+    file0, file1 = a[:3] + z[:1], a[3:] + z[1:]
+    q, got = _run_sig_stream(spark, tmp_path, [file0, file1],
+                             max_turns=3)
+    try:
+        deadline = time.monotonic() + 90
+        while time.monotonic() < deadline and len(got) < 1:
+            time.sleep(0.2)
+        time.sleep(1.0)  # give Z's (empty) close a chance to fire
+    finally:
+        q.stop()
+    want = _batch_sigs(spark, [r for r in a if r[1] < 3])
+    assert set(got) == {"A"}          # Z emitted nothing
+    assert list(got["A"]) == list(want["A"])
