@@ -97,9 +97,13 @@ def main():
     spark.catalog.clearCache()  # the check persists its assembled fold
 
     # 2. incremental: artifact build (once) vs per-ingest probe (hot
-    # path). Same whale guard as the check (map-side turn_idx cap).
+    # path). Same whale guard as the check — the SHARED constant, so
+    # the bench's recall numbers stay tied to the check's default.
+    from schema_inference_spark.operators.checks import (
+        CONV_NEAR_DUP_MAX_TURNS,
+    )
     assembled = (assemble_conversations(
-        turns.filter(F.col("turn_idx") < 1024),
+        turns.filter(F.col("turn_idx") < CONV_NEAR_DUP_MAX_TURNS),
         key_col="conv_id", ts_col="ts", seq_col="text",
         tiebreak_col="turn_idx", sep=" ")
         .select(F.col("conv_id").alias("doc_id"),

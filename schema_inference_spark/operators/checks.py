@@ -220,10 +220,21 @@ def check_conv_dup(df: DataFrame, snapshot_id: str,
     return _shape(dups, snapshot_id, "conv_dup", payload_col=payload)
 
 
+# default prefix cap for conversation near-dup comparison — the ONE
+# definition the pipeline check, the deployment flag, and the bench
+# probes share (BENCH/stress_conv_near_dup.py's recall numbers are
+# measured at this value). The streaming fold (minhash_sig_stream)
+# defaults to None/uncapped for batch parity; a capped deployment must
+# use the same value stream-side AND in its index artifacts (enforced
+# by the mh_params fold tag).
+CONV_NEAR_DUP_MAX_TURNS = 1024
+
+
 def check_conv_near_dup(df: DataFrame, snapshot_id: str,
                         partition_col: str = "bucket",
                         threshold: float = 0.5,
-                        max_turns: Optional[int] = 1024) -> DataFrame:
+                        max_turns: Optional[int] =
+                        CONV_NEAR_DUP_MAX_TURNS) -> DataFrame:
     """Violation-store form of conversation-level NEAR-dup (the
     re-rollout pathology ``conv_dup`` misses: same seed conversation,
     divergent tail): one row per conversation whose assembled

@@ -300,44 +300,68 @@ MH_SCHEME_VERSION = 1
 
 
 def _mh_params(n_hashes: int, bands: int | None = None,
-               k: int | None = None) -> str:
+               k: int | None = None,
+               fold_cap: int | None = None) -> str:
     parts = [f"v{MH_SCHEME_VERSION}", f"n{n_hashes}"]
     if bands is not None:
         parts.append(f"b{bands}")
     if k is not None:
         parts.append(f"k{k}")
+    if fold_cap is not None:
+        # upstream-fold tag: the text fed to the signature was the
+        # PREFIX-capped assembled fold at this many turns (the
+        # conversation whale guard). 0 = explicitly whole-transcript.
+        parts.append(f"f{fold_cap}")
     return ":".join(parts)
 
 
 def _check_mh_params(df: DataFrame, what: str, n_hashes: int | None = None,
-                     bands: int | None = None, k: int | None = None) -> None:
+                     bands: int | None = None, k: int | None = None,
+                     fold_cap: int | None = None) -> None:
     """Raise if a persisted MinHash artifact records parameters that
     differ from the probe's — a mismatch scrambles bucket hashes or
     signature lanes and silently matches nothing. One metadata-sized
     driver action (first non-null of a constant column); artifacts
     predating the marker (no column, or null rows appended by a legacy
-    union) pass unchecked."""
+    union) pass unchecked.
+
+    ``fold_cap`` covers the upstream-fold hazard the hash parameters
+    cannot: a probe whose signatures come from a prefix-capped
+    assembled fold (``max_turns``) against a whole-transcript index —
+    or vice versa — matches SOMETHING, just with Jaccard estimates
+    silently degraded toward the prefix fraction. A caller that
+    declares its fold (0 = explicitly uncapped) requires the artifact
+    to agree, with a stamped-but-untagged artifact counting as
+    uncapped; None (document-level callers) skips the comparison."""
     if "mh_params" not in df.columns:
         return
     row = (df.select("mh_params")
            .filter(F.col("mh_params").isNotNull()).first())
     if row is None:
         return
+    seen = {tok[0]: int(tok[1:]) for tok in row[0].split(":")}
     expect = {"v": MH_SCHEME_VERSION, "n": n_hashes, "b": bands, "k": k}
-    for tok in row[0].split(":"):
-        key, want = tok[0], expect.get(tok[0])
-        if want is not None and int(tok[1:]) != int(want):
+    for key, want in expect.items():
+        if want is not None and key in seen and seen[key] != int(want):
             raise ValueError(
                 f"{what} was built under MinHash parameters '{row[0]}', "
                 f"but this probe expects {key}={want} — rebuild the "
                 f"artifact or pass the matching n_hashes/bands/k")
+    if fold_cap is not None and seen.get("f", 0) != int(fold_cap):
+        raise ValueError(
+            f"{what} was built from fold '{row[0]}' (prefix cap "
+            f"{seen.get('f', 0)}; 0 = whole transcript), but this probe's "
+            f"signatures use prefix cap {int(fold_cap)} — capped and "
+            f"uncapped folds silently degrade each other's Jaccard "
+            f"estimates; rebuild the artifact from the matching fold")
 
 
 def build_minhash_index(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n_hashes: int = 64,
                         bands: int = 16, k: int = 3,
                         bucket_cap: int = 64,
-                        sig: DataFrame | None = None) -> DataFrame:
+                        sig: DataFrame | None = None,
+                        fold_cap: int | None = None) -> DataFrame:
     """Near-dup analog of ``build_hash_index``: one (doc, band, bucket)
     row per (doc, band) — the banding half of the two-table artifact
     incremental ingest checks new documents against without touching
@@ -381,13 +405,15 @@ def build_minhash_index(df: DataFrame, id_col: str = "doc_id",
             .withColumn("_rnk", F.row_number().over(w))
             .filter(F.col("_rnk") <= bucket_cap)
             .drop("_rnk")
-            .withColumn("mh_params", F.lit(_mh_params(n_hashes, bands, k))))
+            .withColumn("mh_params",
+                        F.lit(_mh_params(n_hashes, bands, k, fold_cap))))
 
 
 def build_minhash_sigs(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n_hashes: int = 64,
                        k: int = 3,
-                       sig: DataFrame | None = None) -> DataFrame:
+                       sig: DataFrame | None = None,
+                       fold_cap: int | None = None) -> DataFrame:
     """Signature half of the MinHash index artifact: one (doc, minhash)
     row per doc — what the probe's verify stage joins per candidate
     pair. Stored bucketed by doc at the warehouse so the (broadcast
@@ -398,25 +424,28 @@ def build_minhash_sigs(df: DataFrame, id_col: str = "doc_id",
     if sig is None:
         sig = minhash_signature(df, n_hashes, text_col, k, id_col)
     return (sig.select(F.col(id_col).alias("doc"), "minhash")
-            .withColumn("mh_params", F.lit(_mh_params(n_hashes, k=k))))
+            .withColumn("mh_params",
+                        F.lit(_mh_params(n_hashes, k=k, fold_cap=fold_cap))))
 
 
 def update_minhash_sigs(sigs: DataFrame, new_df: DataFrame,
                         id_col: str = "doc_id", text_col: str = "text",
                         n_hashes: int = 64, k: int = 3,
-                        sig: DataFrame | None = None) -> DataFrame:
+                        sig: DataFrame | None = None,
+                        fold_cap: int | None = None) -> DataFrame:
     """Append an ingested batch's signatures; idempotent under
     re-ingest (one row per doc survives — signatures are deterministic
     in the text, so duplicate rows are identical). ``sig``: share the
     batch's precomputed signature frame with ``update_minhash_index``
     so one ingest cycle pays the signature aggregation once."""
     fresh = build_minhash_sigs(new_df, id_col, text_col, n_hashes, k,
-                               sig=sig)
+                               sig=sig, fold_cap=fold_cap)
     # same loud-mismatch guard as update_minhash_index: appending
     # k/n_hashes-mismatched rows would produce a mixed-lane table whose
     # probe-time check reads only one row's stamp — half the estimates
     # would be silent garbage
-    _check_mh_params(sigs, "MinHash signature table", n_hashes, k=k)
+    _check_mh_params(sigs, "MinHash signature table", n_hashes, k=k,
+                     fold_cap=fold_cap)
     # allowMissingColumns: a pre-marker signature table appends with
     # null mh_params (passes the guard unchecked, documented there)
     return (sigs.unionByName(fresh, allowMissingColumns=True)
@@ -462,7 +491,8 @@ def update_minhash_index(index: DataFrame, new_df: DataFrame,
                          id_col: str = "doc_id", text_col: str = "text",
                          n_hashes: int = 64, bands: int = 16, k: int = 3,
                          bucket_cap: int = 64,
-                         sig: DataFrame | None = None) -> DataFrame:
+                         sig: DataFrame | None = None,
+                         fold_cap: int | None = None) -> DataFrame:
     """Append an ingested batch to a MinHash index and compact:
     ``index UNION build_minhash_index(batch)`` then
     ``compact_minhash_index`` — the multi-ingest maintenance cycle
@@ -472,8 +502,10 @@ def update_minhash_index(index: DataFrame, new_df: DataFrame,
     rows plus a rewrite of only the buckets the append pushed over
     the cap."""
     fresh = build_minhash_index(new_df, id_col, text_col, n_hashes,
-                                bands, k, bucket_cap, sig=sig)
-    _check_mh_params(index, "MinHash index", n_hashes, bands, k)
+                                bands, k, bucket_cap, sig=sig,
+                                fold_cap=fold_cap)
+    _check_mh_params(index, "MinHash index", n_hashes, bands, k,
+                     fold_cap=fold_cap)
     return compact_minhash_index(
         index.unionByName(fresh, allowMissingColumns=True), bucket_cap)
 
@@ -511,7 +543,8 @@ def near_dup_candidates(new_df: DataFrame, index: DataFrame,
                         index_sigs: DataFrame,
                         id_col: str = "doc_id", text_col: str = "text",
                         n_hashes: int = 64, bands: int = 16,
-                        k: int = 3, persist_sig: bool = True) -> DataFrame:
+                        k: int = 3, persist_sig: bool = True,
+                        fold_cap: int | None = None) -> DataFrame:
     """Candidate stage of ``near_dup_against_index``: each new doc that
     shares an LSH band bucket with an indexed doc, once, with the
     signature-agreement count attached — (doc_id, index_id, n_agree).
@@ -548,7 +581,8 @@ def near_dup_candidates(new_df: DataFrame, index: DataFrame,
     if persist_sig:
         sig = sig.persist()
     return near_dup_candidates_from_sigs(sig, index, index_sigs, id_col,
-                                         n_hashes, bands, k=k)
+                                         n_hashes, bands, k=k,
+                                         fold_cap=fold_cap)
 
 
 def near_dup_candidates_from_sigs(sig: DataFrame, index: DataFrame,
@@ -556,7 +590,8 @@ def near_dup_candidates_from_sigs(sig: DataFrame, index: DataFrame,
                                   id_col: str = "doc_id",
                                   n_hashes: int = 64,
                                   bands: int = 16,
-                                  k: int | None = None) -> DataFrame:
+                                  k: int | None = None,
+                                  fold_cap: int | None = None) -> DataFrame:
     """The post-signature half of ``near_dup_candidates``: candidates
     from a PRECOMPUTED (id, minhash) frame. Exposed for callers whose
     signatures do not come from a text scan — the streaming probe folds
@@ -566,9 +601,10 @@ def near_dup_candidates_from_sigs(sig: DataFrame, index: DataFrame,
     ``near_dup_candidates``. Raises if either index artifact records
     MinHash parameters differing from this probe's (``k=None`` skips
     the shingle-width check for callers that never see text)."""
-    _check_mh_params(index, "MinHash index", n_hashes, bands, k)
+    _check_mh_params(index, "MinHash index", n_hashes, bands, k,
+                     fold_cap=fold_cap)
     _check_mh_params(index_sigs, "MinHash signature table", n_hashes,
-                     k=k)
+                     k=k, fold_cap=fold_cap)
     nb = _band_buckets(sig, id_col, n_hashes, bands)
     idxb = index.select(F.col("doc").alias("_idx_doc"), "band", "bucket")
     pairs = (nb.join(idxb, ["band", "bucket"])

@@ -96,6 +96,7 @@ def validate(
     stuck_loops: bool = False,
     conv_dedup: bool = False,
     conv_near_dedup: Optional[float] = None,
+    conv_near_dedup_max_turns: Optional[int] = None,
     context_budget: Optional[int] = None,
     resume: bool = True,
     write_audit: bool = True,
@@ -132,7 +133,10 @@ def validate(
     detection), ``conv_dedup`` (whole-conversation exact dup members),
     ``conv_near_dedup=<jaccard>`` (conversation near-dups — re-rollouts
     — at the given exact-Jaccard threshold; the one raw-text fold, see
-    ``checks.check_conv_near_dup`` for its memory contract), and
+    ``checks.check_conv_near_dup`` for its memory contract and the
+    ``max_turns`` whale guard — ``conv_near_dedup_max_turns`` tunes
+    the prefix cap, None keeps the check's measured default, and <= 0
+    disables it for whole-transcript comparison), and
     ``context_budget`` (running text-cost crossings).
 
     Execution: a metadata census first selects the check path —
@@ -418,12 +422,16 @@ def validate(
                             .filter(F.col("partition_id").isin(pend_ids)))
                     if conv_near_dedup is not None:
                         # near-dup (re-rollout) members at exact-Jaccard
-                        # >= the given threshold
+                        # >= the given threshold. max_turns: None =
+                        # the check's default cap; <= 0 = uncapped
+                        mt = conv_near_dedup_max_turns
+                        kw = {} if mt is None else {
+                            "max_turns": (int(mt) if mt > 0 else None)}
                         violations = violations.unionByName(
                             C.check_conv_near_dup(
                                 df_full, snapshot_id,
                                 partition_col=partition_col,
-                                threshold=conv_near_dedup)
+                                threshold=conv_near_dedup, **kw)
                             .filter(F.col("partition_id").isin(pend_ids)))
                 if context_budget is not None:
                     # running text-cost budget crossing per conversation

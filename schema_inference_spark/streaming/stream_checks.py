@@ -1026,9 +1026,14 @@ def conv_near_dup_stream(sdf: DataFrame, index: DataFrame,
         # and a k-mismatched index would silently admit every streamed
         # near-duplicate as novel, the exact failure the stamp exists
         # to make loud
+        # fold_cap declares this probe's assembled-fold shape (its
+        # prefix cap, 0 = whole transcript) so an index built from the
+        # OTHER fold fails loudly instead of silently degrading every
+        # Jaccard estimate toward the prefix fraction
         cand = near_dup_candidates_from_sigs(
             first.select(F.col("conv_id").alias("doc_id"), "minhash"),
-            index, index_sigs, n_hashes=n_hashes, k=k)
+            index, index_sigs, n_hashes=n_hashes, k=k,
+            fold_cap=(int(max_turns) if max_turns is not None else 0))
         emit(near_dup_verify(cand, threshold, n_hashes=n_hashes)
              .withColumnRenamed("doc_id", "conv_id"), epoch_id)
         # after the emit — see conv_dup_stream's retry note

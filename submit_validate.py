@@ -53,6 +53,14 @@ def main() -> int:
                          "conversation-level near-duplicates (re-rollouts:"
                          " assembled transcripts at exact-Jaccard >= the "
                          "given threshold, e.g. 0.5)")
+    ap.add_argument("--conv-near-dedup-max-turns", type=int, default=None,
+                    metavar="N",
+                    help="prefix cap for the near-dup whale guard: "
+                         "compare each conversation's first N turns "
+                         "(default: the check's measured 1024; pass 0 "
+                         "for whole-transcript comparison — see "
+                         "check_conv_near_dup's memory contract before "
+                         "doing that at corpus scale)")
     ap.add_argument("--replica-of", default=None,
                     help="run the replica-verification job instead of "
                          "validate(): per-turn text equality of "
@@ -134,6 +142,7 @@ def main() -> int:
                       stuck_loops=args.stuck_loops,
                       conv_dedup=args.conv_dedup,
                       conv_near_dedup=args.conv_near_dedup,
+                      conv_near_dedup_max_turns=args.conv_near_dedup_max_turns,
                       context_budget=args.context_budget,
                       resume=not args.no_resume)
 

@@ -385,3 +385,47 @@ def test_check_conv_near_dup_whale_cap_prefix_semantics(spark):
     # uncapped: the 100 divergent turns dilute jaccard below threshold
     assert check_conv_near_dup(df, "s", threshold=0.5,
                                max_turns=None).count() == 0
+
+
+def test_validate_conv_near_dedup_max_turns_plumbs_through(spark, tmp_path):
+    """validate(conv_near_dedup_max_turns=...) reaches the check: a
+    pair identical through the cap but divergent beyond it flags under
+    a small cap and does NOT flag uncapped (<=0 disables the guard)."""
+    import pandas as pd
+
+    from schema_inference_spark.pipeline import validate
+    from schema_inference_spark.sources.catalog import SnapshotCatalog
+    from schema_inference_spark.sources.transcripts import (
+        generate_turns,
+        write_snapshot,
+    )
+
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    for conv in ("a", "b"):
+        for i in range(20):
+            rows.append((conv, i, "user",
+                         f"common words alpha beta tok{i} gamma",
+                         None, base + dt.timedelta(seconds=i)))
+    for i in range(20, 120):  # b's divergent tail
+        rows.append(("b", i, "user",
+                     f"entirely different divergent content piece{i}",
+                     None, base + dt.timedelta(seconds=i)))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role",
+                                      "text", "tool", "ts"])
+    schema = generate_turns(n_conv=1, seed=1).schema
+    table = pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
+    root = str(tmp_path / "snap")
+    write_snapshot(root, "s1", table, n_buckets=2)
+    cat = SnapshotCatalog(root)
+
+    capped = validate(spark, cat, "s1", conv_near_dedup=0.5,
+                      conv_near_dedup_max_turns=20,
+                      resume=False, write_audit=False)
+    assert {r.conv_id for r in capped.violations.filter(
+        "check_id = 'conv_near_dup'").collect()} == {"b"}
+    uncapped = validate(spark, cat, "s1", conv_near_dedup=0.5,
+                        conv_near_dedup_max_turns=0,
+                        resume=False, write_audit=False)
+    assert uncapped.violations.filter(
+        "check_id = 'conv_near_dup'").count() == 0

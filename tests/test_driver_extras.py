@@ -594,6 +594,29 @@ def test_minhash_index_params_guard(spark):
             build_minhash_index(hist, k=5),
             build_minhash_sigs(hist, k=5), k=3).count()
 
+    # the fold tag: a probe that DECLARES its assembled-fold prefix cap
+    # must match the artifact's (untagged artifact = whole transcript);
+    # mismatched capped/uncapped folds silently degrade Jaccard, the
+    # hazard class the stamp exists to make loud
+    probe_sigs = build_minhash_sigs(new).select(
+        F.col("doc").alias("doc_id"), "minhash")
+    capped_idx = build_minhash_index(hist, fold_cap=1024)
+    capped_sigs = build_minhash_sigs(hist, fold_cap=1024)
+    # declared-capped probe vs capped artifact: passes
+    near_dup_candidates_from_sigs(probe_sigs, capped_idx, capped_sigs,
+                                  fold_cap=1024).count()
+    # declared-uncapped probe vs capped artifact: loud
+    with _pytest.raises(ValueError, match="prefix cap"):
+        near_dup_candidates_from_sigs(probe_sigs, capped_idx,
+                                      capped_sigs, fold_cap=0).count()
+    # declared-capped probe vs untagged (whole-transcript) artifact: loud
+    with _pytest.raises(ValueError, match="prefix cap"):
+        near_dup_candidates_from_sigs(probe_sigs, idx, sigs,
+                                      fold_cap=1024).count()
+    # undeclared probe (document-level callers): unchecked, as before
+    near_dup_candidates_from_sigs(probe_sigs, capped_idx,
+                                  capped_sigs).count()
+
     # pre-marker artifacts (no column) pass unchecked — documented
     legacy_idx, legacy_sigs = idx.drop("mh_params"), sigs.drop("mh_params")
     assert near_dup_against_index(new, legacy_idx, legacy_sigs).count() == 1
