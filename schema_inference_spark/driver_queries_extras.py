@@ -622,17 +622,17 @@ def q_cosine_near_dup_label(spark, sf_dir):
     """Embedding near-dup pairs above cosine 0.4, blocked by label (the
     deterministic blocking key both engines share — the LSH-bucketed
     variant is rows-only via q_ann_lsh_topk)."""
-    e = _t(spark, sf_dir, "embeddings")
-    vec = SIM.as_double(F.col("embedding"))
-    l = e.select(F.col("vec_id").alias("d1"), F.col("label").alias("lb1"),
-                 vec.alias("v1"), SIM._norm(vec).alias("n1"))
-    r = e.select(F.col("vec_id").alias("d2"), F.col("label").alias("lb2"),
-                 vec.alias("v2"), SIM._norm(vec).alias("n2"))
-    return (l.join(r, (F.col("lb1") == F.col("lb2"))
-                   & (F.col("d1") < F.col("d2")))
-            .select("d1", "d2",
-                    F.round(SIM._sim(F.col("v1"), F.col("n1"),
-                                     F.col("v2"), F.col("n2")), 4).alias("sim"))
+    e = (_t(spark, sf_dir, "embeddings")
+         .filter(F.col("label").isNotNull() & F.col("vec_id").isNotNull()))
+    # ~20M label-blocked pairs at sf1.0: the per-pair dot is the numpy
+    # kernel (bit-identical raw sims, JVM rounding — see
+    # operators/similarity.py) instead of an interpreted per-pair JVM
+    # expression (510s -> seconds). The null filters reproduce the old
+    # join's implicit null semantics.
+    raw = SIM.self_pair_sims(e, "label", "vec_id", "embedding",
+                             min_raw=0.4 - SIM.ROUND4_MARGIN)
+    return (raw.select("d1", "d2",
+                       F.round(F.col("sim_raw"), 4).alias("sim"))
             .filter(F.col("sim") >= 0.4)
             .orderBy("d1", "d2"))
 
@@ -717,16 +717,10 @@ def q_cosine_near_dup_lsh(spark, sf_dir):
     collateral: this query IS the operator's plan shape; the label
     query stays as the deterministic full-recall baseline."""
     seam = ann_lsh_exported(spark, sf_dir)
-    side = lambda i: seam.select(  # noqa: E731
-        F.col("nid").alias(f"d{i}"), "lsh_bucket",
-        F.col("nvec").alias(f"v{i}"),
-        SIM._norm(F.col("nvec")).alias(f"n{i}"))
-    return (side(1).join(side(2), "lsh_bucket")
-            .filter(F.col("d1") < F.col("d2"))
-            .select("d1", "d2",
-                    F.round(SIM._sim(F.col("v1"), F.col("n1"),
-                                     F.col("v2"), F.col("n2")),
-                            4).alias("sim"))
+    raw = SIM.self_pair_sims(seam, "lsh_bucket", "nid", "nvec",
+                             min_raw=0.4 - SIM.ROUND4_MARGIN)
+    return (raw.select("d1", "d2",
+                       F.round(F.col("sim_raw"), 4).alias("sim"))
             .filter(F.col("sim") >= 0.4)
             .orderBy("d1", "d2"))
 

@@ -39,13 +39,127 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
-def _sim(v1, n1, v2, n2):
-    """dot(v1,v2)/(n1*n2) with norms precomputed per ROW before the join —
-    bit-identical to computing cosine() per pair (same sequential
-    aggregates, same division) at a third of the per-pair work. Catalyst
-    inlines column expressions into every lambda use, so per-pair norms
-    would otherwise be recomputed for each candidate."""
-    return _dot(v1, v2) / (n1 * n2)
+# ---------------------------------------------------------------------------
+# Vectorized pair-similarity kernels (guide §4.2): the per-PAIR dot
+# product is the hot loop of every blocked similarity query (~N^2/blocks
+# evaluations). JVM expression trees hit a codegen wall here: the
+# interpreted HOF fold costs ~25us/pair, and a 64-term expanded chain
+# inside a join stage generates a consume() method past the JIT's
+# 8000-bytecode HugeMethodLimit, so it runs interpreted (~130us/pair,
+# measured — cosine_near_dup was 510s at sf1.0). The sanctioned fix is
+# to hand whole blocks to numpy: accumulating ``acc += outer(X[:,d],
+# Y[:,d])`` dimension-by-dimension performs the SAME IEEE multiply/add
+# sequence per pair as the sequential aggregate() fold — bit-identical
+# raw similarities — while running at memory bandwidth. Rounding and
+# thresholding stay JVM-side (Spark's HALF_UP round on the shortest
+# decimal repr differs from numpy's half-even), so callers see the
+# exact same rounded values as before.
+# ---------------------------------------------------------------------------
+
+def _np_norms(x: np.ndarray) -> np.ndarray:
+    """L2 norms with the fold's accumulation order (acc += v_d * v_d,
+    d ascending) — bit-identical to sqrt(aggregate(v, 0.0, acc+v*v))."""
+    acc = np.zeros(len(x))
+    for d in range(x.shape[1]):
+        col = x[:, d]
+        acc = acc + col * col
+    return np.sqrt(acc)
+
+
+def _np_pair_dots(xi: np.ndarray, xj: np.ndarray) -> np.ndarray:
+    """All-pairs dot products with the fold's accumulation order."""
+    acc = np.zeros((len(xi), len(xj)))
+    for d in range(xi.shape[1]):
+        acc = acc + np.multiply.outer(xi[:, d], xj[:, d])
+    return acc
+
+
+def _np_mat(series) -> np.ndarray:
+    """(n, dim) float64 matrix from an Arrow list column (float->double
+    casts are exact)."""
+    return np.vstack(series.to_numpy()).astype(np.float64, copy=False)
+
+
+# round(x, 4) can raise a value by at most 5e-5 (+ulp), so a raw-sim
+# pre-filter at (threshold - 5.2e-5) keeps every pair the JVM's rounded
+# threshold keeps; the few extras are dropped by the unchanged JVM
+# filter.
+ROUND4_MARGIN = 5.2e-5
+
+
+def self_pair_sims(df: DataFrame, key_col: str, id_col: str, vec_col: str,
+                   min_raw: float, block: int = 2048) -> DataFrame:
+    """Within-group all-pairs raw cosine sims (id1 < id2, sim_raw >=
+    min_raw) as (d1, d2, sim_raw) — the numpy kernel behind the
+    near-dup queries. Pair blocks are chunked to ``block`` rows a side
+    so per-task memory stays bounded regardless of group size."""
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        x = _np_mat(pdf[vec_col])
+        nrm = _np_norms(x)
+        n = len(ids)
+        d1s, d2s, sims = [], [], []
+        for bi in range(0, n, block):
+            xi, ni = x[bi:bi + block], nrm[bi:bi + block]
+            for bj in range(bi, n, block):
+                xj, nj = x[bj:bj + block], nrm[bj:bj + block]
+                s = _np_pair_dots(xi, xj) / np.multiply.outer(ni, nj)
+                if bi == bj:
+                    iu = np.triu_indices(len(xi), k=1)
+                    sv = s[iu]
+                    keep = sv >= min_raw
+                    d1s.append(ids[bi + iu[0][keep]])
+                    d2s.append(ids[bj + iu[1][keep]])
+                    sims.append(sv[keep])
+                else:
+                    ii, jj = np.nonzero(s >= min_raw)
+                    d1s.append(ids[bi + ii])
+                    d2s.append(ids[bj + jj])
+                    sims.append(s[ii, jj])
+        return pd.DataFrame({
+            "d1": np.concatenate(d1s) if d1s else np.array([], dtype=np.int64),
+            "d2": np.concatenate(d2s) if d2s else np.array([], dtype=np.int64),
+            "sim_raw": (np.concatenate(sims) if sims
+                        else np.array([], dtype=np.float64))})
+    return df.groupBy(key_col).applyInPandas(
+        fn, "d1 long, d2 long, sim_raw double")
+
+
+def cross_pair_sims(corpus: DataFrame, probes: DataFrame, key: str,
+                    block: int = 4096) -> DataFrame:
+    """Per-block probe x corpus raw cosine sims (pid != nid) as
+    (pid, nid, sim_raw) via cogrouped numpy — the rank-stage kernel of
+    the blocked ANN family. ``corpus``: (nid, <key>, nvec); ``probes``:
+    (pid, <key>, pvec)."""
+    def fn(c_pdf: pd.DataFrame, p_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(c_pdf) == 0 or len(p_pdf) == 0:
+            return pd.DataFrame({"pid": np.array([], dtype=np.int64),
+                                 "nid": np.array([], dtype=np.int64),
+                                 "sim_raw": np.array([], dtype=np.float64)})
+        nids = c_pdf["nid"].to_numpy()
+        xc = _np_mat(c_pdf["nvec"])
+        nrm_c = _np_norms(xc)
+        pids = p_pdf["pid"].to_numpy()
+        xp = _np_mat(p_pdf["pvec"])
+        nrm_p = _np_norms(xp)
+        ps, ns, sims = [], [], []
+        for bi in range(0, len(pids), block):
+            pi, npi = xp[bi:bi + block], nrm_p[bi:bi + block]
+            for bj in range(0, len(nids), block):
+                cj, ncj = xc[bj:bj + block], nrm_c[bj:bj + block]
+                s = _np_pair_dots(pi, cj) / np.multiply.outer(npi, ncj)
+                ii, jj = np.nonzero(
+                    pids[bi:bi + block, None] != nids[None, bj:bj + block])
+                ps.append(pids[bi + ii])
+                ns.append(nids[bj + jj])
+                sims.append(s[ii, jj])
+        return pd.DataFrame({
+            "pid": np.concatenate(ps),
+            "nid": np.concatenate(ns),
+            "sim_raw": np.concatenate(sims)})
+    return (corpus.groupBy(key).cogroup(probes.groupBy(key))
+            .applyInPandas(fn, "pid long, nid long, sim_raw double"))
 
 
 def cosine_topk(df: DataFrame, probe_ids: List[int], k: int = 5,
@@ -53,21 +167,37 @@ def cosine_topk(df: DataFrame, probe_ids: List[int], k: int = 5,
                 ) -> DataFrame:
     """Exact top-k cosine neighbors for each probe id.
 
-    The probe set (small) broadcasts; the corpus scan stays put. Ranking
-    is per-probe row_number over (rounded sim desc, neighbor asc) — the
-    rounding pins cross-engine float determinism, the id tiebreak pins
-    ordering.
+    The probe set (bounded by contract) is collected once and rides the
+    task closure; the corpus scan stays put and each partition's sims
+    are computed by the numpy kernel (bit-identical raw sims, JVM
+    rounding). Ranking is per-probe row_number over (rounded sim desc,
+    neighbor asc) — the rounding pins cross-engine float determinism,
+    the id tiebreak pins ordering.
     """
-    vec = as_double(F.col(vec_col))
-    base = df.select(F.col(id_col).alias("nid"), vec.alias("nvec"),
-                     _norm(vec).alias("nnorm"))
-    probes = (df.filter(F.col(id_col).isin(probe_ids))
-              .select(F.col(id_col).alias("pid"), vec.alias("pvec"),
-                      _norm(vec).alias("pnorm")))
-    sims = (base.join(F.broadcast(probes), F.col("pid") != F.col("nid"))
-            .select("pid", "nid",
-                    F.round(_sim(F.col("pvec"), F.col("pnorm"),
-                                 F.col("nvec"), F.col("nnorm")), 4).alias("sim")))
+    probe_rows = (df.filter(F.col(id_col).isin(probe_ids))
+                  .select(id_col, vec_col).orderBy(id_col).collect())
+    spark = df.sparkSession
+    if not probe_rows:
+        sims = spark.createDataFrame([], "pid long, nid long, sim_raw double")
+    else:
+        pids = np.array([r[0] for r in probe_rows], dtype=np.int64)
+        xp = np.array([list(r[1]) for r in probe_rows], dtype=np.float64)
+        nrm_p = _np_norms(xp)
+
+        def fn(batches):
+            for pdf in batches:
+                nids = pdf[id_col].to_numpy()
+                if len(nids) == 0:
+                    continue
+                xc = _np_mat(pdf[vec_col])
+                nrm_c = _np_norms(xc)
+                s = _np_pair_dots(xp, xc) / np.multiply.outer(nrm_p, nrm_c)
+                ii, jj = np.nonzero(pids[:, None] != nids[None, :])
+                yield pd.DataFrame({"pid": pids[ii], "nid": nids[jj],
+                                    "sim_raw": s[ii, jj]})
+        sims = df.select(id_col, vec_col).mapInPandas(
+            fn, "pid long, nid long, sim_raw double")
+    sims = sims.select("pid", "nid", F.round(F.col("sim_raw"), 4).alias("sim"))
     w = Window.partitionBy("pid").orderBy(F.desc("sim"), F.asc("nid"))
     return (sims.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -87,11 +217,18 @@ def with_lsh_bucket(df: DataFrame, dim: int, n_planes: int = 8,
     Plane weights are literal arrays (broadcast with the plan); the sign
     products are JVM expressions — a narrow map, no shuffle."""
     planes = hyperplanes(dim, n_planes, seed)
-    vec = as_double(F.col(vec_col))
+    raw = F.col(vec_col)
+    vec = as_double(raw)
     bucket = None
     for p in range(n_planes):
+        # codegen fast path: literal plane weights folded per element
+        # (same left-assoc add order as the zip_with/aggregate fold)
+        exp = F.lit(0.0)
+        for i in range(dim):
+            exp = exp + raw[i].cast("double") * F.lit(float(planes[p][i]))
         w = F.array(*[F.lit(float(x)) for x in planes[p]])
-        bit = F.when(_dot(vec, w) >= 0, F.lit(1)).otherwise(F.lit(0))
+        d = F.when(F.size(raw) == dim, exp).otherwise(_dot(vec, w))
+        bit = F.when(d >= 0, F.lit(1)).otherwise(F.lit(0))
         term = bit * F.lit(2 ** p)
         bucket = term if bucket is None else bucket + term
     return df.withColumn("lsh_bucket", bucket.cast("int"))
@@ -107,21 +244,17 @@ def topk_from_blocks(corpus: DataFrame, probes: DataFrame, key: str,
 
     ``corpus``: (nid, <key>, nvec array<double>);
     ``probes``: (pid, <key>, pvec array<double>) — one row per (probe,
-    block) the probe searches. Probes broadcast; the corpus never
-    shuffles. Norms are recomputed per ROW before the join (cheap,
-    linear) so the per-pair work inside the join is one dot product."""
-    c = corpus.select("nid", F.col(key).alias("_ckey"), "nvec",
-                      _norm(F.col("nvec")).alias("nnorm"))
-    p = probes.select("pid", F.col(key).alias("_pkey"), "pvec",
-                      _norm(F.col("pvec")).alias("pnorm"))
+    block) the probe searches. The raw per-pair sims come from the
+    cogrouped numpy kernel (bit-identical to the sequential-fold dot);
+    rounding, the -0.0 collapse and the top-k window stay JVM-side."""
+    c = corpus.select("nid", F.col(key).alias("_k"), "nvec")
+    p = probes.select("pid", F.col(key).alias("_k"), "pvec")
     # + 0.0 collapses IEEE -0.0 to +0.0: a tiny negative cosine that
     # rounds to zero must stringify identically in every engine (the
     # oracle SQL carries the same "+ 0" term)
-    sims = (c.join(F.broadcast(p), (F.col("_pkey") == F.col("_ckey"))
-                   & (F.col("pid") != F.col("nid")))
+    sims = (cross_pair_sims(c, p, "_k")
             .select("pid", "nid",
-                    (F.round(_sim(F.col("pvec"), F.col("pnorm"),
-                                  F.col("nvec"), F.col("nnorm")), 4)
+                    (F.round(F.col("sim_raw"), 4)
                      + F.lit(0.0)).alias("sim")))
     w = Window.partitionBy("pid").orderBy(F.desc("sim"), F.asc("nid"))
     return (sims.withColumn("rank", F.row_number().over(w))
@@ -187,16 +320,13 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
                           ) -> DataFrame:
     """Embedding near-dup pairs above a cosine threshold, bucket-blocked:
     all-pairs only *within* LSH buckets (plus exact cosine verify)."""
-    vec = as_double(F.col(vec_col))
     bucketed = with_lsh_bucket(df, dim, n_planes, seed, vec_col).select(
-        F.col(id_col).alias("doc"), vec.alias("vec"),
-        _norm(vec).alias("vnorm"), "lsh_bucket")
-    l, r = bucketed.alias("l"), bucketed.alias("r")
-    return (l.join(r, (F.col("l.lsh_bucket") == F.col("r.lsh_bucket"))
-                   & (F.col("l.doc") < F.col("r.doc")))
-            .select(F.col("l.doc").alias("d1"), F.col("r.doc").alias("d2"),
-                    F.round(_sim(F.col("l.vec"), F.col("l.vnorm"),
-                                 F.col("r.vec"), F.col("r.vnorm")), 4).alias("sim"))
+        F.col(id_col).alias("doc"), F.col(vec_col).alias("vec"),
+        "lsh_bucket")
+    raw = self_pair_sims(bucketed, "lsh_bucket", "doc", "vec",
+                         min_raw=threshold - ROUND4_MARGIN)
+    return (raw.select("d1", "d2",
+                       F.round(F.col("sim_raw"), 4).alias("sim"))
             .filter(F.col("sim") >= threshold)
             .orderBy("d1", "d2"))
 
