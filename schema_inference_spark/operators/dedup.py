@@ -1002,24 +1002,48 @@ def simhash_pairs_from_fp(fp: DataFrame, bits: int = 32,
     stage is pure integer arithmetic any engine reproduces exactly."""
     n_bands = max_hamming + 1
     band_bits = bits // n_bands
+    # Band DISTINCT FINGERPRINTS, not documents. Exact-duplicate docs
+    # share a fingerprint, so doc-level banding is quadratic in cluster
+    # size before the Hamming cut ever runs (715M banded doc pairs at
+    # sf1.0 — one hot bucket held 23k docs — vs 19.8k distinct fps and
+    # 1.1M banded fp pairs). The result set is unchanged: a doc pair
+    # qualifies iff its fps agree on >= 1 band AND hamming <= max, both
+    # of which are functions of the fps alone, so computing qualifying
+    # fp pairs first and expanding to member docs afterwards produces
+    # exactly the same pairs; the expansion is output-sized (guide §2.5
+    # — the hot key was the skew, and it came from duplicate payloads).
     bandcols = F.array(*[
         F.struct(F.lit(b).alias("band"),
                  F.shiftright(F.col("simhash"), b * band_bits)
                  .bitwiseAND(F.lit((1 << band_bits) - 1)).alias("key"))
         for b in range(n_bands)])
-    buckets = (fp.select("doc", "simhash", F.explode(bandcols).alias("bb"))
-               .select("doc", "simhash", "bb.band", "bb.key"))
+    fps = fp.select("simhash").distinct()
+    buckets = (fps.select("simhash", F.explode(bandcols).alias("bb"))
+               .select("simhash", "bb.band", "bb.key"))
     l, r = buckets.alias("l"), buckets.alias("r")
-    cand = (l.join(r, (F.col("l.band") == F.col("r.band"))
-                   & (F.col("l.key") == F.col("r.key"))
-                   & (F.col("l.doc") < F.col("r.doc")))
-            .select(F.col("l.doc").alias("d1"), F.col("l.simhash").alias("f1"),
-                    F.col("r.doc").alias("d2"), F.col("r.simhash").alias("f2"))
-            .distinct())
-    hamming = F.bit_count(F.col("f1").bitwiseXOR(F.col("f2"))).cast("bigint")
-    return (cand.select("d1", "d2", hamming.alias("hamming"))
-            .filter(F.col("hamming") <= max_hamming)
-            .orderBy("d1", "d2"))
+    hamming_ok = (F.bit_count(F.col("l.simhash")
+                              .bitwiseXOR(F.col("r.simhash")))
+                  <= max_hamming)
+    fpairs = (l.join(r, (F.col("l.band") == F.col("r.band"))
+                     & (F.col("l.key") == F.col("r.key"))
+                     & (F.col("l.simhash") < F.col("r.simhash"))
+                     & hamming_ok)
+              .select(F.col("l.simhash").alias("f1"),
+                      F.col("r.simhash").alias("f2"))
+              .distinct())
+    docs1 = fp.select(F.col("simhash").alias("f1"), F.col("doc").alias("da"))
+    docs2 = fp.select(F.col("simhash").alias("f2"), F.col("doc").alias("db"))
+    cross = (fpairs.join(docs1, "f1").join(docs2, "f2")
+             .select(F.least("da", "db").alias("d1"),
+                     F.greatest("da", "db").alias("d2"),
+                     F.bit_count(F.col("f1").bitwiseXOR(F.col("f2")))
+                     .cast("bigint").alias("hamming")))
+    a, b2 = fp.alias("a"), fp.alias("b")
+    intra = (a.join(b2, (F.col("a.simhash") == F.col("b.simhash"))
+                    & (F.col("a.doc") < F.col("b.doc")))
+             .select(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"),
+                     F.lit(0).cast("bigint").alias("hamming")))
+    return cross.unionByName(intra).orderBy("d1", "d2")
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
