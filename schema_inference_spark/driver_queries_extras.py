@@ -1474,18 +1474,24 @@ RECON_MOD = 199  # planted loss: every 199th event vanishes in the copy
 
 def q_reconcile_buckets(spark, sf_dir):
     """reconcile_checksum (operators/anomaly.py) across a storage
-    rewrite: left = the original events table, right = the ts-clustered
-    multi-file seam (same rows, completely different layout — the
-    compaction case) with every ``RECON_MOD``-th event planted-deleted.
-    Only the buckets touched by the deletions may surface, with exact
-    count + checksum deltas; the layout change itself must be invisible
-    (order-independent checksums). The oracle recomputes both sides'
-    bucket aggregates from the original table."""
+    rewrite: left = the original events table, right = the same rows
+    ts-range-reclustered in-query (``repartitionByRange`` — completely
+    different layout, the compaction case) with every ``RECON_MOD``-th
+    event planted-deleted. Only the buckets touched by the deletions may
+    surface, with exact count + checksum deltas; the layout change
+    itself must be invisible (order-independent checksums). The oracle
+    recomputes both sides' bucket aggregates from the original table.
+
+    The right side is derived from ``events`` inline rather than read
+    from the shared zonemap snapshot seam (VERDICT-r5 #1): the seam made
+    this query's result depend on cross-query artifact state that the
+    driver harness could observe mid-rebuild, while the inline rewrite
+    is self-evidently the same rows under a new partitioning."""
     from .operators.anomaly import reconcile_checksum
 
     left = _t(spark, sf_dir, "events")
-    snap = _zonemap_snapshot(spark, sf_dir)
-    right = (spark.read.parquet(snap)
+    right = (_t(spark, sf_dir, "events")
+             .repartitionByRange(ZM_FILES, "ts")
              .filter(F.col("event_id") % RECON_MOD != 0))
     return reconcile_checksum(
         left, right, ["event_id", "user_id", "event_type", "props"])
