@@ -217,9 +217,16 @@ def q_decontaminate(spark, sf_dir):
     surviving token mass, with the eval set carved out of the corpus
     deterministically (doc_id % 50 == 0) so both engines see identical
     bench items and a disjoint corpus."""
-    docs = _t(spark, sf_dir, "documents")
-    corpus = docs.filter(F.col("doc_id") % DECON_MOD != 0)
-    bench = (docs.filter(F.col("doc_id") % DECON_MOD == 0)
+    from .driver_queries_extras import _shingled_docs
+    # corpus and bench both derive from the session's one persisted
+    # shingled frame (decontaminate_summary's with_shingles passes an
+    # attested pre-shingled input through) — the query previously
+    # re-tokenized the corpus twice more; the source column rides along
+    # for the rollup
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    sh = _shingled_docs(spark, sf_dir).join(docs, "doc_id")
+    corpus = sh.filter(F.col("doc_id") % DECON_MOD != 0)
+    bench = (sh.filter(F.col("doc_id") % DECON_MOD == 0)
              .withColumnRenamed("doc_id", "bench_id"))
     return C.decontaminate_summary(corpus, bench, threshold=0.3)
 

@@ -32,18 +32,25 @@ LANG_KEEP = "en"
 
 
 def quality_bp_col(df: DataFrame, text_col: str = "text",
-                   out: str = "quality_bp") -> DataFrame:
+                   out: str = "quality_bp",
+                   tokens: Column | None = None,
+                   norm: Column | None = None) -> DataFrame:
     """Append ``textstats.quality_score``'s integer quality_bp (same
     formula, same bigint div arithmetic) without collapsing the frame to
-    the metric projection — the cascade form that composes in one scan."""
+    the metric projection — the cascade form that composes in one scan.
+    ``tokens``/``norm`` optionally supply already-materialized token
+    array / normalized-text columns (see dedup.eval_once) so the cascade
+    does not re-run tokenization per signal."""
     t = F.col(text_col)
+    toks = _tokens(t) if tokens is None else tokens
+    nrm = normalized(t) if norm is None else norm
     tmp = (df
            .withColumn("_qc", F.length(t).cast("bigint"))
-           .withColumn("_qt", F.size(_tokens(t)).cast("bigint"))
+           .withColumn("_qt", F.size(toks).cast("bigint"))
            .withColumn("_qp", (F.col("_qc") - F.length(
                F.regexp_replace(t, r"[^A-Za-z0-9\s]", ""))).cast("bigint"))
            .withColumn("_qw", F.length(
-               F.regexp_replace(normalized(t), " ", "")).cast("bigint")))
+               F.regexp_replace(nrm, " ", "")).cast("bigint")))
     punct_term = F.when(F.col("_qc") > 0,
                         F.least(F.expr("(15000 * _qp) div _qc"),
                                 F.lit(3000))).otherwise(F.lit(0))
@@ -56,10 +63,13 @@ def quality_bp_col(df: DataFrame, text_col: str = "text",
             .drop("_qc", "_qt", "_qp", "_qw"))
 
 
-def lang_pred_col(text_col: str = "text") -> Column:
+def lang_pred_col(text_col: str = "text",
+                  tokens: Column | None = None) -> Column:
     """``textstats.lang_id``'s argmax stopword vote as a single column
-    expression (same deterministic tiebreak: earlier language wins)."""
-    toks = F.array_distinct(_tokens(F.col(text_col)))
+    expression (same deterministic tiebreak: earlier language wins).
+    ``tokens`` optionally supplies a materialized token array column."""
+    toks = F.array_distinct(
+        _tokens(F.col(text_col)) if tokens is None else tokens)
     votes = {lang: F.size(F.array_intersect(
         toks, F.array(*[F.lit(w) for w in STOPWORDS[lang]])))
         for lang in sorted(STOPWORDS)}
@@ -71,11 +81,13 @@ def lang_pred_col(text_col: str = "text") -> Column:
     return pred
 
 
-def distinct_ratio_bp_col(text_col: str = "text") -> Column:
+def distinct_ratio_bp_col(text_col: str = "text",
+                          tokens: Column | None = None) -> Column:
     """Distinct-word ratio in basis points over normalized tokens — the
     ``repetition_stats`` signal as one expression (n_words >= 1 always:
-    split of an empty normalized string is [''])."""
-    w = _tokens(F.col(text_col))
+    split of an empty normalized string is ['']). ``tokens`` optionally
+    supplies a materialized token array column."""
+    w = _tokens(F.col(text_col)) if tokens is None else tokens
     return ((F.lit(10000) * F.size(F.array_distinct(w)).cast("bigint"))
             / F.size(w).cast("bigint")).cast("bigint")
 
@@ -123,16 +135,28 @@ def token_budget_sample(df: DataFrame, budgets: DataFrame,
 def _signal_frame(df: DataFrame, id_col: str, text_col: str,
                   source_col: str) -> DataFrame:
     """One-scan per-document signals for the cascade: (id, source, _h
-    content hash, _ws whitespace tokens, _lang, _ratio, quality_bp)."""
+    content hash, _ws whitespace tokens, _lang, _ratio, quality_bp).
+
+    The normalized text and token array each materialize ONCE per row
+    behind eval_once barriers — the hash, token-count, language-vote,
+    ratio and quality signals all consume the attributes instead of each
+    re-running the tokenize tree (~12 evaluations per row before)."""
+    from .dedup import eval_once
+
     t = F.col(text_col)
-    return (quality_bp_col(df.select(
+    base = eval_once(df.select(F.col(id_col), F.col(source_col), t),
+                     "_norm", normalized(t))
+    base = eval_once(base, "_toks", F.split(F.col("_norm"), " "))
+    toks = F.col("_toks")
+    return (quality_bp_col(base.select(
         F.col(id_col), F.col(source_col),
-        F.md5(normalized(t)).alias("_h"),
-        F.size(_tokens(t)).cast("bigint").alias("_ws"),
-        lang_pred_col(text_col).alias("_lang"),
-        distinct_ratio_bp_col(text_col).alias("_ratio"),
-        t.alias(text_col)), text_col=text_col)
-        .drop(text_col))
+        F.md5(F.col("_norm")).alias("_h"),
+        F.size(toks).cast("bigint").alias("_ws"),
+        lang_pred_col(text_col, tokens=toks).alias("_lang"),
+        distinct_ratio_bp_col(text_col, tokens=toks).alias("_ratio"),
+        t.alias(text_col), F.col("_norm"), toks.alias("_toks2")),
+        text_col=text_col, tokens=F.col("_toks2"), norm=F.col("_norm"))
+        .drop(text_col, "_norm", "_toks2"))
 
 
 def _summarize(verdict: DataFrame, source_col: str) -> DataFrame:

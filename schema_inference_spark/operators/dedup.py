@@ -25,12 +25,34 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 BIG = 2_147_483_647
 
 
 def normalized(text: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def eval_once(df: DataFrame, alias: str, col: Column) -> DataFrame:
+    """Append ``col`` to ``df`` evaluated exactly ONCE per row.
+
+    Catalyst's CollapseProject inlines a projected expression into every
+    downstream use, and neither the interpreted path (higher-order
+    functions are CodegenFallback) nor codegen subexpression elimination
+    recovers the sharing across a collapsed projection — so an expensive
+    array expression referenced N times (tokenize -> slice -> zip_with
+    chains) is re-evaluated N times per row. Measured on the 50k-doc
+    proxy: repetition_stats 12.2s -> 5.2s, shingling similarly, once the
+    token array is forced to evaluate once.
+
+    A Generate (explode of a one-element array) is the barrier: the
+    generator's output is a real attribute of the child plan, so every
+    downstream expression references the materialized value instead of
+    inlining the tree. Row multiplicity is unchanged for ANY input —
+    ``array(col)`` always has exactly one element (a NULL value yields
+    one row with a NULL attribute), unlike exploding ``col`` itself."""
+    return df.select("*", F.explode(F.array(col)).alias(alias))
 
 
 def exact_dup_groups(df: DataFrame, id_col: str = "doc_id",
@@ -664,7 +686,12 @@ def with_shingles(df: DataFrame, text_col: str = "text",
     REPLACED with a freshly computed one rather than trusted."""
     if has_shingles(df, text_col, k):
         return df
-    tokens = F.split(normalized(F.col(text_col)), " ")
+    # the token array is materialized once per row behind an eval_once
+    # barrier (the slice/size/when consumers below would otherwise each
+    # re-run the split+regexp tokenization — ~6 evaluations per row)
+    base = eval_once(df.drop("shingles"), "_sg_toks",
+                     F.split(normalized(F.col(text_col)), " "))
+    tokens = F.col("_sg_toks")
     n_sh = F.size(tokens) - (k - 1)
     # zip_with over k shifted slices, NOT transform(sequence, i ->
     # element_at(tokens, i+j)): Catalyst inlines the split() into every
@@ -680,7 +707,8 @@ def with_shingles(df: DataFrame, text_col: str = "text",
              .otherwise(F.array().cast("array<string>"))
              .alias("shingles", metadata={"sg_shingles": True,
                                           "text_col": text_col, "k": k}))
-    return df.drop("shingles").select("*", built)
+    keep = [c for c in df.columns if c != "shingles"]
+    return base.select(*keep, built)
 
 
 def drop_hot_tokens(exploded: DataFrame, token_col: str,
@@ -814,24 +842,60 @@ def minhash_signature(df: DataFrame, n_hashes: int = 64,
     """MinHash signature per doc: sig_i = min over shingles of
     hash(shingle, seed_i).
 
-    Computed as explode + one partial+final aggregation of n_hashes `min`s
-    rather than n_hashes array-level `transform`s: Catalyst's project
-    collapsing inlines the shingle-building expression into every
-    transform, re-tokenizing the text n_hashes times; the exploded form
-    hashes each shingle n_hashes times but builds it once, and the
-    aggregation is a plain map-side-combined groupBy on the doc id.
+    Execution: ONE `xxhash64(shingle)` base hash per shingle in the JVM
+    (an eval_once'd `transform` over the shingle array — no explode, no
+    shuffle: each doc's fold is row-local), then the n_hashes per-seed
+    hashes derive from the bases in vectorized numpy inside mapInArrow.
+    Spark's `xxhash64(sh, lit(i))` folds children left-to-right — the
+    string's hash seeds a single int32 step — so per-seed values are
+    `XXH64(le4(i), seed=xxhash64(sh))`, a ~10-op branch-free uint64
+    formula over the base vector (xxh64.hash_int32_seedvec, bit-equal
+    to the JVM per tests). The previous explode + 64-min-aggregate form
+    evaluated 64 full string hashes per posting row (166M at the 50k-doc
+    proxy — the dominant index-build cost) and shuffled the postings;
+    values are unchanged (pinned by tests/test_driver_extras.py and the
+    streaming parity suite).
     """
+    import pyarrow as pa
+
     keep = [id_col, text_col] + (["shingles"]
                                  if has_shingles(df, text_col, k) else [])
-    sh = (with_shingles(df.select(*keep), text_col, k)
-          .select(F.col(id_col),
-                  F.explode("shingles").alias("sh"))
-          .filter(F.col("sh") != ""))
-    aggs = [F.min(F.pmod(F.xxhash64("sh", F.lit(i)), F.lit(BIG))).alias(f"h{i}")
-            for i in range(n_hashes)]
-    wide = sh.groupBy(id_col).agg(*aggs)
-    return wide.select(
-        id_col, F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("minhash"))
+    bases_expr = F.transform(
+        F.filter(F.col("shingles"), lambda s: s != F.lit("")),
+        lambda s: F.xxhash64(s))
+    based = (eval_once(with_shingles(df.select(*keep), text_col, k),
+                       "_bases", bases_expr)
+             .filter(F.size("_bases") > 0)
+             .select(F.col(id_col), F.col("_bases")))
+    id_field = based.schema[id_col]
+    out_schema = T.StructType([
+        id_field, T.StructField("minhash", T.ArrayType(T.LongType()))])
+
+    def _sigs(batches):
+        import numpy as np
+
+        from ..xxh64 import hash_int32_seedvec
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(0)
+            bl = batch.column(1)
+            flat = bl.flatten().to_numpy(zero_copy_only=False)
+            lens = bl.value_lengths().to_numpy(zero_copy_only=False)
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            mins = np.empty((len(lens), n_hashes), dtype=np.int64)
+            for i in range(n_hashes):
+                pm = np.mod(hash_int32_seedvec(i, flat), BIG)
+                mins[:, i] = np.minimum.reduceat(pm, starts)
+            offsets = pa.array(
+                np.arange(len(lens) + 1, dtype=np.int32) * n_hashes)
+            sig_arr = pa.ListArray.from_arrays(
+                offsets, pa.array(mins.reshape(-1), pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                [ids, sig_arr], names=[id_col, "minhash"])
+
+    return based.mapInArrow(_sigs, out_schema)
 
 
 def _band_buckets(sig: DataFrame, id_col: str = "doc_id",
@@ -1017,6 +1081,17 @@ def simhash_pairs_from_fp(fp: DataFrame, bits: int = 32,
                  F.shiftright(F.col("simhash"), b * band_bits)
                  .bitwiseAND(F.lit((1 << band_bits) - 1)).alias("key"))
         for b in range(n_bands)])
+    # The qualifying-fp-pair table and the fp table are PAIR-EXPANSION
+    # FEEDS: each of their rows fans out to (cluster x cluster) doc
+    # pairs downstream, so a post-aggregation AQE coalesce (both sit
+    # right after a distinct/scan whose output is a few MB) would run
+    # the ~output-sized expansion joins on 1-2 tasks (measured 87s ->
+    # 20s at the 50k-doc/142M-pair proxy scale when re-spread).
+    # Re-spread them across the cluster before the expansion; the
+    # repartition input is banded-pair/fingerprint sized — trivial next
+    # to the expansion it feeds — and the partition count scales with
+    # the session's core count, not a constant (guide §2.2/§2.5).
+    par = fp.sparkSession.sparkContext.defaultParallelism * 2
     fps = fp.select("simhash").distinct()
     buckets = (fps.select("simhash", F.explode(bandcols).alias("bb"))
                .select("simhash", "bb.band", "bb.key"))
@@ -1030,7 +1105,8 @@ def simhash_pairs_from_fp(fp: DataFrame, bits: int = 32,
                      & hamming_ok)
               .select(F.col("l.simhash").alias("f1"),
                       F.col("r.simhash").alias("f2"))
-              .distinct())
+              .distinct()
+              .repartition(par))
     docs1 = fp.select(F.col("simhash").alias("f1"), F.col("doc").alias("da"))
     docs2 = fp.select(F.col("simhash").alias("f2"), F.col("doc").alias("db"))
     cross = (fpairs.join(docs1, "f1").join(docs2, "f2")
@@ -1038,7 +1114,8 @@ def simhash_pairs_from_fp(fp: DataFrame, bits: int = 32,
                      F.greatest("da", "db").alias("d2"),
                      F.bit_count(F.col("f1").bitwiseXOR(F.col("f2")))
                      .cast("bigint").alias("hamming")))
-    a, b2 = fp.alias("a"), fp.alias("b")
+    a = fp.repartition(par, "simhash").alias("a")
+    b2 = fp.alias("b")
     intra = (a.join(b2, (F.col("a.simhash") == F.col("b.simhash"))
                     & (F.col("a.doc") < F.col("b.doc")))
              .select(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"),

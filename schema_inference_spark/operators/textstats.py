@@ -53,18 +53,23 @@ def quality_score(df: DataFrame, id_col: str = "doc_id",
                    + 3000 - least(15000*n_punct div n_chars, 3000)  # punct
                    + least(375*word_chars div n_tokens, 3000)       # word len
     """
+    from .dedup import eval_once
+
     t = F.col(text_col)
     n_chars = F.length(t).cast("bigint")
-    toks = _tokens(t)
+    # the token array materializes once (eval_once barrier): n_tokens and
+    # the stopword intersection would otherwise each re-run tokenization
+    base = eval_once(df.select(F.col(id_col), t), "_toks", _tokens(t))
+    toks = F.col("_toks")
     n_tokens = F.size(toks).cast("bigint")
     n_punct = (n_chars
                - F.length(F.regexp_replace(t, r"[^A-Za-z0-9\s]", ""))).cast("bigint")
     word_chars = F.length(F.regexp_replace(normalized(t), " ", "")).cast("bigint")
     en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
-    n_stop = F.size(F.array_intersect(F.array_distinct(_tokens(t)), en_stop))
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), en_stop))
 
     div = lambda a, b: F.expr(f"CAST(({a}) AS BIGINT) div CAST(({b}) AS BIGINT)")  # noqa: E731
-    out = df.select(
+    out = base.select(
         F.col(id_col), n_chars.alias("n_chars"), n_tokens.alias("n_tokens"),
         n_punct.alias("n_punct"), word_chars.alias("word_chars"),
         n_stop.cast("bigint").alias("n_stop"))
@@ -95,12 +100,18 @@ def lang_id(df: DataFrame, id_col: str = "doc_id",
     distinct token set, argmax with deterministic tiebreak; 'und' when no
     hits. A real deployment swaps in char-n-gram profiles — the *shape*
     (vectorized votes + argmax) is what scales."""
-    toks = F.array_distinct(_tokens(F.col(text_col)))
+    from .dedup import eval_once
+
+    # distinct token set materializes once (eval_once barrier) — each
+    # language's intersection would otherwise re-tokenize the text
+    base = eval_once(df.select(F.col(id_col), F.col(text_col)),
+                     "_toks", F.array_distinct(_tokens(F.col(text_col))))
+    toks = F.col("_toks")
     votes = []
     for lang in sorted(STOPWORDS):
         arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
         votes.append(F.size(F.array_intersect(toks, arr)).alias(f"v_{lang}"))
-    out = df.select(F.col(id_col), *votes)
+    out = base.select(F.col(id_col), *votes)
     best = F.greatest(*[F.col(f"v_{lang}") for lang in sorted(STOPWORDS)])
     pred = F.lit("und")
     # reversed order so earlier languages win ties via later overwrite
@@ -127,16 +138,22 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id",
 def _positional_shingles(df: DataFrame, text_col: str, k: int):
     """Token k-grams in document order (no dedup — winnowing is
     positional). Same zip_with-over-slices construction as dedup.py to
-    avoid the lambda-inlining O(len^2) trap."""
-    tokens = F.split(normalized(F.col(text_col)), " ")
+    avoid the lambda-inlining O(len^2) trap; the token array itself
+    materializes once behind an eval_once barrier."""
+    from .dedup import eval_once
+
+    base = eval_once(df, "_pos_toks",
+                     F.split(normalized(F.col(text_col)), " "))
+    tokens = F.col("_pos_toks")
     n_sh = F.size(tokens) - (k - 1)
     sh = F.slice(tokens, 1, n_sh)
     for j in range(1, k):
         sh = F.zip_with(sh, F.slice(tokens, j + 1, n_sh),
                         lambda a, b: F.concat(a, F.lit(" "), b))
-    return df.withColumn(
+    return (base.withColumn(
         "_sh", F.when(F.size(tokens) >= k, sh)
         .otherwise(F.array().cast("array<string>")))
+        .drop("_pos_toks"))
 
 
 def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
@@ -219,16 +236,24 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
     shape as dedup.shingles), and the ratios are floor-divided integers so
     the score never flips between engines on a rounding boundary.
     """
-    t = F.col(text_col)
-    toks = _tokens(t)
-    n_words = F.size(toks).cast("bigint")
-    d_words = F.size(F.array_distinct(toks)).cast("bigint")
-    grams = F.when(
+    from .dedup import eval_once
+
+    # token and bigram arrays each materialize once per row (eval_once
+    # barriers) — the distinct/size/ratio consumers below referenced the
+    # inlined tokenize tree ~15x before (12.2s -> 5.2s at proxy scale)
+    b1 = eval_once(df.select(F.col(id_col), F.col(text_col)),
+                   "_toks", _tokens(F.col(text_col)))
+    toks = F.col("_toks")
+    grams_e = F.when(
         F.size(toks) > 1,
         F.zip_with(F.slice(toks, 1, F.size(toks) - 1),
                    F.slice(toks, 2, F.size(toks) - 1),
                    lambda a, b: F.concat(a, F.lit(" "), b))
     ).otherwise(F.array().cast("array<string>"))
+    b2 = eval_once(b1, "_grams", grams_e)
+    grams = F.col("_grams")
+    n_words = F.size(toks).cast("bigint")
+    d_words = F.size(F.array_distinct(toks)).cast("bigint")
     n_bi = F.greatest(n_words - 1, F.lit(0)).cast("bigint")
     d_bi = F.size(F.array_distinct(grams)).cast("bigint")
     word_rep = F.when(
@@ -239,7 +264,7 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
         n_bi > 0,
         F.lit(10000) - F.floor(F.lit(10000) * d_bi / n_bi)
     ).otherwise(F.lit(0)).cast("bigint")
-    return (df.select(
+    return (b2.select(
         F.col(id_col),
         n_words.alias("n_words"),
         d_words.alias("distinct_words"),
@@ -266,19 +291,27 @@ def top_ngrams(df: DataFrame, n: int = 2, k: int = 50,
     top-k executes as TakeOrderedAndProject, never a global sort. The
     final rank window is deliberately unpartitioned: it runs AFTER
     limit(k), over k rows on one task — the corpus never sees it."""
-    toks = _tokens(F.col(text_col))
+    from .dedup import eval_once
+
+    b1 = eval_once(df.select(F.col(text_col)), "_toks",
+                   _tokens(F.col(text_col)))
+    toks = F.col("_toks")
     joined = F.slice(toks, 1, F.size(toks) - (n - 1)) if n > 1 else toks
     for i in range(1, n):
         # zip_with is strictly binary: fold the n shifted slices
         joined = F.zip_with(joined,
                             F.slice(toks, 1 + i, F.size(toks) - (n - 1)),
                             lambda a, b: F.concat(a, F.lit(" "), b))
-    grams = F.when(F.size(toks) >= n, joined).otherwise(
+    grams_e = F.when(F.size(toks) >= n, joined).otherwise(
         F.array().cast("array<string>"))
-    occ = (df.select(F.explode(grams).alias("gram"))
+    # token + gram arrays each evaluate once per row per branch (the
+    # occurrence and doc-frequency branches are separate subtrees)
+    b2 = eval_once(b1, "_grams", grams_e)
+    grams = F.col("_grams")
+    occ = (b2.select(F.explode(grams).alias("gram"))
            .groupBy("gram")
            .agg(F.count(F.lit(1)).alias("n_occurrences")))
-    docs = (df.select(F.explode(F.array_distinct(grams)).alias("gram"))
+    docs = (b2.select(F.explode(F.array_distinct(grams)).alias("gram"))
             .groupBy("gram")
             .agg(F.count(F.lit(1)).alias("n_docs")))
     ranked = (occ.join(docs, "gram")
@@ -399,16 +432,22 @@ def collocations(df: DataFrame, k: int = 50, min_count: int = 5,
     bigram table on the word key (vocabulary-sized, broadcastable);
     top-k is TakeOrderedAndProject; the rank window runs after
     limit(k) on k rows."""
-    toks = _tokens(F.col(text_col))
-    uni = (df.select(F.explode(toks).alias("w"))
+    from .dedup import eval_once
+
+    toks_e = _tokens(F.col(text_col))
+    uni = (df.select(F.explode(toks_e).alias("w"))
            .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    # bigram branch: tokens materialize once behind the barrier (the
+    # slice/size consumers re-ran tokenization ~5x per row before)
+    b1 = eval_once(df.select(F.col(text_col)), "_toks", toks_e)
+    toks = F.col("_toks")
     bigrams = F.when(
         F.size(toks) >= 2,
         F.zip_with(F.slice(toks, 1, F.size(toks) - 1),
                    F.slice(toks, 2, F.size(toks) - 1),
                    lambda a, b: F.concat(a, F.lit(" "), b))
     ).otherwise(F.array().cast("array<string>"))
-    big = (df.select(F.explode(bigrams).alias("gram"))
+    big = (b1.select(F.explode(bigrams).alias("gram"))
            .groupBy("gram")
            .agg(F.count(F.lit(1)).alias("n_occurrences"))
            .filter(F.col("n_occurrences") >= min_count)

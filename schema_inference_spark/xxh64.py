@@ -98,6 +98,25 @@ def spark_xxhash64_str_int(s: str, i: int, seed: int = 42) -> int:
 _U = np.uint64
 
 
+def hash_int32_seedvec(value: int, seeds: np.ndarray) -> np.ndarray:
+    """Vectorized `XXH64(le4(value), seed)` over a SEED vector with one
+    shared int32 value — the transpose of ``hash_int32_vec``: here the
+    per-shingle base hashes (`F.xxhash64(shingle)`, Spark LongType) are
+    the seeds and the MinHash seed index is the hashed value, exactly
+    Spark's `xxhash64(shingle, lit(i))` composition. ``seeds`` is signed
+    int64 (as the JVM emits); returns SIGNED int64."""
+    with np.errstate(over="ignore"):
+        h = seeds.astype(np.int64).view(_U) + _U((_P5 + 4) & _M)
+        h = h ^ _U((value * _P1) & _M)
+        h = ((h << _U(23)) | (h >> _U(41))) * _U(_P2) + _U(_P3)
+        h ^= h >> _U(33)
+        h *= _U(_P2)
+        h ^= h >> _U(29)
+        h *= _U(_P3)
+        h ^= h >> _U(32)
+    return h.view(np.int64)
+
+
 def hash_int32_vec(values: np.ndarray, seed: int) -> np.ndarray:
     """Vectorized `XXH64(le4(v), seed)` over an int32-value vector with
     one shared seed — Spark's `hashInt` for every MinHash seed index at
