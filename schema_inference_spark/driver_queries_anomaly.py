@@ -17,8 +17,7 @@ from pyspark.sql import functions as F
 from .operators import anomaly as A
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str):
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+from .driver_queries import _t  # noqa: F401  (plain reader: float aggs)
 
 
 # ---------------------------------------------------------------------------

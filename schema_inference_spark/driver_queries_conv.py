@@ -25,7 +25,7 @@ from typing import Callable, Dict
 
 from pyspark.sql import functions as F
 
-from .driver_queries import _t
+from .driver_queries import _t_redist as _t  # exact-output family
 
 EVENT_TYPES = ["click", "purchase", "signup", "view", "error"]
 # demo conversation protocol: a signup turn may only follow view/signup

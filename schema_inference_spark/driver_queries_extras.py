@@ -19,8 +19,7 @@ from .operators import similarity as SIM
 from .operators import textstats as TS
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str):
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+from .driver_queries import _t_redist as _t  # noqa: F401,E402  (exact-output family: starved-scan-aware reader)
 
 
 # normalized-text expression shared by the oracles

@@ -16,8 +16,7 @@ from .operators import sessions as S
 from .operators import textstats as TS
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str):
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+from .driver_queries import _t_redist as _t  # noqa: F401,E402  (exact-output family: starved-scan-aware reader)
 
 
 _NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"

@@ -44,13 +44,16 @@ def quality_bp_col(df: DataFrame, text_col: str = "text",
     t = F.col(text_col)
     toks = _tokens(t) if tokens is None else tokens
     nrm = normalized(t) if norm is None else norm
+    from .textstats import ALNUM_WS
     tmp = (df
            .withColumn("_qc", F.length(t).cast("bigint"))
            .withColumn("_qt", F.size(toks).cast("bigint"))
-           .withColumn("_qp", (F.col("_qc") - F.length(
-               F.regexp_replace(t, r"[^A-Za-z0-9\s]", ""))).cast("bigint"))
+           # translate, not negated-class regexp_replace — identical
+           # count, ~4x cheaper (see textstats.ALNUM_WS)
+           .withColumn("_qp", F.length(
+               F.translate(t, ALNUM_WS, "")).cast("bigint"))
            .withColumn("_qw", F.length(
-               F.regexp_replace(nrm, " ", "")).cast("bigint")))
+               F.translate(nrm, " ", "")).cast("bigint")))
     punct_term = F.when(F.col("_qc") > 0,
                         F.least(F.expr("(15000 * _qp) div _qc"),
                                 F.lit(3000))).otherwise(F.lit(0))

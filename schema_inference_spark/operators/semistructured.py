@@ -51,8 +51,13 @@ def json_key_census(df: DataFrame, json_col: str) -> DataFrame:
     because cast semantics diverge across engines (DuckDB
     ``try_cast('8.5' AS BIGINT)`` ROUNDS to 9; Spark yields null) — the
     regex is the one formula both engines compute identically."""
+    from .dedup import eval_once
+
+    # from_json is CodegenFallback and the null-filter pushdown inlines
+    # it into both the filter and the explode — the eval_once barrier
+    # parses each row exactly once
     parsed = F.from_json(F.col(json_col), "map<string,string>")
-    kv = (df.select(parsed.alias("_m"))
+    kv = (eval_once(df.select(F.col(json_col)), "_m", parsed)
           .filter(F.col("_m").isNotNull())
           .select(F.explode("_m").alias("key", "_val")))
     as_int = F.when(F.col("_val").rlike("^-?[0-9]+$"),
@@ -108,9 +113,16 @@ def json_schema_drift(df: DataFrame, json_col: str, ts_col: str) -> DataFrame:
     form re-parsed it 4x and shuffled twice; absent-in-a-half keys now
     carry count 0 where the join carried NULL, which the verdict
     already coalesced to 0)."""
+    from .dedup import eval_once
+
+    # same eval_once barrier as json_key_census: each branch (midpoint
+    # scalar, key census) parses the payload once per row, not once per
+    # inlined reference
     parsed = F.from_json(F.col(json_col), "map<string,string>")
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    base = (df.select(parsed.alias("_m"), us.alias("_us"))
+    base = (eval_once(df.select(F.col(json_col), us.alias("_us")), "_m",
+                      parsed)
+            .select("_m", "_us")
             .filter(F.col("_m").isNotNull()))
     mid = base.agg(F.floor((F.min("_us") + F.max("_us")) / 2)
                    .cast("bigint").alias("_mid"))

@@ -21,6 +21,16 @@ STOPWORDS = {
 # BPE-ish tokenizer regex: letter runs, digit runs, single non-space symbol
 TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
+# the 68 characters Java-regex `[A-Za-z0-9\s]` matches (no UNICODE flag:
+# \s is exactly [ \t\n\x0B\f\r]) — spelled out so the punctuation count
+# can be a `translate` (per-char map lookup in codegen) instead of a
+# negated-class `regexp_replace`, which measured ~4x the cost of the
+# whole rest of quality_score. `length(translate(t, ALNUM_WS, ''))`
+# counts characters OUTSIDE the class — identical, for any input, to
+# `length(t) - length(regexp_replace(t, '[^A-Za-z0-9\\s]', ''))`.
+ALNUM_WS = ("ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+            "0123456789 \t\n\x0b\f\r")
+
 
 def _tokens(text: Column) -> Column:
     return F.split(normalized(text), " ")
@@ -53,23 +63,22 @@ def quality_score(df: DataFrame, id_col: str = "doc_id",
                    + 3000 - least(15000*n_punct div n_chars, 3000)  # punct
                    + least(375*word_chars div n_tokens, 3000)       # word len
     """
-    from .dedup import eval_once
-
     t = F.col(text_col)
     n_chars = F.length(t).cast("bigint")
-    # the token array materializes once (eval_once barrier): n_tokens and
-    # the stopword intersection would otherwise each re-run tokenization
-    base = eval_once(df.select(F.col(id_col), t), "_toks", _tokens(t))
-    toks = F.col("_toks")
+    # only TWO tokenizations here — an eval_once barrier was measured
+    # slightly SLOWER (5.3s vs 4.5s at the proxy): the Generate's
+    # per-row overhead exceeds one saved tokenize; the regex passes
+    # dominate this operator, not the token array
+    toks = _tokens(t)
     n_tokens = F.size(toks).cast("bigint")
-    n_punct = (n_chars
-               - F.length(F.regexp_replace(t, r"[^A-Za-z0-9\s]", ""))).cast("bigint")
-    word_chars = F.length(F.regexp_replace(normalized(t), " ", "")).cast("bigint")
+    n_punct = F.length(F.translate(t, ALNUM_WS, "")).cast("bigint")
+    word_chars = (F.length(F.translate(normalized(t), " ", ""))
+                  .cast("bigint"))
     en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
-    n_stop = F.size(F.array_intersect(F.array_distinct(toks), en_stop))
+    n_stop = F.size(F.array_intersect(F.array_distinct(_tokens(t)), en_stop))
 
     div = lambda a, b: F.expr(f"CAST(({a}) AS BIGINT) div CAST(({b}) AS BIGINT)")  # noqa: E731
-    out = base.select(
+    out = df.select(
         F.col(id_col), n_chars.alias("n_chars"), n_tokens.alias("n_tokens"),
         n_punct.alias("n_punct"), word_chars.alias("word_chars"),
         n_stop.cast("bigint").alias("n_stop"))
