@@ -628,12 +628,13 @@ def q_cosine_near_dup_label(spark, sf_dir):
     # operators/similarity.py) instead of an interpreted per-pair JVM
     # expression (510s -> seconds). The null filters reproduce the old
     # join's implicit null semantics.
+    from .operators.dedup import ordered_output
     raw = SIM.self_pair_sims(e, "label", "vec_id", "embedding",
                              min_raw=0.4 - SIM.ROUND4_MARGIN)
     return (raw.select("d1", "d2",
                        F.round(F.col("sim_raw"), 4).alias("sim"))
             .filter(F.col("sim") >= 0.4)
-            .orderBy("d1", "d2"))
+            .transform(lambda d: ordered_output(d, "d1", "d2")))
 
 
 SQL_COSINE_NEAR_DUP = """
@@ -716,12 +717,13 @@ def q_cosine_near_dup_lsh(spark, sf_dir):
     collateral: this query IS the operator's plan shape; the label
     query stays as the deterministic full-recall baseline."""
     seam = ann_lsh_exported(spark, sf_dir)
+    from .operators.dedup import ordered_output
     raw = SIM.self_pair_sims(seam, "lsh_bucket", "nid", "nvec",
                              min_raw=0.4 - SIM.ROUND4_MARGIN)
     return (raw.select("d1", "d2",
                        F.round(F.col("sim_raw"), 4).alias("sim"))
             .filter(F.col("sim") >= 0.4)
-            .orderBy("d1", "d2"))
+            .transform(lambda d: ordered_output(d, "d1", "d2")))
 
 
 SQL_COSINE_NEAR_DUP_LSH = f"""

@@ -66,12 +66,13 @@ def contamination_pairs(docs: DataFrame, bench: DataFrame,
                        F.expr("(10000 * cast(n_matched as bigint)) "
                               "div cast(bench_n as bigint)"))
            .filter(F.col("containment_bp") >= int(threshold * 10000)))
+    from .dedup import ordered_output
     return (out.select(F.col("_d").alias("doc_id"),
                        F.col("_b").alias("bench_id"),
                        F.col("n_matched").cast("bigint").alias("n_matched"),
                        F.col("bench_n").cast("bigint").alias("bench_n"),
                        "containment_bp")
-            .orderBy("doc_id", "bench_id"))
+            .transform(lambda d: ordered_output(d, "doc_id", "bench_id")))
 
 
 def decontaminate_summary(docs: DataFrame, bench: DataFrame,

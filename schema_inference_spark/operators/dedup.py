@@ -55,6 +55,23 @@ def eval_once(df: DataFrame, alias: str, col: Column) -> DataFrame:
     return df.select("*", F.explode(F.array(col)).alias(alias))
 
 
+def ordered_output(df: DataFrame, *cols: str) -> DataFrame:
+    """Globally ordered result via a single-partition sort — for
+    BOUNDED outputs whose upstream is expensive.
+
+    ``orderBy`` plans a range exchange whose partitioner SAMPLES the
+    child: every partition of the unsorted result is fully evaluated
+    once for the sample and again for the real pass — for a pair join
+    that emits 100 thresholded rows from a 10^8-row intermediate, the
+    sort's sampling pass doubles the whole query. Collapsing the
+    (small) result to one partition and sorting within it yields the
+    exact same collected row order with ONE evaluation of the child
+    and no sampling. Only for outputs far smaller than their upstream
+    (threshold-filtered pair lists, top-k tables); corpus-sized results
+    keep orderBy's parallel range sort."""
+    return df.repartition(1).sortWithinPartitions(*cols)
+
+
 def exact_dup_groups(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Exact duplicate groups by content hash: (hash, n_docs, canonical_id).
@@ -657,7 +674,7 @@ def near_dup_verify(cand: DataFrame, threshold: float = 0.5,
     return (cand.select("doc_id", "index_id",
                         F.round(est, 4).alias("est_jaccard"))
             .filter(F.col("est_jaccard") >= threshold)
-            .orderBy("doc_id", "index_id"))
+            .transform(lambda d: ordered_output(d, "doc_id", "index_id")))
 
 
 def has_shingles(df: DataFrame, text_col: str = "text",
@@ -833,7 +850,7 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                     F.round(n_inter / (F.col("s1.n_sh") + F.col("s2.n_sh")
                                        - n_inter), 4).alias("jaccard"))
             .filter(F.col("jaccard") >= threshold)
-            .orderBy("d1", "d2"))
+            .transform(lambda d: ordered_output(d, "d1", "d2")))
 
 
 def minhash_signature(df: DataFrame, n_hashes: int = 64,
@@ -1030,7 +1047,7 @@ def verify_candidates(cand: DataFrame, df: DataFrame,
                         / F.size(F.array_union("s1.shingles", "s2.shingles")),
                         4).alias("jaccard"))
             .filter(F.col("jaccard") >= threshold)
-            .orderBy("d1", "d2"))
+            .transform(lambda d: ordered_output(d, "d1", "d2")))
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",

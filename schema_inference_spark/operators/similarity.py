@@ -67,10 +67,19 @@ def _np_norms(x: np.ndarray) -> np.ndarray:
 
 
 def _np_pair_dots(xi: np.ndarray, xj: np.ndarray) -> np.ndarray:
-    """All-pairs dot products with the fold's accumulation order."""
+    """All-pairs dot products with the fold's accumulation order.
+
+    In-place accumulate into preallocated buffers: `acc = acc + outer`
+    allocated two fresh (n, m) temporaries per dimension (128 DRAM-sized
+    allocations per block pair); `outer(..., out=tmp); acc += tmp`
+    computes bit-identical values (same operands, same per-element add
+    order) with two resident buffers — measured 2.2x on a 2000-vector
+    group together with the smaller cache-resident block size below."""
     acc = np.zeros((len(xi), len(xj)))
+    tmp = np.empty_like(acc)
     for d in range(xi.shape[1]):
-        acc = acc + np.multiply.outer(xi[:, d], xj[:, d])
+        np.multiply.outer(xi[:, d], xj[:, d], out=tmp)
+        acc += tmp
     return acc
 
 
@@ -88,7 +97,7 @@ ROUND4_MARGIN = 5.2e-5
 
 
 def self_pair_sims(df: DataFrame, key_col: str, id_col: str, vec_col: str,
-                   min_raw: float, block: int = 2048) -> DataFrame:
+                   min_raw: float, block: int = 512) -> DataFrame:
     """Within-group all-pairs raw cosine sims (id1 < id2, sim_raw >=
     min_raw) as (d1, d2, sim_raw) — the numpy kernel behind the
     near-dup queries. Pair blocks are chunked to ``block`` rows a side
@@ -127,7 +136,7 @@ def self_pair_sims(df: DataFrame, key_col: str, id_col: str, vec_col: str,
 
 
 def cross_pair_sims(corpus: DataFrame, probes: DataFrame, key: str,
-                    block: int = 4096) -> DataFrame:
+                    block: int = 512) -> DataFrame:
     """Per-block probe x corpus raw cosine sims (pid != nid) as
     (pid, nid, sim_raw) via cogrouped numpy — the rank-stage kernel of
     the blocked ANN family. ``corpus``: (nid, <key>, nvec); ``probes``:
@@ -199,10 +208,11 @@ def cosine_topk(df: DataFrame, probe_ids: List[int], k: int = 5,
             fn, "pid long, nid long, sim_raw double")
     sims = sims.select("pid", "nid", F.round(F.col("sim_raw"), 4).alias("sim"))
     w = Window.partitionBy("pid").orderBy(F.desc("sim"), F.asc("nid"))
+    from .dedup import ordered_output
     return (sims.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("pid", "rank", "nid", "sim")
-            .orderBy("pid", "rank"))
+            .transform(lambda d: ordered_output(d, "pid", "rank")))
 
 
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
@@ -257,10 +267,11 @@ def topk_from_blocks(corpus: DataFrame, probes: DataFrame, key: str,
                     (F.round(F.col("sim_raw"), 4)
                      + F.lit(0.0)).alias("sim")))
     w = Window.partitionBy("pid").orderBy(F.desc("sim"), F.asc("nid"))
+    from .dedup import ordered_output
     return (sims.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("pid", "rank", "nid", "sim")
-            .orderBy("pid", "rank"))
+            .transform(lambda d: ordered_output(d, "pid", "rank")))
 
 
 def lsh_blocks(df: DataFrame, probe_ids: List[int],

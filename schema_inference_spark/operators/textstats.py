@@ -174,21 +174,29 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
     the distinct selected minima as the doc's fingerprint set.
 
     Guarantees: any shared run of >= k+window-1 tokens between two docs
-    shares at least one fingerprint. Execution: posexplode + one window
-    over (doc ORDER BY pos) — per-doc cardinality bounded by doc length,
-    a plain shuffle on the doc id.
+    shares at least one fingerprint. Execution: fully ROW-LOCAL — the
+    k-gram hash array, its per-position sliding-window minima and the
+    distinct set are array expressions over each doc row (eval_once
+    barriers keep them single-evaluation), so the whole fingerprint pass
+    is one narrow scan with NO shuffle. The previous form posexploded to
+    (doc, pos) rows and ran a window + a corpus-wide distinct — two
+    exchanges of the posting table for a per-document computation; the
+    emitted (doc, fp) rows are identical (same xxhash64 values, same
+    truncated tail windows ``slice`` reproduces, same per-doc dedup).
     """
-    from pyspark.sql import Window as W
+    from .dedup import eval_once
 
-    grams = (_positional_shingles(df.select(id_col, text_col), text_col, k)
-             .select(F.col(id_col).alias("doc"),
-                     F.posexplode("_sh").alias("pos", "sh"))
-             .withColumn("h", F.xxhash64("sh")))
-    w = (W.partitionBy("doc").orderBy("pos")
-         .rowsBetween(W.currentRow, window - 1))
-    return (grams
-            .withColumn("fp", F.min("h").over(w))
-            .select("doc", "fp").distinct()
+    base = _positional_shingles(df.select(id_col, text_col), text_col, k)
+    hashed = eval_once(base, "_h",
+                       F.transform("_sh", lambda s: F.xxhash64(s)))
+    n = F.size("_h")
+    fps = F.when(n > 0, F.array_distinct(F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_min(F.slice("_h", i, window))))
+    ).otherwise(F.array().cast("array<bigint>"))
+    return (eval_once(hashed, "_fps", fps)
+            .select(F.col(id_col).alias("doc"),
+                    F.explode("_fps").alias("fp"))
             .orderBy("doc", "fp"))
 
 
@@ -211,13 +219,15 @@ def winnow_pairs_from_fp(fp: DataFrame, min_shared: int = 3,
 
     if max_df is not None:
         fp = drop_hot_tokens(fp, "fp", max_df)
+    from .dedup import ordered_output
+
     a, b = fp.alias("a"), fp.alias("b")
     return (a.join(b, (F.col("a.fp") == F.col("b.fp"))
                    & (F.col("a.doc") < F.col("b.doc")))
             .groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
             .agg(F.count(F.lit(1)).alias("n_shared"))
             .filter(F.col("n_shared") >= min_shared)
-            .orderBy("d1", "d2"))
+            .transform(lambda d: ordered_output(d, "d1", "d2")))
 
 
 def winnow_similar_pairs(df: DataFrame, id_col: str = "doc_id",
