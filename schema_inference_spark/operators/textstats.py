@@ -222,7 +222,9 @@ def winnow_pairs_from_fp(fp: DataFrame, min_shared: int = 3,
     from .dedup import ordered_output
 
     a, b = fp.alias("a"), fp.alias("b")
-    return (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+    # same SHUFFLE_HASH rationale as dedup.jaccard_pairs' posting join
+    return (a.hint("SHUFFLE_HASH").join(
+                   b, (F.col("a.fp") == F.col("b.fp"))
                    & (F.col("a.doc") < F.col("b.doc")))
             .groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
             .agg(F.count(F.lit(1)).alias("n_shared"))
