@@ -1146,7 +1146,17 @@ def simhash_pairs_from_fp(fp: DataFrame, bits: int = 32,
                     & (F.col("a.doc") < F.col("b.doc")))
              .select(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"),
                      F.lit(0).cast("bigint").alias("hamming")))
-    return cross.unionByName(intra).orderBy("d1", "d2")
+    # the ordered result is OUTPUT-sized (~quadratic in cluster sizes:
+    # 142M rows at the 50k-doc proxy) — a parallel range sort is right
+    # here (contrast ordered_output), but at the session's default 32
+    # shuffle partitions each sort task held 4.4M rows; 4x more range
+    # partitions measured 46.4s -> 39.8s. (d1, d2) pairs are unique
+    # (fps partition docs; cross and intra branches are disjoint), so
+    # the collected order is the same total order orderBy produced.
+    par2 = fp.sparkSession.sparkContext.defaultParallelism * 4
+    return (cross.unionByName(intra)
+            .repartitionByRange(par2, "d1", "d2")
+            .sortWithinPartitions("d1", "d2"))
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
