@@ -825,15 +825,9 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         hot_per_doc = (sh.join(F.broadcast(hot), "sh", "left_semi")
                        .groupBy("doc")
                        .agg(F.collect_set("sh").alias("hot_sh")))
-        stats = (docs.select("doc", "n_sh")
-                 .join(hot_per_doc, "doc", "left")
-                 .select("doc", "n_sh",
-                         F.coalesce("hot_sh", F.array().cast("array<string>"))
-                         .alias("hot_sh")))
     else:
         cold = sh
-        stats = docs.select("doc", "n_sh",
-                            F.array().cast("array<string>").alias("hot_sh"))
+        hot_per_doc = None
 
     a, b = cold.alias("a"), cold.alias("b")
     # SHUFFLE_HASH, not the default sort-merge: the posting rows are
@@ -874,20 +868,43 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
              # The exchange carries 16-byte rows — cheaper than the
              # fallback sorts it removes (cold 28.5s -> 7.4s at the
              # 50k-doc proxy; warm 7.7s -> 7.1s).
-             .select(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+             # n_sh rides the aggregation as extra GROUP KEYS — it is a
+             # function of the doc id, so the groups are unchanged, and
+             # the per-doc set sizes arrive at the jaccard computation
+             # WITHOUT joining the pair table (pre-threshold, ~pair-rows
+             # sized) against the corpus-sized per-doc stats twice: the
+             # only remaining join is against the SPARSE hot-shingle map
+             # (only docs holding a >max_df shingle appear — empty on
+             # most corpora). Partitioning on (d1, d2) alone still
+             # satisfies the 4-key clustering (subset rule), so no
+             # second exchange appears.
+             .select(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"),
+                     F.col("a.n_sh").alias("n1"), F.col("b.n_sh").alias("n2"))
              .repartition(
                  a.sparkSession.sparkContext.defaultParallelism * 8,
                  "d1", "d2")
-             .groupBy("d1", "d2")
+             .groupBy("d1", "d2", "n1", "n2")
              .agg(F.count(F.lit(1)).alias("n_cold")))
-    s1, s2 = stats.alias("s1"), stats.alias("s2")
-    n_inter = (F.col("n_cold")
-               + F.size(F.array_intersect("s1.hot_sh", "s2.hot_sh")))
+    empty = F.array().cast("array<string>")
+    h1 = hot_per_doc.select(F.col("doc").alias("_h1d"),
+                            F.col("hot_sh").alias("_h1s")) \
+        if max_df is not None else None
+    h2 = hot_per_doc.select(F.col("doc").alias("_h2d"),
+                            F.col("hot_sh").alias("_h2s")) \
+        if max_df is not None else None
+    if max_df is not None:
+        inter = (inter
+                 .join(h1, F.col("d1") == F.col("_h1d"), "left")
+                 .join(h2, F.col("d2") == F.col("_h2d"), "left"))
+        hot_inter = F.size(F.array_intersect(
+            F.coalesce(F.col("_h1s"), empty),
+            F.coalesce(F.col("_h2s"), empty)))
+    else:
+        hot_inter = F.lit(0)
+    n_inter = F.col("n_cold") + hot_inter
     return (inter
-            .join(s1, F.col("d1") == F.col("s1.doc"))
-            .join(s2, F.col("d2") == F.col("s2.doc"))
             .select("d1", "d2",
-                    F.round(n_inter / (F.col("s1.n_sh") + F.col("s2.n_sh")
+                    F.round(n_inter / (F.col("n1") + F.col("n2")
                                        - n_inter), 4).alias("jaccard"))
             .filter(F.col("jaccard") >= threshold)
             .transform(lambda d: ordered_output(d, "d1", "d2")))
