@@ -46,8 +46,21 @@ def main():
     def noop(df):
         df.write.mode("overwrite").format("noop").save()
 
-    # same warmup as bench.py: one cheap query to absorb janino/codegen
+    # same warmup as bench.py: one cheap query to absorb janino/codegen,
+    # plus the Arrow/Python worker pool (bench.py warms it via the IVF
+    # pandas path; a query timed here right after session start would
+    # otherwise bill 32 worker forks + numpy imports to itself)
     noop(qs["stats_value"](spark, SF))
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as _T
+
+    def _wm(batches):
+        import numpy as _np  # noqa: F401
+        for b in batches:
+            yield b
+
+    noop(spark.range(1000).select(F.col("id"))
+         .mapInArrow(_wm, _T.StructType([_T.StructField("id", _T.LongType())])))
 
     if os.environ.get("TS_SETUP") == "1":
         # build the ingest-time seams the incremental/probing queries

@@ -1023,7 +1023,12 @@ ORDER BY pid, rank
 WINNOW_FP_EXPORT = f"{_SEAM_NS}_winnow_fp.parquet"
 
 def _build_winnow_fp_seam(spark, sf_dir):
-    fp = TS.winnow_fingerprints(_t(spark, sf_dir, "documents"))
+    # sort=False: q_winnow_fingerprints re-orders after the parquet
+    # round-trip and the pair stage aggregates, so ordering the seam
+    # write only doubled the fingerprint computation (range sampler)
+    # and shuffled the table for nothing
+    fp = TS.winnow_fingerprints(_t(spark, sf_dir, "documents"),
+                                sort=False)
     fp.write.mode("overwrite").parquet(WINNOW_FP_EXPORT)
     return spark.read.parquet(WINNOW_FP_EXPORT)
 

@@ -168,7 +168,7 @@ def _positional_shingles(df: DataFrame, text_col: str, k: int):
 
 def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", k: int = 4,
-                        window: int = 4) -> DataFrame:
+                        window: int = 4, sort: bool = True) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken MOSS
     scheme): hash every token k-gram (rolling position), take the minimum
     hash of each sliding window of ``window`` consecutive k-grams, emit
@@ -242,7 +242,13 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
                  pa.array(mi[keep], pa.int64())],
                 names=["doc", "fp"])
 
-    return hashed.mapInArrow(_fps, out_schema).orderBy("doc", "fp")
+    out = hashed.mapInArrow(_fps, out_schema)
+    # sort=False for consumers that re-order or aggregate downstream
+    # (the fingerprint SEAM is re-sorted after its parquet round-trip
+    # and aggregated by the pair stage): the global sort's range
+    # sampler would run the Python stage twice and shuffle the whole
+    # fingerprint table for an ordering nobody reads.
+    return out.orderBy("doc", "fp") if sort else out
 
 
 def winnow_pairs_from_fp(fp: DataFrame, min_shared: int = 3,
