@@ -549,7 +549,7 @@ def _build_simhash_fp_seam(spark, sf_dir):
     # partitioned write — no coalesce(1): the oracle globs /*.parquet,
     # so funneling the export through one task would serialize for
     # nothing
-    fp = D.simhash(_t(spark, sf_dir, "documents"))
+    fp = D.simhash(_t(spark, sf_dir, "documents"), sort=False)
     fp.write.mode("overwrite").parquet(SIMHASH_FP_EXPORT)
     return spark.read.parquet(SIMHASH_FP_EXPORT)
 

@@ -1108,7 +1108,7 @@ def verify_candidates(cand: DataFrame, df: DataFrame,
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-            bits: int = 32) -> DataFrame:
+            bits: int = 32, sort: bool = True) -> DataFrame:
     """SimHash fingerprint: per token-hash bit, sum +1/-1 across the doc's
     tokens; the sign vector packs into an int. explode + one partial+final
     aggregation — scales as a plain groupBy on the doc id."""
@@ -1127,8 +1127,11 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0))
         term = bit * F.lit(2 ** i)
         fp = term if fp is None else fp + term
-    return (agg.select("doc", fp.cast("bigint").alias("simhash"))
-            .orderBy("doc"))
+    out = agg.select("doc", fp.cast("bigint").alias("simhash"))
+    # sort=False for seam builds and aggregating consumers: the global
+    # sort's range sampler re-runs the final agg stage for an ordering
+    # the parquet round-trip discards
+    return out.orderBy("doc") if sort else out
 
 
 def simhash_pairs_from_fp(fp: DataFrame, bits: int = 32,
