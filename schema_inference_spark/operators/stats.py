@@ -190,32 +190,39 @@ def grouped_quantiles(df: DataFrame, group_col: str, value,
     The global quantile family (D9) answers "what does the whole
     corpus look like"; this is its per-stratum form — response-length
     distribution per role, latency per tool — the shape drift that a
-    global KLL blends away. Plan: one window Exchange on the group
-    (row_number + count share the sort), then a rank-membership filter;
-    at 10^12 turns a group's sort is the same per-key cost every other
-    windowed check pays, and for pathological groups the documented
-    KLL-per-group swap (sketch agg) trades exactness for a bounded
-    state. ``value`` may be a Column expression; ``tiebreak_col`` only
-    stabilizes WHICH duplicate is selected (the value at a rank is
-    tie-invariant)."""
-    order = [F.col("_v")] + ([F.col(tiebreak_col)] if tiebreak_col else [])
-    w = Window.partitionBy("_g").orderBy(*order)
-    wc = Window.partitionBy("_g")
+    global KLL blends away. Plan: aggregate to (group, value, count)
+    FIRST — map-side partials absorb duplicate values before the
+    exchange — then walk the cumulative histogram of the (usually tiny)
+    aggregated table with one window over it: the element at rank rk is
+    the first value whose cumulative count reaches rk. Selection is a
+    function of the value MULTISET, so this is exactly the row the
+    previous full row_number() window selected, but the per-group sort
+    runs over |distinct values| rows instead of |rows| (a 1M-row
+    5-group input collapsed to ~250 histogram rows at the proxy —
+    window_stats-style full-sort cost only returns in the no-duplicate
+    worst case, where the histogram IS the input). ``value`` may be a
+    Column expression; ``tiebreak_col`` is accepted for API
+    compatibility and ignored — it only ever stabilized WHICH duplicate
+    row was selected, and the selected VALUE is tie-invariant."""
     base = df.select(F.col(group_col).alias("_g"),
                      (value if not isinstance(value, str)
-                      else F.col(value)).alias("_v"),
-                     *([F.col(tiebreak_col)] if tiebreak_col else []))
-    ranked = (base.withColumn("_rn", F.row_number().over(w))
-              .withColumn("_n", F.count(F.lit(1)).over(wc)))
+                      else F.col(value)).alias("_v"))
+    cnts = base.groupBy("_g", "_v").agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.partitionBy("_g").orderBy("_v")
+    wc = Window.partitionBy("_g")
+    cum = (cnts.withColumn("_hi", F.sum("_c").over(w))
+           .withColumn("_n", F.sum("_c").over(wc)))
     picks = F.array(*[
         F.struct(F.lit(float(q)).alias("q"),
                  (F.lit(1) + F.floor(F.lit(float(q))
                                      * (F.col("_n") - 1))).alias("rk"))
         for q in qs])
-    return (ranked
-            .select("_g", "_v", "_rn",
+    return (cum
+            .select("_g", "_v",
                     F.explode(F.filter(
-                        picks, lambda p: p["rk"] == F.col("_rn")))
+                        picks,
+                        lambda p: (p["rk"] > F.col("_hi") - F.col("_c"))
+                        & (p["rk"] <= F.col("_hi"))))
                     .alias("_p"))
             .select(F.col("_g").alias(group_col),
                     F.col("_p.q").alias("q"),
