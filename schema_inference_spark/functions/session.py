@@ -48,6 +48,15 @@ def get_spark(app_name: str = "schema-inference-spark",
         .config("spark.sql.files.maxPartitionBytes", mpb)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # local analog of the 16m scan-split note above: AQE's 64MB
+        # advisory target coalesces the CPU-heavy post-shuffle stages
+        # (JSON parse, regex, digest folds) of MB-sized local inputs
+        # down to a handful of tasks; 16m keeps them spread (measured
+        # ~10% on a warm mid-tier subset, and removes whole-stage
+        # serialization cliffs). Prod clusters override via env to the
+        # guide's 100MB-1GB sizing (§2.2).
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "16m"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
