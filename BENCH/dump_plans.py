@@ -1,13 +1,17 @@
 """Dump .explain('formatted') for named declared queries to
 plans/r06/<name>_<suffix>.txt. Usage:
-    python BENCH/dump_plans.py SF_DIR SUFFIX name1 name2 ...
+    [DP_REPO=/path/to/tree] python BENCH/dump_plans.py SF_DIR SUFFIX name...
+
+DP_REPO lets the same harness dump plans from another worktree (e.g.
+the round-start tree) for before/after evidence; files always land in
+/root/repo/plans/r06.
 """
 import io
 import os
 import sys
 from contextlib import redirect_stdout
 
-sys.path.insert(0, '/root/repo')
+sys.path.insert(0, os.environ.get("DP_REPO", "/root/repo"))
 
 SF = sys.argv[1]
 SUFFIX = sys.argv[2]
@@ -20,13 +24,13 @@ def main():
     spark = get_spark(app_name="dump_plans")
     spark.sparkContext.setLogLevel("ERROR")
     qs = e.queries()
-    os.makedirs("plans/r06", exist_ok=True)
+    os.makedirs("/root/repo/plans/r06", exist_ok=True)
     for name in NAMES:
         df = qs[name](spark, SF)
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
-        out = f"plans/r06/{name}_{SUFFIX}.txt"
+        out = f"/root/repo/plans/r06/{name}_{SUFFIX}.txt"
         with open(out, "w") as fh:
             fh.write(buf.getvalue())
         print("wrote", out)
