@@ -1000,7 +1000,7 @@ def q_conv_near_dup(spark, sf_dir):
     from .driver_queries_extras import _SEAM_NS
     from .operators import dedup as D
     shingled = _assembled_convs(spark, sf_dir)
-    cand = D.lsh_candidate_pairs(shingled)
+    cand = D.lsh_candidate_pairs(shingled, sort=False)
     path = f"{_SEAM_NS}_conv_neardup_cand.parquet"
     cand.write.mode("overwrite").parquet(path)
     return D.verify_candidates(spark.read.parquet(path), shingled,

@@ -435,7 +435,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     engine-side (recall vs the exact jaccard query is asserted in
     tests)."""
     shingled = _shingled_docs(spark, sf_dir)
-    cand = D.lsh_candidate_pairs(shingled)
+    cand = D.lsh_candidate_pairs(shingled, sort=False)
     cand.write.mode("overwrite").parquet(MINHASH_CAND_EXPORT)
     seam = spark.read.parquet(MINHASH_CAND_EXPORT)
     return D.verify_candidates(seam, shingled, threshold=0.5)

@@ -303,8 +303,8 @@ def check_conv_near_dup(df: DataFrame, snapshot_id: str,
                 F.col("seq").alias("text"))
         .persist())
     shingled = with_shingles(assembled)
-    pairs = verify_candidates(lsh_candidate_pairs(shingled), shingled,
-                              threshold=threshold)
+    pairs = verify_candidates(lsh_candidate_pairs(shingled, sort=False),
+                              shingled, threshold=threshold)
     # best counterpart per reporting (later-id) member: min over
     # (-jaccard, earlier id) = highest jaccard, ties to the earliest
     best = (pairs.groupBy(F.col("d2").alias("conv_id"))

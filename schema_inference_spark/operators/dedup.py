@@ -1001,7 +1001,7 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n_hashes: int = 64,
                         bands: int = 16, k: int = 3,
                         bucket_cap: int = 64,
-                        chain: int = 8) -> DataFrame:
+                        chain: int = 8, sort: bool = True) -> DataFrame:
     """MinHash-LSH candidate pairs: band the signature, bucket-join, with
     an explicit bucket-size cap.
 
@@ -1029,7 +1029,7 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                        & (F.col("l.doc") < F.col("r.doc")))
                 .select(F.col("l.doc").alias("d1"), F.col("r.doc").alias("d2"))
                 .distinct()
-                .orderBy("d1", "d2"))
+                .transform(lambda d: d.orderBy("d1", "d2") if sort else d))
 
     # one shuffle on (band, bucket) serves both the size count and the
     # rank — the same partitioning the join itself needs
@@ -1055,9 +1055,12 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                  .select(F.least("l.doc", "r.doc").alias("d1"),
                          F.greatest("l.doc", "r.doc").alias("d2")))
 
+    # sort=False for seam writes and verify-stage consumers (both
+    # re-order or aggregate downstream): the orderBy's range sampler
+    # re-runs the distinct stage for an ordering nobody reads
     return (small_pairs.unionByName(big_pairs)
             .distinct()
-            .orderBy("d1", "d2"))
+            .transform(lambda d: d.orderBy("d1", "d2") if sort else d))
 
 
 def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id",
@@ -1085,7 +1088,7 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id",
         shingled = with_shingles(df.select(id_col, text_col),
                                  text_col, k).persist()
     cand = lsh_candidate_pairs(shingled, id_col, text_col, n_hashes, bands,
-                               k, bucket_cap, chain)
+                               k, bucket_cap, chain, sort=False)
     return verify_candidates(cand, shingled, id_col, text_col, k, threshold)
 
 
